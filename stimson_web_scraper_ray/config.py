@@ -1,0 +1,54 @@
+"""Engine configuration.
+
+Mirrors the semantics of the reference ``Configuration`` object
+(/root/reference/scraper/configuration.py:26-134) as a frozen dataclass that
+is broadcast by value to every stage (it is tiny and picklable); per-pipeline
+overrides are plain ``dataclasses.replace`` calls, the analogue of the
+reference's ``extend_config`` kwargs plumbing (utils.py:256-266).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # Output truncation limits — reference configuration.py:32-38
+    max_text: int = 100_000
+    max_summary: int = 5_000
+    max_keywords: int = 35
+    max_authors: int = 10
+    max_title: int = 200
+    max_file_memo: int = 20_000          # reference configuration.py:40-41
+
+    # Extraction behaviour
+    language: str = "en"
+    use_meta_language: bool = True        # reference configuration.py:60-ish
+    additional_remove_nodes_re: str | None = None  # configuration.py:79
+    follow_meta_refresh: bool = False     # configuration.py (download-time)
+    use_canonical_link: bool = True       # article.py:421-424 rebuild
+    keep_article_html: bool = False
+
+    # Frozen "today" so publish-date defaulting is deterministic
+    # (reference defaults publish_date to datetime.today(), article.py:126-127
+    # — non-deterministic; we freeze it per run for reproducibility).
+    run_date: str = "2026-01-01"
+
+    # Crawl / frontier
+    max_depth: int = 3
+    per_host_budget: int = 64             # pages fetched per host per round
+    round_budget: int = 100_000           # global pages per round
+    heavy_host_threshold: int = 1_000     # salt hosts above this candidate count
+    salt_buckets: int = 16
+    seen_shards: int = 8
+    politeness_delay_s: float = 0.0       # simulated network → no real sleep
+
+    # Ray Data stage sizing (tuned for 32-cpu node; scale-invariant ratios)
+    extract_batch_size: int = 64          # DOMs are 5-20x html size; keep small
+    extract_concurrency: int = 8
+    url_batch_size: int = 4096
+    fetch_concurrency: int = 4
+
+    http_success_only: bool = True        # network.py:52-89 semantics
+    ignored_content_types: dict = field(default_factory=dict)  # configuration.py:78
