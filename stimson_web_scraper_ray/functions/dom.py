@@ -1,0 +1,513 @@
+"""A minimal lxml-compatible DOM built on stdlib ``html.parser``.
+
+lxml / BeautifulSoup are not available in this environment, so the engine
+ships its own tree with the *same text/tail data model as lxml.etree* —
+every semantic the reference extraction code relies on
+(/root/reference/scraper/parser.py) is reproduced here:
+
+- ``Node.text`` / ``Node.tail`` string slots (parser.py passim)
+- ``get_text`` = innerTrim(' '.join(itertext()).strip()) (parser.py:215-217)
+- ``remove`` relocates the tail with a leading space (parser.py:194-208)
+- ``drop_tag`` / ``strip_tags`` splice children in place like
+  lxml ``drop_tag`` / ``etree.strip_tags`` (parser.py:41-46, 113-115)
+- ``get_elements_by_tag(attr=, value=)`` is a case-insensitive *substring*
+  match, mirroring the translate()+contains() xpath (parser.py:118-135)
+
+The parser applies HTML5-ish implied-end-tag rules (auto-close ``<p>`` on
+block elements, ``<li>`` on ``<li>``, table cells) to approximate libxml2's
+error recovery; void elements never take children.
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+import re
+from html.parser import HTMLParser
+
+COMMENT = "#comment"
+
+VOID_TAGS = frozenset(
+    ["area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr"]
+)
+
+# Opening any of these closes an open <p> (HTML5 spec paragraph closing).
+_P_CLOSERS = frozenset(
+    ["address", "article", "aside", "blockquote", "details", "div", "dl",
+     "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+     "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p",
+     "pre", "section", "table", "ul"]
+)
+# tag -> set of open tags it implicitly closes
+_IMPLIED_END = {
+    "li": frozenset(["li"]),
+    "dt": frozenset(["dt", "dd"]),
+    "dd": frozenset(["dt", "dd"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "option": frozenset(["option"]),
+    "thead": frozenset(["tbody", "tfoot"]),
+    "tbody": frozenset(["thead", "tbody"]),
+    "tfoot": frozenset(["tbody"]),
+}
+
+_WS_RE = re.compile(r"[\s\t]+")
+_XML_PROLOG_RE = re.compile(r"^<\?.*?\?>", re.DOTALL)
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def inner_trim(value) -> str:
+    """Whitespace algebra of the reference ``innerTrim`` (utils.py:307-313):
+    collapse runs of whitespace to one space, join splitlines, strip."""
+    if isinstance(value, str):
+        value = _WS_RE.sub(" ", value)
+        value = "".join(value.splitlines())
+        return value.strip()
+    return ""
+
+
+class Node:
+    """One element. Mutable, parent-linked, lxml-style text/tail."""
+
+    __slots__ = ("tag", "attrib", "text", "tail", "_children", "parent")
+
+    def __init__(self, tag, attrib=None, text=None, tail=None):
+        self.tag = tag
+        self.attrib = dict(attrib) if attrib else {}
+        self.text = text
+        self.tail = tail
+        self._children: list[Node] = []
+        self.parent: Node | None = None
+
+    # -- container protocol (mirrors lxml element) --
+    def __iter__(self):
+        return iter(self._children)
+
+    def __len__(self):
+        return len(self._children)
+
+    def __getitem__(self, i):
+        return self._children[i]
+
+    def append(self, child: "Node"):
+        child.parent = self
+        self._children.append(child)
+
+    def insert(self, i: int, child: "Node"):
+        child.parent = self
+        self._children.insert(i, child)
+
+    def index(self, child: "Node") -> int:
+        return self._children.index(child)
+
+    def getchildren(self):
+        return list(self._children)
+
+    def getparent(self):
+        return self.parent
+
+    def getprevious(self):
+        p = self.parent
+        if p is None:
+            return None
+        i = p._children.index(self)
+        return p._children[i - 1] if i > 0 else None
+
+    def getnext(self):
+        p = self.parent
+        if p is None:
+            return None
+        i = p._children.index(self)
+        return p._children[i + 1] if i + 1 < len(p._children) else None
+
+    def itersiblings(self, preceding=False):
+        p = self.parent
+        if p is None:
+            return
+        i = p._children.index(self)
+        if preceding:
+            for j in range(i - 1, -1, -1):
+                yield p._children[j]
+        else:
+            for j in range(i + 1, len(p._children)):
+                yield p._children[j]
+
+    def remove_child(self, child: "Node"):
+        self._children.remove(child)
+        child.parent = None
+
+    def clear(self):
+        """lxml .clear(): drop children, attributes, text and tail."""
+        for c in self._children:
+            c.parent = None
+        self._children = []
+        self.attrib = {}
+        self.text = None
+        self.tail = None
+
+    # -- attributes --
+    def get(self, key, default=None):
+        return self.attrib.get(key, default)
+
+    def set(self, key, value):
+        self.attrib[key] = value
+
+    # -- traversal --
+    def iter(self, tag=None):
+        """Descendant-or-self, document order (lxml .iter)."""
+        if tag is None or self.tag == tag:
+            yield self
+        for c in self._children:
+            yield from c.iter(tag)
+
+    def iterdescendants(self, tag=None):
+        for c in self._children:
+            yield from c.iter(tag)
+
+    def itertext(self):
+        """Text content in document order, skipping comments (lxml skips
+        comment text in .itertext on html elements with default parser)."""
+        if self.tag == COMMENT:
+            if self.tail:
+                yield self.tail
+            return
+        if self.text:
+            yield self.text
+        for c in self._children:
+            yield from c.itertext()
+            if c.tail:
+                yield c.tail
+
+    def text_content(self) -> str:
+        return "".join(
+            t for t in self._itertext_no_tail_of_self()
+        )
+
+    def _itertext_no_tail_of_self(self):
+        if self.tag == COMMENT:
+            return
+        if self.text:
+            yield self.text
+        for c in self._children:
+            yield from c._itertext_no_tail_of_self()
+            if c.tail:
+                yield c.tail
+
+    def __deepcopy__(self, memo):
+        n = Node(self.tag, dict(self.attrib), self.text, self.tail)
+        for c in self._children:
+            cc = _copy.deepcopy(c, memo)
+            cc.parent = n
+            n._children.append(cc)
+        return n
+
+    def __repr__(self):
+        return f"<Node {self.tag} {self.attrib!r} text={self.text!r}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("html")
+        self.stack = [self.root]
+        self._saw_html = False
+
+    # text placement: node with no children -> .text; else last child's .tail
+    def _add_text(self, data):
+        cur = self.stack[-1]
+        if cur._children:
+            last = cur._children[-1]
+            last.tail = (last.tail or "") + data
+        else:
+            cur.text = (cur.text or "") + data
+
+    def _open(self, tag, attrs):
+        cur = self.stack[-1]
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        cur.append(node)
+        return node
+
+    def _close_implied(self, tag):
+        if tag in _P_CLOSERS:
+            # close an open <p> (but only up to the nearest block container)
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t in ("div", "section", "article", "td", "th", "li",
+                         "blockquote", "body", "html"):
+                    break
+        closers = _IMPLIED_END.get(tag)
+        if closers:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in closers:
+                    del self.stack[i:]
+                    break
+                if t in ("table", "body", "html", "div", "ul", "ol", "dl",
+                         "select", "tr") and t not in closers:
+                    break
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "html":
+            # merge attrs into the synthetic root instead of nesting
+            if not self._saw_html:
+                self._saw_html = True
+                for k, v in attrs:
+                    self.root.attrib.setdefault(k, v if v is not None else "")
+                return
+        self._close_implied(tag)
+        node = self._open(tag, attrs)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "html":
+            return
+        self._close_implied(tag)
+        self._open(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS or tag == "html":
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self._add_text(data)
+
+    def handle_comment(self, data):
+        cur = self.stack[-1]
+        cur.append(Node(COMMENT, text=data))
+
+    def handle_decl(self, decl):
+        pass
+
+    def error(self, message):  # pragma: no cover - py<3.10 compat hook
+        pass
+
+
+def decode_html(html) -> str:
+    """bytes → str, standing in for UnicodeDammit (reference
+    parser.py:52-64): try utf-8, then a declared <meta charset>, then
+    latin-1 (which never fails)."""
+    if isinstance(html, str):
+        return html
+    if html is None:
+        return ""
+    try:
+        return html.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _CHARSET_RE.search(html[:4096])
+    if m:
+        try:
+            return html.decode(m.group(1).decode("ascii"), errors="replace")
+        except LookupError:
+            pass
+    return html.decode("latin-1", errors="replace")
+
+
+def fromstring(html) -> Node:
+    """Parse HTML (str or bytes) into a tree; strips an ``<?xml?>`` prolog
+    first like the reference (parser.py:73-74)."""
+    html = decode_html(html)
+    if html.startswith("<?"):
+        html = _XML_PROLOG_RE.sub("", html)
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+# --------------------------------------------------------------------------
+# the Parser-object surface the extraction code uses (parser.py:32-264)
+# --------------------------------------------------------------------------
+
+def get_text(node: Node) -> str:
+    """parser.py:215-217: innerTrim(' '.join(itertext()).strip())."""
+    return inner_trim(" ".join(list(node.itertext())).strip())
+
+
+def get_elements_by_tag(node: Node, tag=None, attr=None, value=None,
+                        use_regex=False) -> list[Node]:
+    """descendant-or-self selection; attr+value is a case-insensitive
+    substring match (or regex when use_regex), excluding comments; the root
+    itself is dropped from the result when a tag is given (parser.py:118-135).
+    """
+    results = []
+    if attr and value:
+        if use_regex:
+            pat = re.compile(value, re.IGNORECASE)
+            pred = lambda n: (av := n.attrib.get(attr)) is not None and pat.search(av)
+        else:
+            vl = value.lower()
+            pred = lambda n: (av := n.attrib.get(attr)) is not None and vl in av.lower()
+    else:
+        pred = lambda n: True
+    for n in node.iter():
+        if n.tag == COMMENT:
+            continue
+        if tag is not None and n.tag != tag:
+            continue
+        if pred(n):
+            results.append(n)
+    if tag is not None and results and results[0] is node:
+        results.pop(0)
+    return results
+
+
+def get_elements_by_tags(node: Node, tags) -> list[Node]:
+    """descendant (not self) matching any tag (parser.py:170-175)."""
+    tagset = set(tags)
+    return [n for n in node.iterdescendants() if n.tag in tagset]
+
+
+def css_attr_select(node: Node, tag: str, attr: str, value: str) -> list[Node]:
+    """Exact-match attribute selector, e.g. meta[name=description]
+    (cssselect semantics used via parser.css_select)."""
+    return [
+        n for n in node.iter(tag)
+        if n.attrib.get(attr) == value
+    ]
+
+
+def css_class_word_select(node: Node, tag: str, words) -> list[Node]:
+    """[class~=word] selector (whitespace-token match)."""
+    wordset = set(words)
+    out = []
+    for n in node.iter(tag):
+        cls = n.attrib.get("class")
+        if cls and wordset & set(cls.split()):
+            out.append(n)
+    return out
+
+
+def remove(node: Node):
+    """lxml-style removal with the reference's tail relocation: the tail is
+    appended (with a leading space) to the previous sibling's tail or the
+    parent's text (parser.py:194-208)."""
+    parent = node.parent
+    if parent is None:
+        return
+    if node.tail:
+        prev = node.getprevious()
+        if prev is None:
+            if not parent.text:
+                parent.text = ""
+            parent.text += " " + node.tail
+        else:
+            if not prev.tail:
+                prev.tail = ""
+            prev.tail += " " + node.tail
+    node.clear()
+    parent.remove_child(node)
+
+
+def drop_tag(node: Node):
+    """lxml HtmlElement.drop_tag: remove the element, keeping its children
+    and text in place."""
+    parent = node.parent
+    if parent is None:
+        return
+    idx = parent._children.index(node)
+    prev = parent._children[idx - 1] if idx > 0 else None
+
+    def _append_text(s):
+        if not s:
+            return
+        if prev is not None:
+            prev.tail = (prev.tail or "") + s
+        else:
+            parent.text = (parent.text or "") + s
+
+    _append_text(node.text)
+    children = node._children
+    for c in children:
+        c.parent = parent
+    parent._children[idx:idx + 1] = children
+    if children:
+        last = children[-1]
+        if node.tail:
+            last.tail = (last.tail or "") + node.tail
+    else:
+        _append_text(node.tail)
+    node.parent = None
+
+
+def strip_tags(node: Node, *tags):
+    """lxml etree.strip_tags: drop matching descendant tags (keeping content)
+    throughout the subtree."""
+    tagset = set(tags)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(node.iterdescendants()):
+            if n.tag in tagset and n.parent is not None:
+                drop_tag(n)
+                changed = True
+
+
+def get_comments(node: Node) -> list[Node]:
+    return [n for n in node.iter() if n.tag == COMMENT]
+
+
+def create_element(tag="p", text=None, tail=None) -> Node:
+    return Node(tag, text=text, tail=tail)
+
+
+def node_depth(node: Node, depth=1) -> int:
+    """BFS depth (output_formatter.py:155-167)."""
+    children = node.getchildren()
+    if not children:
+        return depth
+    return max(node_depth(c, depth + 1) for c in children)
+
+
+def node_to_string(node: Node) -> str:
+    """Serialize subtree to HTML (used for video embed_code and
+    outer_html; parser.py:102-107)."""
+    from html import escape
+
+    if node.tag == COMMENT:
+        return f"<!--{node.text or ''}-->"
+    attrs = "".join(f' {k}="{escape(str(v), quote=True)}"' for k, v in node.attrib.items())
+    inner = (escape(node.text) if node.text else "") + "".join(
+        node_to_string(c) + (escape(c.tail) if c.tail else "") for c in node
+    )
+    if node.tag in VOID_TAGS:
+        return f"<{node.tag}{attrs}>"
+    return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+
+
+def outer_html(node: Node) -> str:
+    """parser.py:258-264 (tail excluded)."""
+    return node_to_string(node)
+
+
+def child_nodes_with_text(node: Node) -> list[Node]:
+    """Materialize text/tails as synthetic ``text`` nodes among the children
+    (parser.py:137-160) — used by the div→p conversion."""
+    root = node
+    if root.text:
+        t = Node("text", text=root.text)
+        root.text = None
+        root.insert(0, t)
+    for n in list(root):
+        if n.tag == "text":
+            continue
+        if n.tail:
+            # NB the reference does NOT clear n.tail here (parser.py:149-159)
+            text = n.tail if n.tail.split() else None
+            t = Node("text", text=text)
+            idx = root.index(n)
+            root.insert(idx + 1, t)
+    return list(root)

@@ -1,0 +1,211 @@
+"""Goose-style best-node scoring and sibling post-cleanup.
+
+Port of /root/reference/scraper/content_extractor.py:610-881:
+``calculate_best_node`` (610-672), ``is_boostable`` (674-699),
+``add_siblings``/``get_siblings_content``/``get_siblings_score`` (704-775),
+``update_score``/``update_node_count`` (777-799), ``is_highlink_density``
+(801-827) and ``post_cleanup`` (871-881). Deterministic pure computation on
+the bundled DOM; gravity scores are stored in node attributes exactly like
+the reference so the formatter's negative-score sweep sees them.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from . import dom
+from .dom import Node
+from .stopwords import stopwords_class_for
+
+
+class BestNodeScorer:
+    def __init__(self, language: str = "en"):
+        self.language = language
+        self.stopwords = stopwords_class_for(language)(language=language)
+
+    def update_language(self, meta_lang: str | None):
+        # content_extractor.py:64-72
+        if meta_lang:
+            self.language = meta_lang
+            self.stopwords = stopwords_class_for(meta_lang)(language=meta_lang)
+
+    # -- scoring ----------------------------------------------------------
+
+    def nodes_to_check(self, doc: Node) -> list[Node]:
+        # content_extractor.py:840-850 — p/pre/td with a non-empty .text slot
+        out = []
+        for tag in ("p", "pre", "td"):
+            for node in dom.get_elements_by_tag(doc, tag=tag):
+                if node.text:
+                    out.append(node)
+        return out
+
+    def _nodes_to_check_fallback(self, html) -> list[Node]:
+        """Re-parse raw html and lift p/pre/td text into a fake body —
+        stands in for the BeautifulSoup fallback (content_extractor.py:852-869)."""
+        fresh = dom.fromstring(html)
+        fake_parent = Node("body", text="")
+        nodes = [fake_parent]
+        for tag in ("p", "pre", "td"):
+            for match in dom.get_elements_by_tag(fresh, tag=tag):
+                text = match.text_content()
+                node = Node(tag, text=text)
+                if node.text:
+                    fake_parent.append(node)
+                    nodes.append(node)
+        return nodes
+
+    def calculate_best_node(self, doc: Node, html) -> Node | None:
+        # content_extractor.py:610-672
+        nodes_to_check = self.nodes_to_check(doc)
+        if not nodes_to_check:
+            nodes_to_check = self._nodes_to_check_fallback(html)
+        starting_boost = 1.0
+        cnt = 0
+        parent_nodes: list[Node] = []
+        nodes_with_text: list[Node] = []
+
+        for node in nodes_to_check:
+            text_node = dom.get_text(node)
+            if text_node:
+                word_stats = self.stopwords.get_stopword_count(text_node)
+                if word_stats.get_stopword_count() > 2 and \
+                        not self.is_highlink_density(node):
+                    nodes_with_text.append(node)
+
+        nodes_number = len(nodes_with_text)
+        negative_scoring = 0
+        bottom_negativescore_nodes = nodes_number * 0.25
+
+        for i, node in enumerate(nodes_with_text):
+            if i == 0:
+                # NB the reference skips the first node entirely
+                # (content_extractor.py:632-633)
+                continue
+            boost_score = 0.0
+            if self.is_boostable(node):
+                boost_score = (1.0 / starting_boost) * 50
+                starting_boost += 1
+            if nodes_number > 15 and (nodes_number - i) <= bottom_negativescore_nodes:
+                booster = bottom_negativescore_nodes - (nodes_number - i)
+                boost_score = -(booster ** 2)
+                if abs(boost_score) + negative_scoring > 40:
+                    boost_score = 5.0
+
+            text_node = dom.get_text(node)
+            word_stats = self.stopwords.get_stopword_count(text_node)
+            upscore = int(word_stats.get_stopword_count() + boost_score)
+
+            parent_node = node.getparent()
+            if parent_node is not None:
+                self.update_score(parent_node, upscore)
+                self.update_node_count(parent_node, 1)
+                if parent_node not in parent_nodes:
+                    parent_nodes.append(parent_node)
+                grandparent = parent_node.getparent()
+                if grandparent is not None:
+                    self.update_node_count(grandparent, 1)
+                    self.update_score(grandparent, upscore / 2)
+                    if grandparent not in parent_nodes:
+                        parent_nodes.append(grandparent)
+            cnt += 1
+
+        if not parent_nodes:
+            return None
+        return max(parent_nodes, key=self.get_score)
+
+    def is_boostable(self, node: Node) -> bool:
+        # content_extractor.py:674-699 — look at up to 3 preceding <p>
+        # siblings for one with >5 stopwords
+        steps_away = 0
+        for sib in node.itersiblings(preceding=True):
+            if sib.tag == "p":
+                if steps_away >= 3:
+                    return False
+                paragraph_text = dom.get_text(sib)
+                word_stats = self.stopwords.get_stopword_count(paragraph_text)
+                if word_stats.get_stopword_count() > 5:
+                    return True
+                steps_away += 1
+        return False
+
+    def update_score(self, node: Node, add_to_score):
+        # content_extractor.py:777-788
+        current = float(node.attrib.get("gravityScore") or 0)
+        node.set("gravityScore", str(current + add_to_score))
+
+    def update_node_count(self, node: Node, add_to_count: int):
+        # content_extractor.py:790-799
+        current = int(node.attrib.get("gravityNodes") or 0)
+        node.set("gravityNodes", str(current + add_to_count))
+
+    def get_score(self, node: Node) -> float:
+        s = node.attrib.get("gravityScore")
+        return float(s) if s else 0.0
+
+    def is_highlink_density(self, e: Node) -> bool:
+        # content_extractor.py:801-827
+        links = dom.get_elements_by_tag(e, tag="a")
+        if not links:
+            return False
+        text = dom.get_text(e)
+        words = [w for w in text.split() if w.isalnum()]
+        if not words:
+            return True
+        link_text = "".join(dom.get_text(link) for link in links)
+        num_link_words = float(len(link_text.split()))
+        score = (num_link_words / len(words)) * len(links)
+        return score >= 1.0
+
+    # -- sibling recovery / post cleanup ----------------------------------
+
+    def get_siblings_score(self, top_node: Node) -> float:
+        # content_extractor.py:749-775
+        base = 100000
+        number = 0
+        score = 0
+        for node in dom.get_elements_by_tag(top_node, tag="p"):
+            text_node = dom.get_text(node)
+            word_stats = self.stopwords.get_stopword_count(text_node)
+            if word_stats.get_stopword_count() > 2 and \
+                    not self.is_highlink_density(node):
+                number += 1
+                score += word_stats.get_stopword_count()
+        if number > 0:
+            base = score / number
+        return base
+
+    def get_siblings_content(self, current_sibling: Node, baseline_score):
+        # content_extractor.py:714-747
+        if current_sibling.tag == "p" and dom.get_text(current_sibling):
+            e0 = current_sibling
+            if e0.tail:
+                e0 = copy.deepcopy(e0)
+                e0.tail = ""
+            return [e0]
+        ps = []
+        for paragraph in dom.get_elements_by_tag(current_sibling, tag="p"):
+            text = dom.get_text(paragraph)
+            if text:
+                word_stats = self.stopwords.get_stopword_count(text)
+                paragraph_score = word_stats.get_stopword_count()
+                if (baseline_score * 0.30) < paragraph_score and \
+                        not self.is_highlink_density(paragraph):
+                    ps.append(Node("p", text=text))
+        return ps
+
+    def add_siblings(self, top_node: Node) -> Node:
+        # content_extractor.py:704-712
+        baseline = self.get_siblings_score(top_node)
+        for sib in list(top_node.itersiblings(preceding=True)):
+            for p in self.get_siblings_content(sib, baseline):
+                top_node.insert(0, p)
+        return top_node
+
+    def post_cleanup(self, top_node: Node) -> Node:
+        # content_extractor.py:871-881
+        node = self.add_siblings(top_node)
+        for e in node.getchildren():
+            if e.tag != "p" and self.is_highlink_density(e):
+                dom.remove(e)
+        return node

@@ -1,0 +1,242 @@
+"""Stopword counting — the scoring signal of the best-node algorithm.
+
+Mirrors /root/reference/scraper/text.py: ``WordStats`` (text.py:26-54),
+``StopWords.get_stopword_count`` (text.py:83-99: strip punctuation, lower,
+split on single spaces, count overlap with the language's stopword set) and
+the language-specific subclasses (zh/ja char segmentation standing in for
+jieba/tinysegmenter, ar without punctuation stripping, ko/hi suffix
+``endswith`` matching — text.py:102-223).
+
+The reference pulls stopword sets from spaCy (text.py:19-23); spaCy is not
+available here, so compact built-in sets are bundled for the main languages
+(en list ≈ the classic english stopword list; others are the highest-
+frequency function words). Any unknown language falls back to the English
+set — this shifts absolute stopword counts but not the engine's own
+fixtures, which are generated with these same sets.
+"""
+
+from __future__ import annotations
+
+import string
+
+_EN = """
+a about above after again against all almost alone along already also although
+always am among an and another any anybody anyone anything anywhere are area
+areas around as ask asked asking asks at away b back backed backing backs be
+became because become becomes been before began behind being beings below best
+better between big both but by c came can cannot case cases certain certainly
+clear clearly come could d did differ different differently do does done down
+downed downing downs during e each early either end ended ending ends enough
+even evenly ever every everybody everyone everything everywhere f face faces
+fact facts far felt few find finds first for four from full fully further
+furthered furthering furthers g gave general generally get gets give given
+gives go going good goods got great greater greatest group grouped grouping
+groups h had has have having he her here herself high higher highest him
+himself his how however i if important in interest interested interesting
+interests into is it its itself j just k keep keeps kind knew know known knows
+l large largely last later latest least less let lets like likely long longer
+longest m made make making man many may me member members men might more most
+mostly mr mrs much must my myself n necessary need needed needing needs never
+new newer newest next no nobody non noone not nothing now nowhere number
+numbers o of off often old older oldest on once one only open opened opening
+opens or order ordered ordering orders other others our out over p part parted
+parting parts per perhaps place places point pointed pointing points possible
+present presented presenting presents problem problems put puts q quite r
+rather really right room rooms s said same saw say says second seconds see
+seem seemed seeming seems sees several shall she should show showed showing
+shows side sides since small smaller smallest so some somebody someone
+something somewhere state states still such sure t take taken than that the
+their them then there therefore these they thing things think thinks this
+those though thought thoughts three through thus to today together too took
+toward turn turned turning turns two u under until up upon us use used uses v
+very w want wanted wanting wants was way ways we well wells went were what
+when where whether which while who whole whose why will with within without
+work worked working works would x y year years yet you young younger youngest
+your yours z
+""".split()
+
+_ES = """
+el la los las un una unos unas y o pero de del a al en con por para que no si
+se su sus le les lo como más menos muy este esta estos estas ese esa esos
+esas es son fue fueron ser está están estar hay ha han sobre entre sin hasta
+desde también cuando donde quien cual todo todos toda todas otro otra otros
+otras ya mi tu nos vos ellos ellas nosotros usted yo él ella algo nada cada
+porque qué cómo sí fue era eran sido tiene tienen tener hace hacen hacer
+""".split()
+
+_DE = """
+der die das den dem des ein eine einen einem einer eines und oder aber nicht
+ist sind war waren sein bin bist seid gewesen werden wird wurde wurden in im
+an am auf aus bei mit nach von vor zu zum zur über unter durch für gegen ohne
+um als auch noch nur schon sehr so wie wenn dann denn dass weil ich du er sie
+es wir ihr man mein dein sein ihr unser euer dies diese dieser dieses jene
+hier da dort was wer wo wann warum hat haben hatte hatten kann können muss
+müssen soll sollen will wollen mag mögen darf dürfen
+""".split()
+
+_FR = """
+le la les un une des du de et ou mais dans sur sous avec sans pour par en au
+aux ce cette ces cet il elle ils elles je tu nous vous on ne pas plus moins
+très qui que quoi dont où est sont était étaient être été a ont avait avaient
+avoir fait faire comme si tout tous toute toutes autre autres même aussi bien
+encore déjà ici là alors donc car leur leurs son sa ses mon ma mes ton ta tes
+notre votre nos vos y se sa
+""".split()
+
+_ZH = """
+的 了 和 是 在 我 有 他 这 中 大 来 上 国 个 到 说 们 为 子 和 你 地 出 道 也
+时 年 得 就 那 要 下 以 生 会 自 着 去 之 过 家 学 对 可 她 里 后 小 么 心 多
+天 而 能 好 都 然 没 日 于 起 还 发 成 事 只 作 当 想 看 文 无 开 手 十 用 主
+行 方 又 如 前 所 本 见 经 头 面 公 同 三 已 老 从 动 两 长 知 民 样 现 分 将
+外 但 身 些 与 高 意 进 把 法 此 实 回 二 理 美 点 月 明 其 种 声 全 工 己 话
+儿 者 向 情 部 正 名 定 女 问 力 机 给 等 几 很 业 最 间 新 什 打 便 位 因 重
+被 走 电 四 第 门 相 次 东 政 海 口 使 教 西 再 平 真 听 世 气 信 北 少 关 并
+内 加 化 由 却 代 军 产 入 先 山 五 太 水 万 市 眼 体 别 处 总 才 场 师 书 比
+住 员 九 笑 性 通 目 华 报 立 马 命 张 活 难 神 数 件 安 表 原 车 白 应 路 期
+叫 死 常 提 感 金 何 更 反 题 必 都 位 唯
+""".split()
+
+_AR = """
+في من على إلى عن أن إن كان كانت هذا هذه ذلك تلك التي الذي الذين ما لا لم لن
+هو هي هم نحن أنا أنت و أو ثم بل لكن إذا كل بعض غير بين عند قد لقد منذ حتى
+كما أي بعد قبل ضد مع ليس كانوا يكون تكون هناك هنا ايضا أيضا فيه فيها عليه
+عليها إليه إليها منه منها له لها لهم به بها
+""".split()
+
+_LISTS = {
+    "en": frozenset(_EN),
+    "es": frozenset(_ES),
+    "de": frozenset(_DE),
+    "fr": frozenset(_FR),
+    "zh": frozenset(_ZH),
+    "ar": frozenset(_AR),
+}
+
+_PUNCT_TABLE = {ord(c): None for c in string.punctuation}
+
+
+def get_stopwords(language: str) -> frozenset:
+    return _LISTS.get(language[:2], _LISTS["en"])
+
+
+class WordStats:
+    """text.py:26-54."""
+
+    __slots__ = ("stop_word_count", "word_count", "stop_words")
+
+    def __init__(self, stop_word_count=0, word_count=0, stop_words=None):
+        self.stop_word_count = stop_word_count
+        self.word_count = word_count
+        self.stop_words = stop_words or []
+
+    def get_stopword_count(self):
+        return self.stop_word_count
+
+    def get_word_count(self):
+        return self.word_count
+
+
+class StopWords:
+    """Base (latin) tokenizer: strip string.punctuation, lower, split on
+    ' ' — text.py:57-99. Instances are cheap; the stopword frozensets are
+    module-level singletons so per-call construction (the reference's
+    pattern, content_extractor.py:622) stays cheap here."""
+
+    def __init__(self, language="en"):
+        self.language = language[:2]
+        self.STOP_WORDS = get_stopwords(self.language)
+
+    def remove_punctuation(self, content: str) -> str:
+        return content.translate(_PUNCT_TABLE)
+
+    def candidate_words(self, stripped_input: str):
+        return stripped_input.split(" ")
+
+    def get_stopword_count(self, content: str) -> WordStats:
+        if not content:
+            return WordStats()
+        stripped = self.remove_punctuation(content)
+        overlapping = []
+        count = 0
+        for w in self.candidate_words(stripped.lower()):
+            count += 1
+            if w in self.STOP_WORDS:
+                overlapping.append(w)
+        return WordStats(len(overlapping), count, overlapping)
+
+
+class StopWordsChinese(StopWords):
+    """zh segmentation: per-character (stand-in for jieba cut_all,
+    text.py:102-114 — jieba unavailable; zh stopwords here are single
+    characters so counting is equivalent for the score threshold)."""
+
+    def __init__(self, language="zh"):
+        super().__init__("zh")
+
+    def candidate_words(self, stripped_input: str):
+        return [c for c in stripped_input if not c.isspace()]
+
+
+class StopWordsArabic(StopWords):
+    """ar: no punctuation stripping, plain whitespace tokens
+    (text.py:117-132)."""
+
+    def __init__(self, language="ar"):
+        super().__init__("ar")
+
+    def remove_punctuation(self, content):
+        return content
+
+    def candidate_words(self, stripped_input: str):
+        return stripped_input.split()
+
+
+class _SuffixMatchStopWords(StopWords):
+    """ko/hi variant: a word counts if it *ends with* any stopword
+    (text.py:135-188)."""
+
+    def get_stopword_count(self, content: str) -> WordStats:
+        if not content:
+            return WordStats()
+        stripped = self.remove_punctuation(content)
+        overlapping = []
+        count = 0
+        for w in self.candidate_words(stripped):
+            count += 1
+            for s in self.STOP_WORDS:
+                if w.endswith(s):
+                    overlapping.append(w)
+        return WordStats(len(overlapping), count, overlapping)
+
+
+class StopWordsKorean(_SuffixMatchStopWords):
+    def __init__(self, language="ko"):
+        super().__init__("ko")
+
+
+class StopWordsHindi(_SuffixMatchStopWords):
+    def __init__(self, language="hi"):
+        super().__init__("hi")
+
+
+class StopWordsJapanese(StopWords):
+    """ja: per-character segmentation (stand-in for tinysegmenter,
+    text.py:199-210)."""
+
+    def __init__(self, language="ja"):
+        super().__init__("ja")
+
+    def candidate_words(self, stripped_input: str):
+        return [c for c in stripped_input if not c.isspace()]
+
+
+def stopwords_class_for(language: str):
+    """Language → tokenizer class registry (configuration.py:112-130)."""
+    return {
+        "zh": StopWordsChinese,
+        "ar": StopWordsArabic,
+        "fa": StopWordsArabic,
+        "ko": StopWordsKorean,
+        "hi": StopWordsHindi,
+        "ja": StopWordsJapanese,
+    }.get(language[:2], StopWords)
