@@ -1,0 +1,295 @@
+"""The flagship pipeline: BFS crawl rounds over a Common-Crawl-style pages
+table — frontier → politeness budget → fetch → extract → outlink harvest →
+next frontier, with sharded seen-set actors and per-round checkpoints.
+
+Ray-Data-first layout (north rule / SURVEY.md §7):
+
+- heavy data (html, article fields) only ever flows through
+  ``map_batches`` stages — the driver touches *planning tables* only
+  (frontier rows: url/hash/host/priority, bounded by ``round_budget``);
+- the only wide shuffles are ``groupby(url_hash)`` (in-round dedup) and
+  ``groupby(host)`` (politeness top-k), with heavy hosts salted via
+  ``part_key`` before fetch so one hot host spreads over the actor pool;
+- the seen set lives in ``state.seen.SeenShard`` actors sharded by
+  ``url_hash % n_shards``; a URL is *seen* when fetched (the crawl-order
+  oracle's invariant: seen set == fetched set);
+- each round writes ``round=N/{frontier,seen_shard_*,articles,metrics}``
+  plus ``_SUCCESS`` — a killed job resumes from the last complete round
+  (per-partition lineage: every metrics row carries (round, host, counts)).
+
+Determinism: within a round, fetch order is (priority desc, depth asc,
+url_hash asc) — ties broken by the 64-bit canonical hash, so results are
+invariant to parallelism level (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..functions.urlnorm import canon_hash64, get_domain
+from ..stages.extract_stage import ExtractArticles
+from ..stages.fetch import Fetcher
+from ..stages.url_stage import normalize_candidates, salt_hosts
+from ..state.seen import make_shard_actors, route
+
+FRONTIER_SCHEMA = pa.schema([
+    ("url_canon", pa.string()), ("url_hash", pa.uint64()),
+    ("host", pa.string()), ("depth", pa.int32()),
+    ("priority", pa.float32()),
+])
+
+
+@dataclass
+class CrawlResult:
+    rounds: int
+    pages_fetched: int
+    articles_path: str
+    checkpoint_dir: str
+    seen_size: int
+
+
+def _frontier_from_seeds(seeds: list[str]) -> pd.DataFrame:
+    rows = []
+    for rank, url in enumerate(seeds):
+        rows.append({
+            "url_canon": url,
+            "url_hash": canon_hash64(url),
+            "host": get_domain(url) or "",
+            "depth": 0,
+            # seed priority reflects file order (FIXTURES.md §2)
+            "priority": float(1.0 + 1.0 / (rank + 1)),
+        })
+    df = pd.DataFrame(rows)
+    return df.astype({"url_hash": "uint64", "depth": "int32",
+                      "priority": "float32"})
+
+
+def _plan_round(frontier: pd.DataFrame, cfg: EngineConfig
+                ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Politeness budget: per-host top-k then global round budget, in the
+    deterministic order (priority desc, depth asc, url_hash asc).
+    Returns (budget, deferred). Driver-side on a bounded planning table —
+    at cluster scale this is the groupby(host)+sort shuffle; the pandas
+    form here is the same algebra on ≤round_budget rows."""
+    if frontier.empty:
+        return frontier, frontier
+    f = frontier.sort_values(
+        ["priority", "depth", "url_hash"],
+        ascending=[False, True, True], kind="mergesort").reset_index(drop=True)
+    in_host_budget = f.groupby("host", sort=False).cumcount() < cfg.per_host_budget
+    budget = f[in_host_budget].head(cfg.round_budget)
+    taken = set(budget["url_hash"].tolist())
+    deferred = f[~f["url_hash"].isin(taken)]
+    return budget.reset_index(drop=True), deferred.reset_index(drop=True)
+
+
+def _seen_check(shards, hashes: np.ndarray, insert: bool) -> np.ndarray:
+    """Distributed semi-join against the shard actors: partition by
+    ``hash % n_shards``, one RPC per shard per call (J1 in SURVEY.md §2.4).
+    Returns mask of NEW hashes."""
+    import ray
+
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    if hashes.size == 0:
+        return np.zeros(0, dtype=bool)
+    shard_ids = route(hashes, len(shards))
+    refs, order = [], []
+    for sid in range(len(shards)):
+        idx = np.nonzero(shard_ids == sid)[0]
+        if idx.size == 0:
+            continue
+        sub = hashes[idx]
+        if insert:
+            refs.append(shards[sid].check_and_insert.remote(sub))
+        else:
+            refs.append(shards[sid].check.remote(sub))
+        order.append(idx)
+    out = np.zeros(len(hashes), dtype=bool)
+    for idx, res in zip(order, ray.get(refs)):
+        out[idx] = res if insert else ~res
+    return out
+
+
+def _checkpoint_round(ckpt_dir: str, rnd: int, frontier: pd.DataFrame,
+                      shards, metrics: pd.DataFrame):
+    import ray
+
+    rdir = os.path.join(ckpt_dir, f"round={rnd}")
+    os.makedirs(rdir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(frontier, schema=FRONTIER_SCHEMA,
+                                        preserve_index=False),
+                   os.path.join(rdir, "frontier.parquet"))
+    ray.get([s.snapshot.remote(os.path.join(rdir, f"seen_shard_{i}.parquet"))
+             for i, s in enumerate(shards)])
+    pq.write_table(pa.Table.from_pandas(metrics, preserve_index=False),
+                   os.path.join(rdir, "metrics.parquet"))
+    with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
+        f.write(json.dumps({"round": rnd, "frontier_rows": len(frontier)}))
+
+
+def _find_resume_round(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    done = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("round=") and \
+                os.path.exists(os.path.join(ckpt_dir, name, "_SUCCESS")):
+            done.append(int(name.split("=")[1]))
+    return max(done) if done else None
+
+
+def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
+          out_dir: str = "/tmp/swsr_crawl", max_rounds: int = 3,
+          resume: bool = False) -> CrawlResult:
+    """Run the crawl. Requires an initialised Ray session (caller owns it)."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    articles_dir = os.path.join(out_dir, "articles")
+    os.makedirs(articles_dir, exist_ok=True)
+
+    shards = make_shard_actors(cfg.seen_shards)
+
+    start_round = 0
+    frontier = _frontier_from_seeds(seeds)
+    if resume:
+        last = _find_resume_round(ckpt_dir)
+        if last is not None:
+            rdir = os.path.join(ckpt_dir, f"round={last}")
+            frontier = pq.read_table(
+                os.path.join(rdir, "frontier.parquet")).to_pandas()
+            ray.get([
+                s.restore.remote(os.path.join(rdir, f"seen_shard_{i}.parquet"))
+                for i, s in enumerate(shards)])
+            start_round = last + 1
+
+    total_fetched = 0
+    for rnd in range(start_round, max_rounds):
+        if frontier.empty:
+            break
+        budget, deferred = _plan_round(frontier, cfg)
+        if budget.empty:
+            break
+
+        # drop anything already fetched; mark the rest seen (fetch intent)
+        new_mask = _seen_check(shards, budget["url_hash"].to_numpy(), insert=True)
+        budget = budget[new_mask].reset_index(drop=True)
+        if budget.empty:
+            frontier = deferred
+            continue
+
+        # skew detection for the fetch partitioning (north rule salting)
+        counts = budget["host"].value_counts()
+        heavy = {h: int(c) for h, c in counts.items()
+                 if c > cfg.heavy_host_threshold}
+
+        budget_ds = rd.from_pandas(budget)
+        budget_ds = budget_ds.map_batches(
+            lambda b: salt_hosts(b, heavy, cfg.salt_buckets),
+            batch_format="pyarrow")
+        n_parts = max(cfg.fetch_concurrency, len(counts) // 4 or 1)
+        budget_ds = budget_ds.repartition(n_parts)
+
+        # autoscaling pools (1, N): a fixed-size pool would demand all N
+        # actors up front and deadlock on small nodes when stages overlap
+        pages = budget_ds.map_batches(
+            Fetcher, batch_format="pyarrow", batch_size=512,
+            concurrency=(1, cfg.fetch_concurrency), num_cpus=0.5,
+            fn_constructor_kwargs={
+                "pages_path": pages_path,
+                "politeness_delay_s": cfg.politeness_delay_s,
+            })
+
+        articles = pages.map_batches(
+            ExtractArticles, batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=(1, cfg.extract_concurrency),
+            fn_constructor_kwargs={"config": cfg})
+
+        round_dir = os.path.join(articles_dir, f"round={rnd}")
+        articles.write_parquet(round_dir)
+
+        # outlink harvest from the written round output (columnar, no html)
+        arts = rd.read_parquet(round_dir, columns=["url", "outlinks", "status"])
+        cand = arts.select_columns(["outlinks"]) \
+            .map_batches(_explode_outlinks, batch_format="pyarrow")
+        cand = cand.map_batches(normalize_candidates, batch_format="pyarrow")
+        cand = cand.map_batches(
+            lambda b: b.filter(b["is_valid"]), batch_format="pyarrow")
+        # in-round dedup: groupby(url_hash) keep first — D2
+        cand_df = cand.groupby("url_hash").map_groups(
+            lambda g: g.head(1), batch_format="pandas").to_pandas()
+
+        fetched_hashes = budget["url_hash"].to_numpy()
+        n_fetched = int(arts.count())
+        total_fetched += n_fetched
+
+        # per-round metrics: lineage rows (round, host, planned/fetched)
+        fetched_hosts = budget["host"].value_counts()
+        metrics = pd.DataFrame({
+            "round": rnd,
+            "host": fetched_hosts.index,
+            "planned": fetched_hosts.values,
+        })
+
+        # next frontier: deferred ∪ new candidates, minus seen, dedup by hash
+        if not cand_df.empty:
+            depth = rnd + 1
+            nxt = pd.DataFrame({
+                "url_canon": cand_df["url_canon"],
+                "url_hash": cand_df["url_hash"].astype("uint64"),
+                "host": cand_df["host"],
+                "depth": np.int32(depth),
+                "priority": np.float32(1.0 / (1.0 + depth)),
+            })
+            nxt = nxt[~nxt["url_hash"].isin(set(fetched_hashes.tolist()))]
+            unseen = _seen_check(shards, nxt["url_hash"].to_numpy(), insert=False)
+            nxt = nxt[unseen]
+            frontier = pd.concat([deferred, nxt], ignore_index=True)
+            frontier = frontier.sort_values(
+                ["priority", "depth", "url_hash"],
+                ascending=[False, True, True], kind="mergesort")
+            frontier = frontier.drop_duplicates("url_hash").reset_index(drop=True)
+            frontier = frontier[frontier["depth"] <= cfg.max_depth]
+        else:
+            frontier = deferred
+
+        _checkpoint_round(ckpt_dir, rnd, frontier, shards, metrics)
+
+    seen_size = sum(ray.get([s.size.remote() for s in shards]))
+    return CrawlResult(
+        rounds=max_rounds, pages_fetched=total_fetched,
+        articles_path=articles_dir, checkpoint_dir=ckpt_dir,
+        seen_size=seen_size)
+
+
+def _explode_outlinks(batch: pa.Table) -> pa.Table:
+    """outlinks list<string> → one candidate row per outlink (M21 flat_map)."""
+    flat = []
+    for links in batch["outlinks"].to_pylist():
+        if links:
+            flat.extend(links)
+    return pa.table({"url": pa.array(flat, pa.string())})
+
+
+def final_seen_hashes(ckpt_dir: str, rnd: int, n_shards: int) -> np.ndarray:
+    """Union of the shard snapshots of round ``rnd`` (test oracle hook)."""
+    parts = []
+    rdir = os.path.join(ckpt_dir, f"round={rnd}")
+    for i in range(n_shards):
+        p = os.path.join(rdir, f"seen_shard_{i}.parquet")
+        if os.path.exists(p):
+            parts.append(pq.read_table(p)["url_hash"].to_numpy())
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    return np.sort(np.concatenate(parts))

@@ -1,0 +1,237 @@
+"""The ``pages`` input table (BASELINE.json ``input_hint``):
+
+    url: string, warc_ts: timestamp[us], html: binary, text: string,
+    lang: string
+
+Synthesized deterministically (seed fixed, no external data) from the
+driver's ``documents`` table per FIXTURES.md §1: news-style URLs across a
+Zipf-skewed host set (one heavy host to exercise salted splits), template
+HTML with og:/author/date metas, boilerplate divs matching the cleaner
+kill-list (document_cleaner.py:26-42), a nav link farm (high link density)
+and ``<a href>`` outlinks wiring the crawl graph; the golden ``text``
+column is produced by the engine's own reference-semantics kernel
+(functions.extract.fulltext + set_text normalization, validated separately
+against the reference fixture corpus in tests/test_extract.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.extract import _normalize_text, fulltext
+
+HOSTS = (
+    ["news.bignews.com"] * 6          # heavy host: ~30% of rows (Zipf head)
+    + ["www.dailytimes.com"] * 3
+    + ["www.cityherald.com"] * 3
+    + ["journal.example.org"] * 2
+    + ["www.smallpress.net"] * 2
+    + ["blog.nicheoutlet.io"] * 2
+    + ["www.lonelywire.co"] * 1
+    + ["www.quietpost.com"] * 1
+)
+
+_BASE_TS = datetime.datetime(2014, 6, 1)
+
+_FILLER = (
+    "the report said that many of the people there were not able to see "
+    "what would come next and the group has said it will make more of an "
+    "effort to find out how all of this could have happened over the years"
+).split()
+
+
+def _slug_words(doc_text: str, rng: np.random.Generator) -> str:
+    words = [w for w in doc_text.split()[:8] if w.isalpha()][:6]
+    while len(words) < 6:
+        words.append(_FILLER[int(rng.integers(len(_FILLER)))])
+    return "-".join(words)
+
+
+def _page_url(i: int, doc_text: str, rng: np.random.Generator) -> tuple[str, str]:
+    host = HOSTS[i % len(HOSTS)]
+    slug = _slug_words(doc_text, rng)
+    kind = i % 10
+    if kind < 5:    # date-in-path article url (valid_url: DATE_REGEX branch)
+        month = (i % 12) + 1
+        day = (i % 27) + 1
+        path = f"/2014/{month:02d}/{day:02d}/{slug}.html"
+    elif kind < 8:  # GOOD_PATHS branch
+        good = ["story", "article", "news"][i % 3]
+        path = f"/{good}/section{i % 7}/{slug}.html"
+    else:           # slug-with->4-dashes branch
+        path = f"/posts/{slug}-{i}-part-two-of-many.html"
+    return f"http://{host}{path}", host
+
+
+def _reject_url(i: int) -> str:
+    """Shapes valid_url must reject (urls.py:106-241)."""
+    host = HOSTS[i % len(HOSTS)]
+    choices = [
+        f"http://{host}/about/",
+        f"http://{host}/contact/us.html",
+        f"http://{host}/images/pic{i}.jpg",
+        f"http://{host}/careers/",
+        f"http://{host}/tag/stuff",
+    ]
+    return choices[i % len(choices)]
+
+
+def _paragraphize(text: str, rng: np.random.Generator) -> list[str]:
+    """Split a document's word stream into 3-8 stopword-rich paragraphs."""
+    words = text.split()
+    if len(words) < 30:
+        words = (words + _FILLER * 3)[: max(60, len(words) * 3)]
+    paras, i = [], 0
+    n_paras = 3 + int(rng.integers(6))
+    per = max(18, len(words) // n_paras)
+    while i < len(words) and len(paras) < n_paras:
+        chunk = words[i:i + per]
+        i += per
+        # interleave filler (stopword-dense) so the goose scorer fires
+        merged = []
+        for j, w in enumerate(chunk):
+            merged.append(w)
+            if j % 3 == 2:
+                merged.append(_FILLER[(i + j) % len(_FILLER)])
+        paras.append(" ".join(merged).capitalize() + ".")
+    return paras or ["The quick brown fox jumped over all of the lazy dogs."]
+
+
+def build_page_html(i: int, doc_text: str, lang: str, url: str,
+                    outlinks: list[str], rng: np.random.Generator) -> bytes:
+    title_main = " ".join(doc_text.split()[:5]).title() or f"Story {i}"
+    site = url.split("/")[2].split(".")[-2].title()
+    paras = _paragraphize(doc_text, rng)
+    month = (i % 12) + 1
+    day = (i % 27) + 1
+    author = f"Alex Writer{i % 17}"
+    nav = "".join(f'<a href="{o}">read {j}</a> ' for j, o in enumerate(outlinks))
+    body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
+    inline_link = (f'<p>Also of note to all of those who were there is '
+                   f'<a href="{outlinks[0]}">this related story</a> which many '
+                   f'of the people had already seen before the day was '
+                   f'over.</p>' if outlinks else "")
+    meta_refresh = ""
+    if i % 97 == 3:  # a few meta-refresh pages (utils.py:111-131 path)
+        target = outlinks[0] if outlinks else url
+        meta_refresh = f'<meta http-equiv="refresh" content="0;URL=\'{target}\'">'
+    html = f"""<!DOCTYPE html>
+<html lang="{lang}"><head>
+<meta charset="utf-8">
+<title>{title_main} | {site} News</title>
+<meta property="og:title" content="{title_main}">
+<meta property="og:site_name" content="{site} News">
+<meta name="description" content="{' '.join(doc_text.split()[:12])}">
+<meta name="author" content="{author}">
+<meta property="article:published_time" content="2014-{month:02d}-{day:02d}T10:00:00Z">
+<meta name="keywords" content="news, {lang}, section{i % 7}">
+<link rel="canonical" href="{url}">
+<link rel="shortcut icon" href="http://{url.split('/')[2]}/favicon.ico">
+{meta_refresh}
+</head>
+<body class="page">
+<div class="navbar">{nav}</div>
+<div id="breadcrumbs"><a href="/">home</a> / <a href="/news">news</a></div>
+<h1>{title_main}</h1>
+<div class="byline">By {author}</div>
+<article>
+<div class="article-body" itemprop="articleBody">
+{body_paras}
+{inline_link}
+</div>
+</article>
+<div class="social-tools"><a href="http://twitter.com/share">tweet</a></div>
+<div class="footer"><p>About us and contact and careers and terms of use here.</p></div>
+<script>var x = 1; // tracking</script>
+</body></html>"""
+    return html.encode("utf-8")
+
+
+def synthesize_pages(n_docs_source, seed: int = 42) -> pa.Table:
+    """documents rows (list of (doc_id, text, lang)) → pages arrow table.
+
+    Deterministic in (inputs, seed). ~10% of urls are reject shapes whose
+    html is a thin stub — they exist so the frontier filter has something
+    to reject."""
+    rng = np.random.default_rng(seed)
+    rows = list(n_docs_source)
+    n = len(rows)
+
+    urls, hosts = [], []
+    for i, (_doc_id, text, _lang) in enumerate(rows):
+        u, h = _page_url(i, text or "", rng)
+        urls.append(u)
+        hosts.append(h)
+
+    # outlink graph: each page links to ~6 other pages (deterministic ring
+    # + skip edges) plus one reject-shaped url
+    all_out = []
+    for i in range(n):
+        outs = [urls[(i * 3 + k + 1) % n] for k in range(5)]
+        outs.append(_reject_url(i))
+        all_out.append(outs)
+
+    htmls, texts, ts = [], [], []
+    for i, (_doc_id, text, lang) in enumerate(rows):
+        lang = (lang or "en")[:2]
+        html = build_page_html(i, text or "", lang, urls[i], all_out[i], rng)
+        htmls.append(html)
+        golden = _normalize_text(fulltext(html, lang), lang, 100_000)
+        texts.append(golden)
+        ts.append(_BASE_TS + datetime.timedelta(
+            minutes=int(i) * 7 + int(rng.integers(5))))
+
+    langs = [(r[2] or "en")[:2] for r in rows]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages") -> str:
+    """Build (once) and cache the pages parquet for a testdata sf dir.
+
+    The cache key includes the documents file fingerprint so different SFs
+    get different tables. Written atomically (tmp + rename) so concurrent
+    builders are safe."""
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    stat = os.stat(doc_path)
+    key = hashlib.md5(
+        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:v2".encode()
+    ).hexdigest()[:16]
+    out_path = os.path.join(cache_dir, f"pages_{key}.parquet")
+    if os.path.exists(out_path):
+        return out_path
+    os.makedirs(cache_dir, exist_ok=True)
+    docs = pq.read_table(doc_path, columns=["doc_id", "text", "lang"])
+    rows = zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist(),
+               docs["lang"].to_pylist())
+    table = synthesize_pages(rows)
+    tmp = out_path + f".tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def seed_urls(pages_path: str, n_seeds: int = 8) -> list[str]:
+    """First page url per distinct host, file order (FIXTURES.md §2:
+    seed order = file order, the crawl-ordering invariant's anchor)."""
+    t = pq.read_table(pages_path, columns=["url"])
+    seen_hosts, seeds = set(), []
+    for u in t["url"].to_pylist():
+        h = u.split("/")[2]
+        if h not in seen_hosts:
+            seen_hosts.add(h)
+            seeds.append(u)
+        if len(seeds) >= n_seeds:
+            break
+    return seeds

