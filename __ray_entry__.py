@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship crawl+extract on sf0.001.
+``queries()`` — one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data additions).
+``oracle_sql()`` — DuckDB equivalents for the SQL-expressible subset
+(same column names; money rounded to 2dp, ratios to 4dp, counts BIGINT).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +15,382 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the Common-Crawl-style pages table from
+    sf0.001 documents, crawl 3 BFS rounds (frontier → politeness budget →
+    fetch → extract → outlinks → seen-set), return the articles table."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.config import EngineConfig
+    from stimson_web_scraper_ray.pipelines.crawl import crawl
+    from stimson_web_scraper_ray.sources.pages import pages_path_for, seed_urls
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages_path = pages_path_for(sf_dir)
+    seeds = seed_urls(pages_path)
+    cfg = EngineConfig(per_host_budget=40, round_budget=2000, seen_shards=4,
+                       extract_concurrency=4, fetch_concurrency=2)
+    res = crawl(pages_path, seeds, cfg, out_dir="/tmp/swsr_entry", max_rounds=3)
+    arts = rd.read_parquet(res.articles_path,
+                           columns=["url", "title", "text", "publish_date",
+                                    "meta_lang", "status"])
+    return arts
+
+
+# --- documents-table operators ---------------------------------------------
+
+
+def _q_doc_token_counts(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.textstats import add_token_counts
+    from stimson_web_scraper_ray.pipelines.analytics import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(add_token_counts, batch_format="pyarrow")
+    df = out.to_pandas()[["doc_id", "n_tokens"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_quality(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.textstats import add_quality_scores
+    from stimson_web_scraper_ray.pipelines.analytics import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(add_quality_scores, batch_format="pyarrow")
+    df = out.to_pandas()[["doc_id", "n_chars_q", "punct_ratio"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.dedup import exact_dedup_groups
+    from stimson_web_scraper_ray.pipelines.analytics import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = exact_dedup_groups(ds).to_pandas()
+    df["keep_doc_id"] = df["keep_doc_id"].astype("int64")
+    df["n_dups"] = df["n_dups"].astype("int64")
+    return df.sort_values("text_md5").reset_index(drop=True)
+
+
+def _q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+
+    out = read(sf_dir, "documents", ["lang"]).groupby("lang") \
+        .aggregate(Count(alias_name="n_docs"))
+    df = out.to_pandas().sort_values("lang").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+def _q_keywords_top10(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import corpus_top_keywords
+
+    ds = read(sf_dir, "documents", ["text"])
+    df = corpus_top_keywords(ds, k=10, stop_lang=None).to_pandas()
+    df["freq"] = df["freq"].astype("int64")
+    return df
+
+
+def _q_doc_langid(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import add_langid
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(add_langid, batch_format="pyarrow").to_pandas()
+    return df[["doc_id", "lang_pred"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import add_fingerprints
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(add_fingerprints, batch_format="pyarrow").to_pandas()
+    return df[["doc_id", "fingerprint"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_dedup(ds, threshold=0.5)
+    df = out.to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = simhash_near_dup_pairs(ds, max_hamming=6).to_pandas()
+    df = df.drop_duplicates(["a", "b"])
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import embedding_neardup_pairs
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # driver embeddings are near-orthogonal (max pairwise cos ≈ 0.51);
+    # 0.4 exercises the bucket+verify path with a non-trivial result set
+    df = embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import brute_force_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+        .filter(__import__("pyarrow").compute.equal(
+            pq.read_table(f"{sf_dir}/embeddings.parquet")["vec_id"], 0))
+    qvec = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = brute_force_topk(ds, qvec, k=10)
+    out = df[["query_id", "rank", "vec_id"]].copy()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.array(t.slice(0, 1)["embedding"].to_pylist(), dtype=np.float64)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = ivf_topk(ds, qvec, k=10, n_clusters=8, n_probe=3)
+    return df[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
+# --- relational / events operators -----------------------------------------
+
+
+def _mk(name):
+    from stimson_web_scraper_ray.pipelines import analytics
+
+    return getattr(analytics, name)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        decode_pipeline,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=128))
+    df = decode_pipeline(ds, fake=True).to_pandas()
+    return df[["media_id", "mime", "width", "height"]] \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def _q_crawl_flagship(sf_dir: str):
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.config import EngineConfig
+    from stimson_web_scraper_ray.pipelines.crawl import crawl
+    from stimson_web_scraper_ray.sources.pages import pages_path_for, seed_urls
+
+    pages_path = pages_path_for(sf_dir)
+    seeds = seed_urls(pages_path)
+    cfg = EngineConfig(per_host_budget=50, round_budget=2000, seen_shards=4,
+                       extract_concurrency=4, fetch_concurrency=2)
+    out_dir = f"/tmp/swsr_q_crawl_{abs(hash(sf_dir)) % 10**8}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = crawl(pages_path, seeds, cfg, out_dir=out_dir, max_rounds=2)
+    df = rd.read_parquet(res.articles_path,
+                         columns=["url", "title", "publish_date",
+                                  "meta_lang", "status"]).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def _q_url_algebra(sf_dir: str):
+    """URL ops (M1-M9) over the synthesized pages' outlink universe:
+    prepare/valid/hash/host per url. Rows-only (urllib algebra is not
+    reasonably SQL-expressible)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.sources.pages import pages_path_for
+    from stimson_web_scraper_ray.stages.url_stage import normalize_candidates
+
+    pages_path = pages_path_for(sf_dir)
+    ds = rd.read_parquet(pages_path, columns=["url"])
+    out = ds.map_batches(normalize_candidates, batch_format="pyarrow")
+    df = out.to_pandas()
+    df["url_hash"] = df["url_hash"].astype("uint64")
+    return df.sort_values("url").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # documents / text analysis
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "dedup_exact": _q_dedup_exact,
+        "lang_counts": _q_lang_counts,
+        "keywords_top10": _q_keywords_top10,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprints": _q_doc_fingerprints,
+        # dedup family
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        # relational / events
+        "pricing_summary": lambda sf: _mk("pricing_summary")(sf),
+        "top_revenue_orders": lambda sf: _mk("top_revenue_orders")(sf),
+        "customer_nation_rollup": lambda sf: _mk("customer_nation_rollup")(sf),
+        "events_tumbling_1h": lambda sf: _mk("events_tumbling_window")(sf),
+        "sessionize_events": lambda sf: _mk("sessionize_events")(sf)[
+            ["user_id", "session_start", "n_events"]],
+        "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
+        "event_props_sum_k": lambda sf: _mk("parse_event_props")(sf),
+        # crawl / url / multimodal (rows-only)
+        "crawl_flagship": _q_crawl_flagship,
+        "url_algebra": _q_url_algebra,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_q,
+                   round(CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE)
+                         / length(text), 4) AS punct_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY text_md5
+        """,
+        "lang_counts": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "keywords_top10": """
+            WITH words AS (
+                SELECT unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS word
+                FROM documents)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM words
+            WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+            GROUP BY word ORDER BY freq DESC, word DESC LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(AVG(l_discount), 2) AS avg_disc,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT l_orderkey,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   ANY_VALUE(o_orderdate) AS o_orderdate,
+                   ANY_VALUE(o_orderpriority) AS o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "customer_nation_rollup": """
+            SELECT r_name, n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   round(SUM(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "events_tumbling_1h": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                       AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH lagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM lagged)
+            SELECT user_id, MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "event_distinct_users": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "event_props_sum_k": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ann_topk": """
+            SELECT CAST(0 AS BIGINT) AS query_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+                           DESC, e.vec_id) - 1 AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY rank LIMIT 10
+        """,
+    }

@@ -1,0 +1,218 @@
+"""Generic relational operator pipelines over the driver's TPC-H-ish
+tables — the engine-level aggregation / join / sort / distinct / window
+building blocks (SURVEY.md §2.4-2.7) exercised with DuckDB-checkable
+semantics.
+
+Conventions for oracle parity: every computed column is explicitly named
+(identical names in oracle_sql), money aggregates are rounded to 2
+decimals, counts are int64, result sets are small (aggregates / top-k) so
+``to_pandas`` materialization is safe.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped groupby aggregate over lineitem (A-class ops):
+    vectorized derived column + multi-agg groupby + sort."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_shipdate"])
+    import datetime
+
+    cutoff = pa.scalar(datetime.datetime(1998, 9, 1), type=pa.timestamp("us"))
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Sum("disc_price", alias_name="sum_disc_price"),
+                   Mean("l_discount", alias_name="avg_disc"),
+                   Count(alias_name="count_order"))
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    for c in ("sum_qty", "sum_disc_price", "avg_disc"):
+        df[c] = df[c].round(2)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df
+
+
+def top_revenue_orders(sf_dir: str, k: int = 10):
+    """Partial-aggregate join pattern: revenue per order from lineitem
+    (pre-aggregated inside map_batches), broadcast-joined to orders, global
+    top-k by revenue. The broadcast side (orders key→priority) is small."""
+    from ray.data.aggregate import Sum
+
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}).to_pandas()
+        agg = df.groupby("l_orderkey", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    per_order = line.map_batches(partial_rev, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+
+    import ray
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
+    oref = ray.put(orders.set_index("o_orderkey"))
+
+    def join_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(oref)
+        j = batch.join(od, on="l_orderkey", how="inner")
+        return j
+
+    joined = per_order.map_batches(join_orders, batch_format="pandas")
+    df = joined.to_pandas().sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True],
+        kind="mergesort").head(k).reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(2)
+    return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+def customer_nation_rollup(sf_dir: str):
+    """Two-level broadcast join (customer→nation→region) + groupby — the
+    J2 broadcast-small-side pattern: dimension tables shipped once via
+    ray.put, fact streamed through map_batches."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = read(sf_dir, "nation").to_pandas()
+    region = read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "n_name",
+                                                "r_name"]]
+    dref = ray.put(dim.set_index("n_nationkey"))
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dref)
+        return batch.join(d, on="c_nationkey", how="inner")
+
+    out = cust.map_batches(attach, batch_format="pandas") \
+        .groupby(["r_name", "n_name"]) \
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("c_acctbal", alias_name="total_acctbal"))
+    df = out.to_pandas().sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    df["total_acctbal"] = df["total_acctbal"].round(2)
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df
+
+
+def events_tumbling_window(sf_dir: str, window_minutes: int = 60):
+    """Streaming-shaped tumbling-window aggregate over the events log:
+    event-time bucketing inside map_batches (vectorized), then
+    groupby(window, event_type) — the engine's window model (ray_guide
+    'Streaming-shaped workloads'; ordering assumption: event_time column,
+    no late data at rest)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+    w_us = window_minutes * 60 * 1_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, w_us), w_us).cast(pa.timestamp("us"))
+        return t.append_column("window_start", win)
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+    df = out.to_pandas().sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: groupby(user).map_groups with sorted
+    event-time gap splitting — the stateful window the Dataset API can
+    express via map_groups (per-key state, ts order within group)."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        new_session = (g["ts"].diff() > gap).cumsum()
+        agg = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"))
+        return agg.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    df = out.to_pandas().sort_values(["user_id", "session_start"]) \
+        .reset_index(drop=True)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
+
+
+def event_type_distinct_users(sf_dir: str):
+    """Distinct aggregation: unique users per event type (D-class) via
+    per-batch set partials then merged groupby (no full shuffle of rows)."""
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dedup = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]).map_groups(
+            lambda g: g.head(1), batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    out = dedup.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["n_users"] = df["n_users"].astype("int64")
+    return df
+
+
+def parse_event_props(sf_dir: str):
+    """JSON scalar function over the props column (§2.8 JSON ops):
+    extract props.k per row, aggregate sum per event_type."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "props"])
+
+    def extract_k(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p).get("k", 0) if p else 0
+             for p in t["props"].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return pa.table({"event_type": t["event_type"],
+                         "k": pa.array(ks, pa.int64())})
+
+    out = ds.map_batches(extract_k, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("k", alias_name="sum_k"))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return df

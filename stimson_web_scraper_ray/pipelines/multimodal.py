@@ -1,0 +1,121 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with sidecar metadata
+(mime, width/height, duration). Decode / feature-extract / resize /
+frame-sample are actor-pool ``map_batches`` stages; the *decoders* are
+stubbed (image/audio libs are not in this container — each stub raises
+``NotImplementedError`` unless ``fake=True`` supplies the deterministic
+test codec), but the Ray-side plumbing — schema, small batch sizes for
+wide binary rows, actor signature, output layout — is real and tested.
+
+At 100 TB: binary rows are MBs, so ``batch_size`` stays small (32 here vs
+4096 for text), blocks stay within ``target_max_block_size``, and outputs
+write per-shard parquet directories.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("mime", pa.string()),
+    ("payload", pa.binary()),
+    ("meta", pa.string()),         # JSON sidecar
+])
+
+
+def _fake_decode_image(payload: bytes) -> np.ndarray:
+    """Deterministic fake codec: payload hash → (h, w, 3) uint8 array.
+    Stands in for a real decoder; same input → same pixels."""
+    h = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    hh = 8 + h[0] % 8
+    ww = 8 + h[1] % 8
+    rng = np.random.default_rng(struct.unpack("<Q", h[8:16])[0])
+    return rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+
+
+class ImageDecodeFeatures:
+    """Actor-pool stage: binary payload → decoded dims + channel-mean
+    features. Decoder selection happens once per actor in __init__."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401 — not present in this env
+                self._real = True
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "no image codec available in this environment; "
+                    "construct with fake=True for the deterministic test codec"
+                ) from exc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = np.zeros(len(payloads), dtype=np.int32)
+        heights = np.zeros(len(payloads), dtype=np.int32)
+        means = []
+        for i, p in enumerate(payloads):
+            img = _fake_decode_image(p)
+            heights[i], widths[i] = img.shape[0], img.shape[1]
+            means.append(np.round(img.reshape(-1, 3).mean(axis=0), 2).tolist())
+        out = batch.select(["media_id", "mime"])
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("channel_mean",
+                                pa.array(means, pa.list_(pa.float64())))
+        return out
+
+
+class FrameSampler:
+    """Video → every-Nth-frame sample (stubbed decode; real batch/output
+    plumbing: one row per sampled frame, list→rows explode)."""
+
+    def __init__(self, every_n: int = 10, fake: bool = False):
+        self.every_n = every_n
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "no video codec in this environment; use fake=True")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            n_frames = 1 + (len(p or b"") % 50)
+            for f in range(0, n_frames, self.every_n):
+                ids.append(mid)
+                idxs.append(f)
+                frames.append(_fake_decode_image(
+                    (p or b"") + f.to_bytes(4, "little")).tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
+    """Deterministic media table for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 4096)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "mime": pa.array(["image/fake"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(["{}"] * n, pa.string()),
+    })
+
+
+def decode_pipeline(ds, fake: bool = True):
+    """The assembled stage with scale-appropriate sizing (small batches for
+    wide binary rows, autoscaling actor pool)."""
+    return ds.map_batches(
+        ImageDecodeFeatures, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 4), fn_constructor_kwargs={"fake": fake})

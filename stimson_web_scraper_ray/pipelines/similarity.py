@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (``ray.put`` once, read per actor) → per-batch partial
+  top-k → tiny global merge. No shuffle of the corpus at all.
+- IVF-style variant: k-means-lite coarse centroids (sampled, fit once on
+  the driver over a small sample), probe the nearest ``n_probe`` lists —
+  the 100-TB path where scanning everything per query is off the table.
+
+Outputs avoid raw floats where the DuckDB oracle compares values: ranks and
+ids are ints; similarity is rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScorer:
+    """Actor-pool batch op: query matrix fetched from the object store once
+    per actor (broadcast pattern), batch scores computed with one matmul."""
+
+    def __init__(self, query_ref, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 10):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) \
+            else query_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        vecs = _normalize(_as_matrix(batch[self.vec_col]))
+        sims = vecs @ self.q.T                       # (n, n_query)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            col = sims[:, qi]
+            top = np.argsort(-col, kind="stable")[: self.k]
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_sim.extend(col[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "cos_sim": pa.array(np.round(out_sim, 6), pa.float64()),
+        })
+
+
+def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> pd.DataFrame:
+    """Partial top-k per batch → global merge on the driver (k × n_queries
+    rows — tiny). Deterministic ties: higher sim first, then lower id."""
+    import ray
+
+    qref = ray.put(np.asarray(query_vectors, dtype=np.float64))
+    partials = ds.map_batches(
+        BruteForceScorer, batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"query_ref": qref, "id_col": id_col,
+                               "vec_col": vec_col, "k": k})
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "cos_sim", id_col],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out
+
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
+                seed: int = 5) -> np.ndarray:
+    """Tiny deterministic k-means for IVF coarse quantization."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    centroids = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", sample_rows: int = 2048
+             ) -> pd.DataFrame:
+    """IVF-bucketed ANN: assign every vector to its nearest coarse centroid
+    (map_batches), keep only vectors whose centroid is among the queries'
+    ``n_probe`` nearest lists, brute-force the survivors. The scan is cut to
+    ~n_probe/n_clusters of the corpus — the at-scale path."""
+    import ray
+
+    sample_df = ds.limit(sample_rows).to_pandas()
+    sample = np.array(sample_df[vec_col].tolist(), dtype=np.float64)
+    centroids = kmeans_lite(sample, n_clusters)
+    cref = ray.put(centroids)
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vectors, dtype=np.float64)))
+    probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    wanted = set(np.unique(probe_lists).tolist())
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        mask = np.isin(assign, list(wanted))
+        return batch.filter(pa.array(mask))
+
+    survivors = ds.map_batches(probe_filter, batch_format="pyarrow")
+    return brute_force_topk(survivors, query_vectors, k=k,
+                            id_col=id_col, vec_col=vec_col)

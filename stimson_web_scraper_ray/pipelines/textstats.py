@@ -1,0 +1,169 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang, ...).
+
+Large-scale training-data pipeline stages (driver mandate) expressed as
+vectorized ``map_batches`` transforms:
+
+- token counting (whitespace + BPE-ish wordpiece regex)
+- quality scoring (length / punctuation / stopword / repetition ratios)
+- language ID (char n-gram heuristic over bundled profiles)
+- document fingerprinting (64-bit rolling/content hashes)
+
+The corpus-level keyword top-k reuses the reference's keyword algebra
+(xx_keywords, article.py:427-459: count per word, sort (freq, word) desc,
+drop numerics, take k) lifted from per-document to corpus scope:
+flat_map(words) → pre-aggregated partial counts per batch → small groupby.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.stopwords import get_stopwords
+
+_WORD_RE = re.compile(r"[^\w ]")
+# BPE-ish wordpiece splitter: runs of letters, runs of digits, or single
+# punctuation — a cheap stand-in for a trained tokenizer's pre-tokenizer
+_BPEISH_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+# character-trigram profiles per language (tiny, deterministic; built from
+# the function words bundled in stopwords.py — enough to separate the
+# driver corpus's language mix)
+_LANG_MARKERS = {
+    "en": ["the", " th", "he ", "ing", "and", " of", "ion", "tio", " to", "ed "],
+    "es": ["de ", " de", "la ", " la", "os ", "ión", "ció", " qu", "que", "ent"],
+    "de": ["der", "die", "und", " un", "sch", "ein", "ich", "cht", "en ", "ung"],
+    "fr": ["le ", " le", "les", "de ", " de", "ent", "que", " qu", "ion", "ais"],
+    "zh": ["的", "了", "是", "在", "和"],
+    "ar": ["ال", " ال", "في", " في", "من"],
+}
+
+
+def split_words(text: str) -> list[str]:
+    """Reference tokenizer (utils.py:316-323): strip non-word chars, lower,
+    split, strip dots."""
+    if not isinstance(text, str):
+        return []
+    text = _WORD_RE.sub("", text)
+    return [x.strip(".").lower() for x in text.split()]
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens (whitespace tokens) and n_wordpieces (BPE-ish) columns."""
+    texts = batch[text_col].to_pylist()
+    n_tok = np.fromiter((len(t.split()) if t else 0 for t in texts),
+                        dtype=np.int64, count=len(texts))
+    n_wp = np.fromiter(
+        (len(_BPEISH_RE.findall(t)) if t else 0 for t in texts),
+        dtype=np.int64, count=len(texts))
+    batch = batch.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+    return batch.append_column("n_wordpieces", pa.array(n_wp, pa.int64()))
+
+
+def add_quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-filter signals, all rounded to 4 decimals for stable
+    comparison: n_chars_q, punct_ratio, stopword_ratio, mean_word_len,
+    dup_line_ratio."""
+    texts = batch[text_col].to_pylist()
+    stop_en = get_stopwords("en")
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    punct_ratio = np.zeros(n)
+    stop_ratio = np.zeros(n)
+    mean_wlen = np.zeros(n)
+    dup_lines = np.zeros(n)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n_chars[i] = len(t)
+        punct_ratio[i] = len(_PUNCT_RE.findall(t)) / len(t)
+        words = t.lower().split()
+        if words:
+            stop_ratio[i] = sum(w in stop_en for w in words) / len(words)
+            mean_wlen[i] = sum(map(len, words)) / len(words)
+        lines = [ln for ln in t.splitlines() if ln.strip()]
+        if lines:
+            dup_lines[i] = 1.0 - len(set(lines)) / len(lines)
+    batch = batch.append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+    for name, arr in (("punct_ratio", punct_ratio),
+                      ("stopword_ratio", stop_ratio),
+                      ("mean_word_len", mean_wlen),
+                      ("dup_line_ratio", dup_lines)):
+        batch = batch.append_column(name, pa.array(np.round(arr, 4),
+                                                   pa.float64()))
+    return batch
+
+
+def add_langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """lang_pred column: argmax of n-gram marker hit rate (heuristic
+    language ID — not SQL-expressible, rows-only oracle)."""
+    texts = batch[text_col].to_pylist()
+    preds = []
+    for t in texts:
+        if not t:
+            preds.append("und")
+            continue
+        sample = t[:2000].lower()
+        best_lang, best_score = "und", 0.0
+        for lang, markers in _LANG_MARKERS.items():
+            score = sum(sample.count(m) for m in markers) / (len(sample) + 1)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        preds.append(best_lang if best_score > 0.001 else "und")
+    return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_64(data: bytes) -> int:
+    """FNV-1a 64-bit — the rolling content fingerprint (public algorithm)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def add_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """fingerprint (uint64 FNV-1a of normalized text) — exact-dup key."""
+    texts = batch[text_col].to_pylist()
+    fps = np.fromiter(
+        (fnv1a_64(" ".join((t or "").split()).encode()) for t in texts),
+        dtype=np.uint64, count=len(texts))
+    return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+def partial_word_counts(batch: pa.Table, text_col: str = "text",
+                        stop_lang: str | None = "en") -> pa.Table:
+    """Per-batch partial aggregation for the corpus keyword top-k: one
+    (word, freq) row per word per batch — the combiner that keeps the
+    global groupby small (ray_guide 'Aggregation at scale')."""
+    stop = get_stopwords(stop_lang) if stop_lang else frozenset()
+    counts: dict[str, int] = {}
+    for t in batch[text_col].to_pylist():
+        for w in split_words(t or ""):
+            if w and w not in stop and not w.isnumeric():
+                counts[w] = counts.get(w, 0) + 1
+    return pa.table({
+        "word": pa.array(list(counts.keys()), pa.string()),
+        "freq": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def corpus_top_keywords(ds, k: int = 10, stop_lang: str | None = "en"):
+    """flat_map(words) → partial counts → groupby(word).sum → top-k sorted
+    (freq desc, word desc) — corpus form of A1/O2 (article.py:446-450)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: partial_word_counts(b, stop_lang=stop_lang),
+        batch_format="pyarrow")
+    agg = partials.groupby("word").aggregate(Sum("freq", alias_name="freq"))
+    return agg.sort(["freq", "word"], descending=[True, True]).limit(k)
