@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "crawl_extract_sec", "value": <headline sec>,
+     "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages": N, "pages_per_sec": N}
+
+``--scaling``: run the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and print both throughputs plus the
+scaling efficiency (sandbox stand-in for N vs 4N nodes; see BASELINE.md).
+
+Headline = bulk crawl+extract: read the Common-Crawl-style pages parquet →
+fused extract ``map_batches`` (actor pool) → write article parquet. That is
+the stage that dominates at 100 TB; the multi-round frontier crawl is timed
+separately as ``crawl_rounds``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# ~16 pages per doc at sf0.1 → ~80k pages, ~200 MB html (enough work that
+# fixed pipeline overheads don't mask the scaling signal)
+BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "16"))
+
+
+def _headline_bulk_extract(pages_path: str, num_cpus: int) -> dict:
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.config import EngineConfig
+    from stimson_web_scraper_ray.stages.extract_stage import ExtractArticles
+
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/swsr_bench/articles"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig()
+    n_pages = pq.read_metadata(pages_path).num_rows
+    # ~85% of the node for the extract pool, the rest for read/write tasks
+    pool = max(2, int(num_cpus * 0.85))
+    # warm the OS page cache so we measure compute+pipeline, not cold disk
+    pq.read_table(pages_path, columns=["url"])
+    t0 = time.time()
+    ds = rd.read_parquet(pages_path, columns=["url", "html", "lang"],
+                         override_num_blocks=max(64, pool * 2))
+    ds.map_batches(
+        ExtractArticles, batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool,                # fixed pool: no autoscale ramp
+        fn_constructor_kwargs={"config": cfg, "with_outlinks": True},
+    ).write_parquet(out_dir)
+    dt = time.time() - t0
+    return {"sec": dt, "pages": n_pages, "pages_per_sec": n_pages / dt}
+
+
+def _crawl_rounds(pages_path: str, num_cpus: int) -> float:
+    from stimson_web_scraper_ray.config import EngineConfig
+    from stimson_web_scraper_ray.pipelines.crawl import crawl
+    from stimson_web_scraper_ray.sources.pages import seed_urls
+
+    out_dir = "/tmp/swsr_bench/crawl"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = EngineConfig(per_host_budget=400, round_budget=20000,
+                       seen_shards=8,
+                       extract_concurrency=max(2, num_cpus - 4),
+                       fetch_concurrency=max(2, num_cpus // 4))
+    seeds = seed_urls(pages_path)
+    t0 = time.time()
+    crawl(pages_path, seeds, cfg, out_dir=out_dir, max_rounds=3)
+    return time.time() - t0
+
+
+def _timed_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    names = ["doc_token_counts", "dedup_exact", "keywords_top10",
+             "pricing_summary", "top_revenue_orders", "events_tumbling_1h",
+             "sessionize_events", "ann_topk", "minhash_pairs",
+             "simhash_pairs"]
+    qs = entry_mod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count") and not hasattr(res, "__len__"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from stimson_web_scraper_ray.sources.pages import pages_path_for
+
+    pages_path = pages_path_for(SF_DIR, copies=BENCH_COPIES)
+
+    head = _headline_bulk_extract(pages_path, NUM_CPUS)
+    crawl_sec = _crawl_rounds(pages_path, NUM_CPUS)
+    queries = _timed_queries(SF_DIR)
+    queries["crawl_rounds"] = round(crawl_sec, 3)
+
+    result = {
+        "metric": "crawl_extract_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": int(head["pages"]),
+        "pages_per_sec": round(head["pages_per_sec"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo, tput_hi = lo["pages_per_sec"], hi["pages_per_sec"]
+    eff = tput_hi / (4 * tput_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "pages_per_sec_8": tput_lo, "pages_per_sec_32": tput_hi,
+        "pages": hi["pages"], "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -74,12 +74,13 @@ class DocumentCleaner:
         self.remove_drop_caps(doc)
         self.remove_scripts_styles(doc)
         self.clean_bad_tags(doc)
-        self.remove_nodes_matching(doc, self.caption_re)
-        self.remove_nodes_matching(doc, self.google_re)
-        self.remove_nodes_matching(doc, self.entries_re)
-        self.remove_nodes_matching(doc, self.facebook_re)
-        self.remove_nodes_matching(doc, self.facebook_broadcasting_re)
-        self.remove_nodes_matching(doc, self.twitter_re)
+        # one walk for the six id/class kill patterns; removal only detaches
+        # nodes, so per-pattern sequential scans see the same match sets
+        # (document_cleaner.py:72-78 semantics, minus 11 tree walks)
+        self.remove_nodes_matching_many(doc, (
+            self.caption_re, self.google_re, self.entries_re,
+            self.facebook_re, self.facebook_broadcasting_re,
+            self.twitter_re))
         self.clean_para_spans(doc)
         self.div_to_para(doc, "div")
         self.div_to_para(doc, "span")
@@ -148,6 +149,23 @@ class DocumentCleaner:
                 val = node.attrib.get(attr)
                 if val is not None and pattern.search(val) and node.parent is not None:
                     dom.remove(node)
+
+    def remove_nodes_matching_many(self, doc, patterns):
+        hits = []
+        for node in doc.iter():
+            node_id = node.attrib.get("id")
+            node_cls = node.attrib.get("class")
+            if node_id is None and node_cls is None:
+                continue
+            for pi, pattern in enumerate(patterns):
+                for ai, val in enumerate((node_id, node_cls)):
+                    if val is not None and pattern.search(val):
+                        hits.append((pi, ai, node))
+        # replay in (pattern, attr) order like the sequential calls
+        hits.sort(key=lambda h: (h[0], h[1]))
+        for _pi, _ai, node in hits:
+            if node.parent is not None:
+                dom.remove(node)
 
     def clean_para_spans(self, doc):
         # document_cleaner.py:158-162 ('p span' descendant selector)

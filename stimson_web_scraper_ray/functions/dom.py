@@ -155,46 +155,51 @@ class Node:
     def set(self, key, value):
         self.attrib[key] = value
 
-    # -- traversal --
+    # -- traversal (iterative: recursion is the hot path of the kernel) --
     def iter(self, tag=None):
         """Descendant-or-self, document order (lxml .iter)."""
-        if tag is None or self.tag == tag:
-            yield self
-        for c in self._children:
-            yield from c.iter(tag)
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if tag is None or node.tag == tag:
+                yield node
+            stack.extend(reversed(node._children))
 
     def iterdescendants(self, tag=None):
-        for c in self._children:
-            yield from c.iter(tag)
+        stack = list(reversed(self._children))
+        while stack:
+            node = stack.pop()
+            if tag is None or node.tag == tag:
+                yield node
+            stack.extend(reversed(node._children))
 
     def itertext(self):
-        """Text content in document order, skipping comments (lxml skips
-        comment text in .itertext on html elements with default parser)."""
+        """Text content in document order; comment bodies are skipped but a
+        comment's tail still flows (lxml html semantics)."""
         if self.tag == COMMENT:
-            if self.tail:
-                yield self.tail
             return
         if self.text:
             yield self.text
-        for c in self._children:
-            yield from c.itertext()
-            if c.tail:
-                yield c.tail
+        stack = [(c, False) for c in reversed(self._children)]
+        while stack:
+            node, tail_only = stack.pop()
+            if tail_only:                    # subtree done → emit tail
+                yield node.tail
+                continue
+            if node.tag == COMMENT:
+                if node.tail:
+                    yield node.tail
+                continue
+            frames = []
+            if node.tail:
+                frames.append((node, True))  # deepest: emitted after subtree
+            frames.extend((c, False) for c in reversed(node._children))
+            stack.extend(frames)
+            if node.text:
+                yield node.text
 
     def text_content(self) -> str:
-        return "".join(
-            t for t in self._itertext_no_tail_of_self()
-        )
-
-    def _itertext_no_tail_of_self(self):
-        if self.tag == COMMENT:
-            return
-        if self.text:
-            yield self.text
-        for c in self._children:
-            yield from c._itertext_no_tail_of_self()
-            if c.tail:
-                yield c.tail
+        return "".join(self.itertext())
 
     def __deepcopy__(self, memo):
         n = Node(self.tag, dict(self.attrib), self.text, self.tail)

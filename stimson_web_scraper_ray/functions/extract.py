@@ -61,8 +61,24 @@ def _normalize_text(text: str, meta_lang: str | None, max_len: int) -> str:
     return text[:max_len]
 
 
+def harvest_outlinks_from_doc(doc, page_url: str) -> list[str]:
+    """<a href> harvest off an already-parsed DOM (M21): absolutize via
+    prepare_url(href, page_url), order-preserving dedup."""
+    out, seen = [], set()
+    for a in dom.get_elements_by_tag(doc, tag="a"):
+        href = a.attrib.get("href")
+        if not href:
+            continue
+        prepared = prepare_url(href, page_url)
+        if prepared and prepared not in seen:
+            seen.add(prepared)
+            out.append(prepared)
+    return out
+
+
 def extract_article(html, url: str = "", language: str = "en",
-                    config: EngineConfig | None = None) -> dict:
+                    config: EngineConfig | None = None,
+                    collect_outlinks: bool = False) -> dict:
     """Full ``Article.parse()`` equivalent (article.py:227-302). Returns a
     flat dict of article fields (schema SURVEY.md §1.2); nested meta_data is
     JSON-encoded. Never raises on malformed input — error text goes to the
@@ -84,6 +100,10 @@ def extract_article(html, url: str = "", language: str = "en",
             html_text.encode("utf-8", "replace")).hexdigest()  # utils.py:39-45 (time suffix dropped: non-deterministic)
         doc = dom.fromstring(html_text)
         clean_doc = copy.deepcopy(doc)  # article.py:232
+        if collect_outlinks:
+            # harvest from the metadata copy so the body cleaner can't eat
+            # links first (one shared parse instead of a second fromstring)
+            out["outlinks"] = harvest_outlinks_from_doc(clean_doc, url)
 
         # metadata pass over the *uncleaned* copy (article.py:245-280)
         title = metadata.get_title(clean_doc)

@@ -159,11 +159,29 @@ def get_authors(doc: Node) -> list[str]:
             "dc.creator", "byl"]
     TAGS = ("meta", "div", "iframe", "a", "span", "section")
 
+    # single tree walk instead of 54 full scans: bucket matching nodes per
+    # (attr, val), then replay in the reference's attr-major order so the
+    # resulting match order is identical (content_extractor.py:156-162)
+    buckets: dict[tuple[int, int], list[Node]] = {}
+    nodes_in_order = [n for n in doc.iter() if n.tag != dom.COMMENT]
+    for node in nodes_in_order:
+        for ai, attr in enumerate(ATTRS):
+            av = node.attrib.get(attr)
+            if av is None:
+                continue
+            avl = av.lower()
+            for vi, val in enumerate(VALS):
+                if val in avl:
+                    buckets.setdefault((ai, vi), []).append(node)
     matches: list[Node] = []
-    for attr in ATTRS:
-        for val in VALS:
-            for element in dom.get_elements_by_tag(doc, attr=attr, value=val):
-                if element not in matches:
+    seen_ids = set()
+    for ai in range(len(ATTRS)):
+        for vi in range(len(VALS)):
+            for element in buckets.get((ai, vi), ()):
+                # NB the root may legitimately match (parser.py:131-134 only
+                # drops the root when a tag selector was given)
+                if id(element) not in seen_ids:
+                    seen_ids.add(id(element))
                     matches.append(element)
 
     authors: list[str] = []
@@ -214,10 +232,22 @@ def get_publishing_date(url: str, doc: Node):
         dt = parse_date_str(date_match.group(0))
         if dt:
             return dt
-    for attr, value, content_attr in PUBLISH_DATE_TAGS:
-        tags = dom.get_elements_by_tag(doc, attr=attr, value=value)
-        if tags:
-            dt = parse_date_str(tags[0].attrib.get(content_attr))
+    # one tree walk, first-match per (attr, value) — replayed in priority
+    # order below (semantics of the 12 sequential scans, minus 11 walks)
+    first_hits: dict[int, Node] = {}
+    for node in doc.iter():
+        if node.tag == dom.COMMENT:
+            continue
+        for ti, (attr, value, _c) in enumerate(PUBLISH_DATE_TAGS):
+            if ti in first_hits:
+                continue
+            av = node.attrib.get(attr)
+            if av is not None and value.lower() in av.lower():
+                first_hits[ti] = node
+    for ti, (attr, value, content_attr) in enumerate(PUBLISH_DATE_TAGS):
+        node = first_hits.get(ti)
+        if node is not None:
+            dt = parse_date_str(node.attrib.get(content_attr))
             if dt:
                 return dt
     return None

@@ -193,12 +193,15 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         heavy = {h: int(c) for h, c in counts.items()
                  if c > cfg.heavy_host_threshold}
 
-        budget_ds = rd.from_pandas(budget)
-        budget_ds = budget_ds.map_batches(
-            lambda b: salt_hosts(b, heavy, cfg.salt_buckets),
-            batch_format="pyarrow")
+        # partition plan: salted host key, then (part_key, url) sort so each
+        # fetch block covers a contiguous url range of one (sub-)host —
+        # politeness locality AND row-group pruning in the fetch probe
+        salted = salt_hosts(pa.Table.from_pandas(budget, preserve_index=False),
+                            heavy, cfg.salt_buckets).to_pandas()
+        salted = salted.sort_values(["part_key", "url_canon"],
+                                    kind="mergesort").reset_index(drop=True)
         n_parts = max(cfg.fetch_concurrency, len(counts) // 4 or 1)
-        budget_ds = budget_ds.repartition(n_parts)
+        budget_ds = rd.from_pandas(salted).repartition(n_parts)
 
         # autoscaling pools (1, N): a fixed-size pool would demand all N
         # actors up front and deadlock on small nodes when stages overlap

@@ -153,14 +153,20 @@ def build_page_html(i: int, doc_text: str, lang: str, url: str,
     return html.encode("utf-8")
 
 
-def synthesize_pages(n_docs_source, seed: int = 42) -> pa.Table:
+def synthesize_pages(n_docs_source, seed: int = 42,
+                     copies: int = 1) -> pa.Table:
     """documents rows (list of (doc_id, text, lang)) → pages arrow table.
 
-    Deterministic in (inputs, seed). ~10% of urls are reject shapes whose
-    html is a thin stub — they exist so the frontier filter has something
-    to reject."""
+    Deterministic in (inputs, seed). ``copies`` > 1 replicates each doc into
+    that many distinct pages (distinct urls + a variation word in the text)
+    to scale the table for throughput benchmarks without external data."""
     rng = np.random.default_rng(seed)
     rows = list(n_docs_source)
+    if copies > 1:
+        rows = [(doc_id * copies + c,
+                 f"{text} variation copy {c} edition" if text else text,
+                 lang)
+                for (doc_id, text, lang) in rows for c in range(copies)]
     n = len(rows)
 
     urls, hosts = [], []
@@ -197,27 +203,101 @@ def synthesize_pages(n_docs_source, seed: int = 42) -> pa.Table:
     })
 
 
-def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages") -> str:
+def _synthesize_pages_parallel(rows: list, seed: int = 42) -> pa.Table:
+    """Ray-parallel page synthesis for large tables: plan urls/outlinks on
+    the driver (cheap string work), fan the expensive part (html render +
+    golden fulltext) out over map_batches. Requires an active Ray session."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    n = len(rows)
+    urls = []
+    for i, (_doc_id, text, _lang) in enumerate(rows):
+        u, _h = _page_url(i, text or "", rng)
+        urls.append(u)
+    all_out = [[urls[(i * 3 + k + 1) % n] for k in range(5)] + [_reject_url(i)]
+               for i in range(n)]
+
+    plan = pa.table({
+        "i": pa.array(range(n), pa.int64()),
+        "doc_text": pa.array([r[1] or "" for r in rows], pa.string()),
+        "lang": pa.array([(r[2] or "en")[:2] for r in rows], pa.string()),
+        "url": pa.array(urls, pa.string()),
+        "outlinks": pa.array(all_out, pa.list_(pa.string())),
+    })
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_urls, out_ts, out_html, out_text, out_lang = [], [], [], [], []
+        for i, text, lang, url, outs in zip(
+                batch["i"].to_pylist(), batch["doc_text"].to_pylist(),
+                batch["lang"].to_pylist(), batch["url"].to_pylist(),
+                batch["outlinks"].to_pylist()):
+            # per-row rng keyed by index → deterministic under any sharding
+            row_rng = np.random.default_rng(seed * 1_000_003 + i)
+            html = build_page_html(i, text, lang, url, outs, row_rng)
+            golden = _normalize_text(fulltext(html, lang), lang, 100_000)
+            out_urls.append(url)
+            out_ts.append(_BASE_TS + datetime.timedelta(
+                minutes=i * 7 + int(row_rng.integers(5))))
+            out_html.append(html)
+            out_text.append(golden)
+            out_lang.append(lang)
+        return pa.table({
+            "url": pa.array(out_urls, pa.string()),
+            "warc_ts": pa.array(out_ts, pa.timestamp("us")),
+            "html": pa.array(out_html, pa.binary()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+        })
+
+    ds = rd.from_arrow(plan).repartition(64)
+    tables = [ray_get for ray_get in
+              ds.map_batches(render, batch_format="pyarrow").to_arrow_refs()]
+    import ray
+
+    return pa.concat_tables([ray.get(t) for t in tables])
+
+
+def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
+                   copies: int = 1) -> str:
     """Build (once) and cache the pages parquet for a testdata sf dir.
 
     The cache key includes the documents file fingerprint so different SFs
     get different tables. Written atomically (tmp + rename) so concurrent
-    builders are safe."""
+    builders are safe. Uses the Ray-parallel builder when a session is up
+    and the table is large; note the parallel and serial builders differ in
+    rng stream (different cache keys via the b-tag) — all consumers use one
+    builder per file so determinism holds per path."""
+    import ray
+
     doc_path = os.path.join(sf_dir, "documents.parquet")
     stat = os.stat(doc_path)
+    n_docs_meta = pq.read_metadata(doc_path).num_rows
+    use_parallel = ray.is_initialized() and n_docs_meta * copies > 4000
+    btag = "p" if use_parallel else "s"
     key = hashlib.md5(
-        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:v2".encode()
-    ).hexdigest()[:16]
+        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v3"
+        .encode()).hexdigest()[:16]
     out_path = os.path.join(cache_dir, f"pages_{key}.parquet")
     if os.path.exists(out_path):
         return out_path
     os.makedirs(cache_dir, exist_ok=True)
     docs = pq.read_table(doc_path, columns=["doc_id", "text", "lang"])
-    rows = zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist(),
-               docs["lang"].to_pylist())
-    table = synthesize_pages(rows)
+    rows = list(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist(),
+                    docs["lang"].to_pylist()))
+    if copies > 1:
+        rows = [(doc_id * copies + c,
+                 f"{text} variation copy {c} edition" if text else text,
+                 lang)
+                for (doc_id, text, lang) in rows for c in range(copies)]
+    if use_parallel:
+        table = _synthesize_pages_parallel(rows)
+    else:
+        table = synthesize_pages(rows)
+    # sort by url so fetch probes prune row groups via min/max statistics
+    table = table.sort_by("url")
     tmp = out_path + f".tmp{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=4096)
     os.replace(tmp, out_path)
     return out_path
 

@@ -83,11 +83,12 @@ class ExtractArticles:
         outlinks: list[list[str]] = []
         for url, html, lang in zip(urls, htmls, langs):
             art = extract_article(html, url=url, language=lang or "en",
-                                  config=self.cfg)
+                                  config=self.cfg,
+                                  collect_outlinks=self.with_outlinks)
             for name, _ in ARTICLE_FIELDS:
                 cols[name].append(art.get(name, ""))
             if self.with_outlinks:
-                outlinks.append(harvest_outlinks(html, url))
+                outlinks.append(art.get("outlinks", []))
 
         arrays = {name: pa.array(cols[name], type=typ)
                   for name, typ in ARTICLE_FIELDS}

@@ -85,11 +85,16 @@ class Fetcher:
             else:
                 denied.add(u)
 
-        # "network": row-group-pruned parquet probe for exactly these urls
+        # "network": row-group-pruned parquet probe for exactly these urls.
+        # The pages file is url-sorted, so the min/max range predicate lets
+        # the scanner skip every row group outside this batch's url span —
+        # the sandbox analogue of an indexed fetch.
         if wanted:
+            lo, hi = min(wanted), max(wanted)
             got = self.dataset.to_table(
                 columns=["url", "warc_ts", "html", "lang"],
-                filter=pc.field("url").isin(wanted),
+                filter=(pc.field("url") >= lo) & (pc.field("url") <= hi)
+                       & pc.field("url").isin(wanted),
             )
         else:
             got = pa.table({"url": pa.array([], pa.string()),
