@@ -33,6 +33,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # ~16 pages per doc at sf0.1 → ~80k pages, ~200 MB html (enough work that
 # fixed pipeline overheads don't mask the scaling signal)
 BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "16"))
+# the scaling criterion uses a larger table so per-process fixed costs
+# (actor startup, read/write tails) amortize at both parallelism levels
+SCALING_COPIES = int(os.environ.get("GRAFT_SCALING_COPIES", "48"))
 
 
 def _headline_bulk_extract(pages_path: str, num_cpus: int) -> dict:
@@ -46,14 +49,17 @@ def _headline_bulk_extract(pages_path: str, num_cpus: int) -> dict:
     out_dir = "/tmp/swsr_bench/articles"
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig()
-    n_pages = pq.read_metadata(pages_path).num_rows
+    import pyarrow.dataset as pads
+
+    pages_ds = pads.dataset(pages_path, format="parquet")
+    n_pages = pages_ds.count_rows()
     # ~85% of the node for the extract pool, the rest for read/write tasks
     pool = max(2, int(num_cpus * 0.85))
     # warm the OS page cache so we measure compute+pipeline, not cold disk
-    pq.read_table(pages_path, columns=["url"])
+    pages_ds.to_table(columns=["url"])
     t0 = time.time()
     ds = rd.read_parquet(pages_path, columns=["url", "html", "lang"],
-                         override_num_blocks=max(64, pool * 2))
+                         override_num_blocks=max(64, pool * 4))
     ds.map_batches(
         ExtractArticles, batch_format="pyarrow",
         batch_size=128,
@@ -100,7 +106,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_bench() -> dict:
+def run_bench(headline_only: bool = False) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -116,9 +122,11 @@ def run_bench() -> dict:
     pages_path = pages_path_for(SF_DIR, copies=BENCH_COPIES)
 
     head = _headline_bulk_extract(pages_path, NUM_CPUS)
-    crawl_sec = _crawl_rounds(pages_path, NUM_CPUS)
-    queries = _timed_queries(SF_DIR)
-    queries["crawl_rounds"] = round(crawl_sec, 3)
+    queries = {}
+    if not headline_only:
+        crawl_sec = _crawl_rounds(pages_path, NUM_CPUS)
+        queries = _timed_queries(SF_DIR)
+        queries["crawl_rounds"] = round(crawl_sec, 3)
 
     result = {
         "metric": "crawl_extract_sec",
@@ -135,9 +143,23 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Two fresh processes, identical input (pre-built before timing),
+    headline pipeline only; efficiency = tput_32 / (4 × tput_8)."""
+    # build the pages cache OUTSIDE both timed subprocesses
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from stimson_web_scraper_ray.sources.pages import pages_path_for
+
+    pages_path_for(SF_DIR, copies=SCALING_COPIES)
+    ray.shutdown()
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_COPIES=str(SCALING_COPIES))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--headline-only"],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -159,4 +181,4 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(headline_only="--headline-only" in sys.argv)))

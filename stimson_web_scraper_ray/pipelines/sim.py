@@ -28,7 +28,10 @@ def simulate_crawl(pages_path: str, seeds: list[str],
     """Returns the expected_crawl table (FIXTURES.md §4): one row per
     fetched url with (url, url_hash, round, rank_in_round, host)."""
     cfg = cfg or EngineConfig()
-    pages = pq.read_table(pages_path, columns=["url", "html"])
+    import pyarrow.dataset as pads
+
+    pages = pads.dataset(pages_path, format="parquet").to_table(
+        columns=["url", "html"])
     web = {u: h for u, h in zip(pages["url"].to_pylist(),
                                 pages["html"].to_pylist())}
 

@@ -276,7 +276,7 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
     use_parallel = ray.is_initialized() and n_docs_meta * copies > 4000
     btag = "p" if use_parallel else "s"
     key = hashlib.md5(
-        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v3"
+        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v4"
         .encode()).hexdigest()[:16]
     out_path = os.path.join(cache_dir, f"pages_{key}.parquet")
     if os.path.exists(out_path):
@@ -294,10 +294,19 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
         table = _synthesize_pages_parallel(rows)
     else:
         table = synthesize_pages(rows)
-    # sort by url so fetch probes prune row groups via min/max statistics
+    # global url sort → contiguous per-file url ranges: fetch probes prune
+    # whole files + row groups via min/max stats, and readers parallelize
+    # across files (a single file reads as ONE serial task in Ray Data)
     table = table.sort_by("url")
+    n_files = max(1, min(64, table.num_rows // 4096))
     tmp = out_path + f".tmp{os.getpid()}"
-    pq.write_table(table, tmp, row_group_size=4096)
+    os.makedirs(tmp, exist_ok=True)
+    per = -(-table.num_rows // n_files)
+    for fi in range(n_files):
+        chunk = table.slice(fi * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(tmp, f"part-{fi:04d}.parquet"),
+                           row_group_size=2048)
     os.replace(tmp, out_path)
     return out_path
 
@@ -305,7 +314,9 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
 def seed_urls(pages_path: str, n_seeds: int = 8) -> list[str]:
     """First page url per distinct host, file order (FIXTURES.md §2:
     seed order = file order, the crawl-ordering invariant's anchor)."""
-    t = pq.read_table(pages_path, columns=["url"])
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(pages_path, format="parquet").to_table(columns=["url"])
     seen_hosts, seeds = set(), []
     for u in t["url"].to_pylist():
         h = u.split("/")[2]

@@ -77,7 +77,7 @@ def test_extracted_text_is_byte_identical_to_golden(engine_result, pages_path):
     res, _ = engine_result
     arts = pads.dataset(res.articles_path).to_table(
         columns=["url", "text", "status"])
-    golden = pq.read_table(pages_path, columns=["url", "text"])
+    golden = pads.dataset(pages_path).to_table(columns=["url", "text"])
     gold = dict(zip(golden["url"].to_pylist(), golden["text"].to_pylist()))
     assert arts.num_rows > 50
     mismatches = []
