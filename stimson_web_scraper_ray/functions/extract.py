@@ -23,6 +23,7 @@ from ..config import EngineConfig
 from . import dom, metadata
 from .cleaner import DocumentCleaner
 from .formatter import OutputFormatter
+from .pdf import extract_pdf, is_pdf
 from .scoring import BestNodeScorer
 from .urlnorm import extract_domain, prepare_url
 
@@ -92,9 +93,22 @@ def extract_article(html, url: str = "", language: str = "en",
         "meta_lang": "", "meta_description": "", "meta_keywords": [],
         "meta_site_name": "", "meta_favicon": "", "meta_data": "{}",
         "tags": [], "top_image": "", "images": [], "movies": [],
+        "meta_refresh_url": "", "tables": "[]",
         "workflow": ["INIT", "DOWNLOADED"], "status": "ok",
     }
     try:
+        if isinstance(html, (bytes, bytearray)) and is_pdf(bytes(html)):
+            # PDF branch (network.py:77-88; article.py:204-210): text +
+            # author + creation date, straight to PARSED, no HTML parse
+            pdf = extract_pdf(bytes(html))
+            out.update({k: pdf[k] for k in
+                        ("text", "publish_date", "status", "workflow")})
+            out["authors"] = pdf["authors"] or (
+                [extract_domain(url)[0]] if url else [])
+            if not out["publish_date"]:
+                out["publish_date"] = cfg.run_date
+            out["link_hash"] = hashlib.md5(bytes(html)).hexdigest()
+            return out
         html_text = dom.decode_html(html)
         out["link_hash"] = hashlib.md5(
             html_text.encode("utf-8", "replace")).hexdigest()  # utils.py:39-45 (time suffix dropped: non-deterministic)
@@ -122,6 +136,17 @@ def extract_article(html, url: str = "", language: str = "en",
             final_authors.append(extract_domain(url)[0])
         out["authors"] = final_authors
 
+        # meta-refresh target (utils.py:111-131; followed ≤1 hop by the
+        # crawl round loop instead of download-time recursion)
+        for el in dom.get_elements_by_tag(clean_doc, tag="meta"):
+            if (el.attrib.get("http-equiv") or "").lower() == "refresh":
+                content = el.attrib.get("content", "")
+                if ";" in content:
+                    _wait, url_part = content.split(";", 1)
+                    if url_part.lower().startswith("url="):
+                        out["meta_refresh_url"] = url_part[4:] \
+                            .replace('"', "").replace("'", "")
+                break
         out["meta_favicon"] = metadata.get_favicon(clean_doc)
         out["meta_site_name"] = metadata.get_meta_site_name(clean_doc)
         out["meta_description"] = metadata.get_meta_description(clean_doc)
@@ -156,6 +181,12 @@ def extract_article(html, url: str = "", language: str = "en",
         else:
             out["top_image"] = metadata.get_meta_img_url(url, clean_doc)
 
+        if ".wikipedia.org/wiki/" in url.lower():
+            # wikitable pass, wikipedia-only like the reference
+            # (article.py:299-301) but on the already-fetched html instead
+            # of a re-download
+            out["tables"] = json.dumps(parse_tables(html_text, url),
+                                       ensure_ascii=False)
         out["images"] = sorted(metadata.get_img_urls(url, clean_doc))
         # set_title runs BEFORE set_meta_language in Article.parse
         # (article.py:245-253), so no en double-space collapse applies here

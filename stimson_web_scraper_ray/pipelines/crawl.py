@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import EngineConfig
-from ..functions.urlnorm import canon_hash64, get_domain
+from ..functions.urlnorm import canon_hash64, get_domain, prepare_url
 from ..stages.extract_stage import ExtractArticles
 from ..stages.fetch import Fetcher
 from ..stages.url_stage import normalize_candidates, salt_hosts
@@ -153,9 +153,15 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     import ray
     import ray.data as rd
 
+    import shutil
+
     cfg = cfg or EngineConfig()
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     articles_dir = os.path.join(out_dir, "articles")
+    if not resume:
+        # fresh run: never mix with a previous run's outputs
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        shutil.rmtree(articles_dir, ignore_errors=True)
     os.makedirs(articles_dir, exist_ok=True)
 
     shards = make_shard_actors(cfg.seen_shards)
@@ -223,7 +229,9 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         articles.write_parquet(round_dir)
 
         # outlink harvest from the written round output (columnar, no html)
-        arts = rd.read_parquet(round_dir, columns=["url", "outlinks", "status"])
+        arts = rd.read_parquet(round_dir,
+                               columns=["url", "outlinks", "status",
+                                        "canonical_link", "meta_refresh_url"])
         cand = arts.select_columns(["outlinks"]) \
             .map_batches(_explode_outlinks, batch_format="pyarrow")
         cand = cand.map_batches(normalize_candidates, batch_format="pyarrow")
@@ -233,8 +241,22 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         cand_df = cand.groupby("url_hash").map_groups(
             lambda g: g.head(1), batch_format="pandas").to_pandas()
 
+        # redirect-shaped candidates: canonical-link rebuild (article.py:
+        # 421-424, one extra round instead of recursion) and meta-refresh
+        # follow (utils.py:111-131, ≤1 hop). Bypass valid_url — redirects
+        # are not subject to the article-url predicate — but not the seen
+        # set. Planning table, bounded by the round budget.
+        redirect_rows = arts.select_columns(
+            ["url", "canonical_link", "meta_refresh_url"]).to_pandas()
+        redirects = []
+        for _, r in redirect_rows.iterrows():
+            for target in (r["canonical_link"], r["meta_refresh_url"]):
+                if target and target != r["url"]:
+                    prepared = prepare_url(target, r["url"])
+                    if prepared:
+                        redirects.append(prepared)
+        n_fetched = len(redirect_rows)
         fetched_hashes = budget["url_hash"].to_numpy()
-        n_fetched = int(arts.count())
         total_fetched += n_fetched
 
         # per-round metrics: lineage rows (round, host, planned/fetched)
@@ -245,27 +267,40 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
             "planned": fetched_hosts.values,
         })
 
-        # next frontier: deferred ∪ new candidates, minus seen, dedup by hash
+        # next frontier: deferred ∪ redirects ∪ new candidates, minus seen,
+        # dedup by hash (priority: redirects 1.5 > depth-based candidates)
+        depth = rnd + 1
+        parts = [deferred]
+        if redirects:
+            rseen = sorted(set(redirects))
+            parts.append(pd.DataFrame({
+                "url_canon": rseen,
+                "url_hash": pd.array([canon_hash64(u) for u in rseen],
+                                     dtype="uint64"),
+                "host": [get_domain(u) or "" for u in rseen],
+                "depth": np.int32(depth),
+                "priority": np.float32(1.5),
+            }))
         if not cand_df.empty:
-            depth = rnd + 1
-            nxt = pd.DataFrame({
+            parts.append(pd.DataFrame({
                 "url_canon": cand_df["url_canon"],
                 "url_hash": cand_df["url_hash"].astype("uint64"),
                 "host": cand_df["host"],
                 "depth": np.int32(depth),
                 "priority": np.float32(1.0 / (1.0 + depth)),
-            })
-            nxt = nxt[~nxt["url_hash"].isin(set(fetched_hashes.tolist()))]
-            unseen = _seen_check(shards, nxt["url_hash"].to_numpy(), insert=False)
-            nxt = nxt[unseen]
-            frontier = pd.concat([deferred, nxt], ignore_index=True)
+            }))
+        frontier = pd.concat(parts, ignore_index=True)
+        if not frontier.empty:
+            frontier = frontier[
+                ~frontier["url_hash"].isin(set(fetched_hashes.tolist()))]
+            unseen = _seen_check(shards, frontier["url_hash"].to_numpy(),
+                                 insert=False)
+            frontier = frontier[unseen]
             frontier = frontier.sort_values(
                 ["priority", "depth", "url_hash"],
                 ascending=[False, True, True], kind="mergesort")
             frontier = frontier.drop_duplicates("url_hash").reset_index(drop=True)
             frontier = frontier[frontier["depth"] <= cfg.max_depth]
-        else:
-            frontier = deferred
 
         _checkpoint_round(ckpt_dir, rnd, frontier, shards, metrics)
 

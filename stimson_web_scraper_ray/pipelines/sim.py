@@ -17,7 +17,8 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..config import EngineConfig
-from ..functions.urlnorm import canon_hash64, get_domain, valid_url
+from ..functions import dom, metadata
+from ..functions.urlnorm import canon_hash64, get_domain, prepare_url, valid_url
 from ..stages.extract_stage import harvest_outlinks
 from .crawl import _frontier_from_seeds, _plan_round
 
@@ -48,6 +49,7 @@ def simulate_crawl(pages_path: str, seeds: list[str],
         seen.update(budget["url_hash"].tolist())
 
         candidates: list[str] = []
+        redirects: list[str] = []
         rank = 0
         for _, row in budget.iterrows():
             url = row["url_canon"]
@@ -63,6 +65,16 @@ def simulate_crawl(pages_path: str, seeds: list[str],
                          "host": row["host"]})
             rank += 1
             candidates.extend(harvest_outlinks(html, url))
+            # canonical rebuild + meta-refresh follow (engine parity)
+            doc = dom.fromstring(html)
+            canonical = metadata.get_canonical_link(url, doc)
+            refresh = metadata.extract_meta_refresh(
+                dom.decode_html(html)) or ""
+            for target in (canonical, refresh):
+                if target and target != url:
+                    prepared = prepare_url(target, url)
+                    if prepared:
+                        redirects.append(prepared)
 
         # normalize + validate + in-round dedup + anti-join vs seen
         depth = rnd + 1
@@ -85,7 +97,21 @@ def simulate_crawl(pages_path: str, seeds: list[str],
         if not nxt.empty:
             nxt = nxt.astype({"url_hash": "uint64", "depth": "int32",
                               "priority": "float32"})
-        frontier = pd.concat([deferred, nxt], ignore_index=True)
+        parts = [deferred]
+        if redirects:
+            rseen = sorted(set(redirects))
+            rdf = pd.DataFrame({
+                "url_canon": rseen,
+                "url_hash": pd.array([canon_hash64(u) for u in rseen],
+                                     dtype="uint64"),
+                "host": [get_domain(u) or "" for u in rseen],
+                "depth": np.int32(depth),
+                "priority": np.float32(1.5),
+            })
+            rdf = rdf[~rdf["url_hash"].isin(seen)]
+            parts.append(rdf)
+        parts.append(nxt)
+        frontier = pd.concat(parts, ignore_index=True)
         if not frontier.empty:
             frontier = frontier.sort_values(
                 ["priority", "depth", "url_hash"],

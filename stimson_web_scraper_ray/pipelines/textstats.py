@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.stopwords import get_stopwords
+from ..functions.textutil import split_words  # noqa: F401 (re-export)
 
 _WORD_RE = re.compile(r"[^\w ]")
 # BPE-ish wordpiece splitter: runs of letters, runs of digits, or single
@@ -42,15 +43,6 @@ _LANG_MARKERS = {
     "zh": ["的", "了", "是", "在", "和"],
     "ar": ["ال", " ال", "في", " في", "من"],
 }
-
-
-def split_words(text: str) -> list[str]:
-    """Reference tokenizer (utils.py:316-323): strip non-word chars, lower,
-    split, strip dots."""
-    if not isinstance(text, str):
-        return []
-    text = _WORD_RE.sub("", text)
-    return [x.strip(".").lower() for x in text.split()]
 
 
 def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:

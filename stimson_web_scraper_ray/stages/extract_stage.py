@@ -34,6 +34,7 @@ ARTICLE_FIELDS = [
     ("meta_favicon", pa.string()), ("meta_data", pa.string()),
     ("tags", _LIST_STR), ("top_image", pa.string()),
     ("images", _LIST_STR), ("movies", _LIST_STR),
+    ("meta_refresh_url", pa.string()), ("tables", pa.string()),
     ("workflow", _LIST_STR), ("status", pa.string()),
 ]
 

@@ -1,0 +1,142 @@
+"""NLP tier, patterns, PDF branch, sinks, CLI — the coverage-completing
+operators of SURVEY.md §2."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from stimson_web_scraper_ray.functions import nlp, pdf, textutil
+from stimson_web_scraper_ray.functions.extract import extract_article
+
+TEXT = ("The engine crawls pages politely and extracts articles from the "
+        "web. Extraction uses a scoring model over paragraph nodes. "
+        "The scoring model counts stopwords in every candidate paragraph. "
+        "Paragraph nodes with many stopwords win the scoring. "
+        "A frontier schedules the crawling of every new page. "
+        "The frontier is partitioned by host for politeness.")
+
+
+def test_xx_keywords_algebra():
+    kws = nlp.xx_keywords("apple apple apple banana banana cherry 42 42 42")
+    # sorted by (freq, word) desc, numerics dropped (article.py:427-459)
+    assert kws[0] == "apple"
+    assert "42" not in kws
+    assert "banana" in kws and "cherry" in kws
+
+
+def test_textrank_keywords_nonempty_and_relevant():
+    kws = nlp.textrank_keywords(TEXT, "en", 10)
+    assert kws
+    assert any(k.lower() in ("scoring", "paragraph", "frontier", "stopwords",
+                             "model", "nodes") for k in kws)
+    # deterministic
+    assert kws == nlp.textrank_keywords(TEXT, "en", 10)
+
+
+def test_document_keywords_fallback():
+    # degenerate text → textrank empty → frequency fallback fires
+    assert nlp.document_keywords("word word word", "en") == ["word"]
+
+
+def test_summarize_first_five_sentences():
+    s = nlp.summarize(TEXT, 5)
+    assert s.startswith("The engine crawls")
+    assert "partitioned by host" not in s  # 6th sentence dropped
+    assert len(nlp.split_sentences(TEXT)) == 6
+
+
+def test_patterns():
+    assert textutil.get_email("reach me at foo.bar@example.com; thanks") == \
+        "foo.bar@example.com"
+    assert textutil.get_email("no email here") is None
+    assert textutil.get_mobile_number("call 415-555-2671 now") is not None
+    assert textutil.get_voltage("12 volts") is None
+    assert textutil.domain_to_filename("cnn.com/") == "cnn.com.txt"
+    assert textutil.is_media_news("http://x.co/video/abc")
+    assert not textutil.is_media_news("http://x.co/story/abc")
+
+
+def test_pdf_branch():
+    payload = pdf.make_minimal_pdf(
+        ["Hello world from a PDF.", "Second line."],
+        author="Jane Author", creation="20140210")
+    assert pdf.is_pdf(payload)
+    art = extract_article(payload, url="http://x.co/report/file.pdf")
+    assert art["status"] == "ok"
+    assert "Hello world from a PDF." in art["text"]
+    assert art["authors"] == ["Jane Author"]
+    assert art["publish_date"] == "2014-02-10"
+    assert art["workflow"] == ["INIT", "DOWNLOADED", "PARSED"]
+
+
+def test_pdf_unsupported_is_error_row_not_exception():
+    art = extract_article(b"%PDF-1.4\ncompressed gibberish only")
+    assert art["status"] == "pdf_unsupported"
+    assert art["text"] == ""
+
+
+def test_wikitable_column():
+    html = ('<html><body><table class="wikitable"><caption>T</caption>'
+            "<tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr>"
+            "</table><p>Some of the words that we have all seen before "
+            "and liked a lot.</p></body></html>")
+    art = extract_article(html, url="http://en.wikipedia.org/wiki/Thing")
+    tables = json.loads(art["tables"])
+    assert tables[0]["name"] == "T"
+    assert tables[0]["rows"][1] == ["1", "2"]
+
+
+def test_nlp_stage_batch(ray_session):
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.stages.nlp_stage import NlpArticles
+
+    ds = rd.from_items([{"text": TEXT, "meta_lang": "en"}] * 4)
+    out = ds.map_batches(NlpArticles, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert len(out) == 4
+    assert all(len(k) > 0 for k in out["keywords"])
+    assert out["summary"].str.startswith("The engine").all()
+
+
+def test_tables_tsv_sink(ray_session, tmp_path):
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.sources.sinks import write_tables_tsv
+
+    tables_json = json.dumps([{"name": "T", "rows": [["a", "b"], ["1", "2"]]}])
+    ds = rd.from_items([{"url": "http://x.co/1", "tables": tables_json}])
+    out_dir = str(tmp_path / "tsv")
+    write_tables_tsv(ds, out_dir)
+    import glob
+
+    files = glob.glob(out_dir + "/*")
+    assert files
+    content = open(files[0]).read()
+    assert "a\tb" in content
+
+
+def test_cli_html_file(tmp_path):
+    html_path = tmp_path / "page.html"
+    html_path.write_text(
+        "<html lang='en'><head><title>T Story Here</title></head><body>"
+        "<div><p>One of the many things that we all know about the world "
+        "is that it keeps on turning around all of us every day.</p>"
+        "<p>Another of the many things that we all know about the world "
+        "is that the sun comes up in the morning for all of us.</p>"
+        "<p>A third of the many things that we all know is that the rain "
+        "falls down on everyone there at some point in the day.</p>"
+        "</div></body></html>")
+    proc = subprocess.run(
+        [sys.executable, "-m", "stimson_web_scraper_ray",
+         "-u", "http://x.co/2014/02/10/t-story", "--html-file",
+         str(html_path), "--json"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    art = json.loads(proc.stdout)
+    assert art["title"] == "T Story Here"
+    assert art["text"].startswith("One of the many things")
+    assert art["keywords"]
