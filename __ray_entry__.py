@@ -196,6 +196,36 @@ def _mk(name):
     return getattr(analytics, name)
 
 
+def _q_doc_emails(sf_dir: str):
+    """M31 regex extractors over documents (get_email)."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.functions.textutil import get_email
+    from stimson_web_scraper_ray.pipelines.analytics import read
+
+    def extract(batch: pa.Table) -> pa.Table:
+        emails = [get_email(t) or "" for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "email": pa.array(emails, pa.string())})
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_keywords_nlp(sf_dir: str):
+    """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.stages.nlp_stage import NlpArticles
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(NlpArticles, batch_format="pyarrow",
+                         concurrency=(1, 4), batch_size=256)
+    df = out.to_pandas()[["doc_id", "keywords", "summary"]]
+    df["keywords"] = df["keywords"].map(list)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_multimodal_decode(sf_dir: str):
     import ray.data as rd
 
@@ -275,6 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "session_start", "n_events"]],
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
         "event_props_sum_k": lambda sf: _mk("parse_event_props")(sf),
+        # scalar extractors / nlp tier
+        "doc_emails": _q_doc_emails,
+        "doc_keywords_nlp": _q_doc_keywords_nlp,
         # crawl / url / multimodal (rows-only)
         "crawl_flagship": _q_crawl_flagship,
         "url_algebra": _q_url_algebra,
@@ -382,6 +415,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_emails": """
+            SELECT doc_id,
+                   coalesce(regexp_extract(text,
+                       '([^@|[:space:]]+@[^@]+\\.[^@|[:space:]]+)', 1), '')
+                       AS email
+            FROM documents ORDER BY doc_id
         """,
         "ann_topk": """
             SELECT CAST(0 AS BIGINT) AS query_id,

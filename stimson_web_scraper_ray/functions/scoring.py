@@ -55,6 +55,18 @@ class BestNodeScorer:
                     nodes.append(node)
         return nodes
 
+    def _node_stop_count(self, node: Node, cache: dict) -> int:
+        """Stopword count of a node, memoized per scoring pass (the
+        reference recomputes it 2-3× per node with identical input —
+        content_extractor.py:622, 651-652 — so caching is score-neutral)."""
+        key = id(node)
+        hit = cache.get(key)
+        if hit is None:
+            hit = self.stopwords.get_stopword_count(
+                dom.get_text(node)).get_stopword_count()
+            cache[key] = hit
+        return hit
+
     def calculate_best_node(self, doc: Node, html) -> Node | None:
         # content_extractor.py:610-672
         nodes_to_check = self.nodes_to_check(doc)
@@ -64,12 +76,11 @@ class BestNodeScorer:
         cnt = 0
         parent_nodes: list[Node] = []
         nodes_with_text: list[Node] = []
+        stop_cache: dict[int, int] = {}
 
         for node in nodes_to_check:
-            text_node = dom.get_text(node)
-            if text_node:
-                word_stats = self.stopwords.get_stopword_count(text_node)
-                if word_stats.get_stopword_count() > 2 and \
+            if dom.get_text(node):
+                if self._node_stop_count(node, stop_cache) > 2 and \
                         not self.is_highlink_density(node):
                     nodes_with_text.append(node)
 
@@ -92,9 +103,7 @@ class BestNodeScorer:
                 if abs(boost_score) + negative_scoring > 40:
                     boost_score = 5.0
 
-            text_node = dom.get_text(node)
-            word_stats = self.stopwords.get_stopword_count(text_node)
-            upscore = int(word_stats.get_stopword_count() + boost_score)
+            upscore = int(self._node_stop_count(node, stop_cache) + boost_score)
 
             parent_node = node.getparent()
             if parent_node is not None:
