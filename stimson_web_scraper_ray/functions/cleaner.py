@@ -219,7 +219,10 @@ class DocumentCleaner:
                 replacement_text = []
                 nodes_to_return.append(kid)
             elif kid.tag == "text":
-                self._walk_left_right(kid, kid.text or "",
+                # reference passes parser.get_text(kid) — innerTrim'd, so
+                # whitespace-only text kids never trigger the link walk
+                # (document_cleaner.py:210-212; parser.py:215-217)
+                self._walk_left_right(kid, dom.get_text(kid),
                                       replacement_text, nodes_to_remove)
             else:
                 nodes_to_return.append(kid)

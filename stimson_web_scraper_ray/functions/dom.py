@@ -214,8 +214,12 @@ class Node:
 
 
 class _TreeBuilder(HTMLParser):
+    # convert_charrefs=False: HTML5 remaps numeric refs in 0x80-0x9F via
+    # cp1252 (&#146; → U+2019) but libxml2/lxml decodes them literally
+    # (&#146; → U+0092); byte-parity with the reference requires the
+    # literal behaviour, so charrefs are resolved by hand below.
     def __init__(self):
-        super().__init__(convert_charrefs=True)
+        super().__init__(convert_charrefs=False)
         self.root = Node("html")
         self.stack = [self.root]
         self._saw_html = False
@@ -288,6 +292,26 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self._add_text(data)
+
+    def handle_charref(self, name):
+        try:
+            code = int(name[1:], 16) if name[0] in "xX" else int(name)
+        except ValueError:
+            self._add_text("&#" + name + ";")
+            return
+        if 0 < code < 0x110000 and not 0xD800 <= code <= 0xDFFF:
+            self._add_text(chr(code))
+        else:
+            self._add_text("�")
+
+    def handle_entityref(self, name):
+        import html.entities as _ent
+
+        char = _ent.html5.get(name + ";")
+        if char is not None:
+            self._add_text(char)
+        else:
+            self._add_text("&" + name + ";")
 
     def handle_comment(self, data):
         cur = self.stack[-1]

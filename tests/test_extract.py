@@ -136,7 +136,7 @@ def test_br_literal_newline_semantics():
 def test_reference_fixture_corpus_budget():
     """Golden-file sweep with an explicit budget (reference allows 38
     failures of 145, exhaustive_test.py:98-99; the engine currently passes
-    ≥95 byte-exact with the stdlib parser — ratchet this up, never down."""
+    100/145 byte-exact with the stdlib parser — ratchet this up, never down."""
     pairs = []
     for tf in sorted(glob.glob(TEXT_DIR + "/*.txt")):
         hf = os.path.join(HTML_DIR, os.path.basename(tf)[:-4] + ".html")
@@ -155,4 +155,4 @@ def test_reference_fixture_corpus_budget():
             got = ""
         if got.strip() == golden.strip():
             exact += 1
-    assert exact >= 95, f"fixture regression: only {exact}/145 byte-exact"
+    assert exact >= 98, f"fixture regression: only {exact}/145 byte-exact"
