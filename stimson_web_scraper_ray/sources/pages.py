@@ -45,6 +45,30 @@ _FILLER = (
     "effort to find out how all of this could have happened over the years"
 ).split()
 
+# per-language stopword-dense filler so the goose scorer (which counts
+# language-specific stopwords) fires on non-English pages too
+_FILLER_BY_LANG = {
+    "en": _FILLER,
+    "es": ("el informe dice que muchas de las personas no han podido ver lo "
+           "que viene y el grupo ha dicho que va a hacer más de un esfuerzo "
+           "para saber cómo todo esto pudo pasar durante los años").split(),
+    "de": ("der bericht sagt dass viele von den menschen dort nicht sehen "
+           "konnten was als nächstes kommt und die gruppe hat gesagt dass "
+           "sie mehr tun wird um zu erfahren wie das alles über die jahre "
+           "passieren konnte").split(),
+    "fr": ("le rapport dit que beaucoup de ces personnes ne pouvaient pas "
+           "voir ce qui allait venir et le groupe a dit que il va faire "
+           "plus de efforts pour savoir comment tout cela a pu se passer "
+           "pendant les années").split(),
+    "zh": list("的了是在我有他这中大来上个到说们为你地出道也时年得就那要下"),
+    "ar": ("في من على إلى عن أن كان هذا هذه التي الذي ما لا لم هو هي نحن "
+           "ثم لكن إذا كل بعد قبل مع قد").split(),
+}
+
+
+def _filler_for(lang: str):
+    return _FILLER_BY_LANG.get((lang or "en")[:2], _FILLER)
+
 
 def _slug_words(doc_text: str, rng: np.random.Generator) -> str:
     words = [w for w in doc_text.split()[:8] if w.isalpha()][:6]
@@ -82,11 +106,15 @@ def _reject_url(i: int) -> str:
     return choices[i % len(choices)]
 
 
-def _paragraphize(text: str, rng: np.random.Generator) -> list[str]:
-    """Split a document's word stream into 3-8 stopword-rich paragraphs."""
+def _paragraphize(text: str, rng: np.random.Generator,
+                  lang: str = "en") -> list[str]:
+    """Split a document's word stream into 3-8 stopword-rich paragraphs,
+    interleaving filler in the page's own language so the per-language
+    stopword scorer fires (non-en pages extract real text, not '')."""
+    filler = _filler_for(lang)
     words = text.split()
     if len(words) < 30:
-        words = (words + _FILLER * 3)[: max(60, len(words) * 3)]
+        words = (words + filler * 3)[: max(60, len(words) * 3)]
     paras, i = [], 0
     n_paras = 3 + int(rng.integers(6))
     per = max(18, len(words) // n_paras)
@@ -98,7 +126,7 @@ def _paragraphize(text: str, rng: np.random.Generator) -> list[str]:
         for j, w in enumerate(chunk):
             merged.append(w)
             if j % 3 == 2:
-                merged.append(_FILLER[(i + j) % len(_FILLER)])
+                merged.append(filler[(i + j) % len(filler)])
         paras.append(" ".join(merged).capitalize() + ".")
     return paras or ["The quick brown fox jumped over all of the lazy dogs."]
 
@@ -107,7 +135,7 @@ def build_page_html(i: int, doc_text: str, lang: str, url: str,
                     outlinks: list[str], rng: np.random.Generator) -> bytes:
     title_main = " ".join(doc_text.split()[:5]).title() or f"Story {i}"
     site = url.split("/")[2].split(".")[-2].title()
-    paras = _paragraphize(doc_text, rng)
+    paras = _paragraphize(doc_text, rng, lang)
     month = (i % 12) + 1
     day = (i % 27) + 1
     author = f"Alex Writer{i % 17}"
@@ -276,7 +304,7 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
     use_parallel = ray.is_initialized() and n_docs_meta * copies > 4000
     btag = "p" if use_parallel else "s"
     key = hashlib.md5(
-        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v4"
+        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v5"
         .encode()).hexdigest()[:16]
     out_path = os.path.join(cache_dir, f"pages_{key}.parquet")
     if os.path.exists(out_path):

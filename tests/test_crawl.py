@@ -80,6 +80,9 @@ def test_extracted_text_is_byte_identical_to_golden(engine_result, pages_path):
     golden = pads.dataset(pages_path).to_table(columns=["url", "text"])
     gold = dict(zip(golden["url"].to_pylist(), golden["text"].to_pylist()))
     assert arts.num_rows > 50
+    # most pages (incl. non-en) must extract real text, not just '' == ''
+    nonempty = sum(1 for txt in arts["text"].to_pylist() if txt)
+    assert nonempty / arts.num_rows > 0.8, f"only {nonempty} non-empty texts"
     mismatches = []
     for u, txt, st in zip(arts["url"].to_pylist(), arts["text"].to_pylist(),
                           arts["status"].to_pylist()):
