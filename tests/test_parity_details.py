@@ -1,0 +1,243 @@
+"""Fine-grained parity tests for quirky reference semantics: title rules,
+byline parsing, cleaner kill-list lookarounds, formatter negative-gravity
+sweep, language tokenizer variants, config plumb-through, host salting,
+robots/politeness accounting."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stimson_web_scraper_ray.config import EngineConfig
+from stimson_web_scraper_ray.functions import dom, metadata, stopwords
+from stimson_web_scraper_ray.functions.cleaner import DocumentCleaner
+from stimson_web_scraper_ray.functions.extract import extract_article, fulltext
+from stimson_web_scraper_ray.stages.fetch import RobotsPolicy
+from stimson_web_scraper_ray.stages.url_stage import salt_hosts
+
+
+# --- title rules (content_extractor.py:250-389) ---------------------------
+
+def _title(html):
+    return metadata.get_title(dom.fromstring(html))
+
+
+def test_title_rule1_title_equals_h1():
+    html = ("<html><head><title>Exact Same Headline Here</title></head>"
+            "<body><h1>Exact Same Headline Here</h1></body></html>")
+    assert _title(html) == "Exact Same Headline Here"
+
+
+def test_title_rule2_h1_similar_to_og():
+    html = ("<html><head><title>Site | Something Long Else</title>"
+            '<meta property="og:title" content="THE REAL HEADLINE NOW">'
+            "</head><body><h1>The Real Headline Now!</h1></body></html>")
+    # filtered h1 == filtered og → use h1 verbatim
+    assert _title(html) == "The Real Headline Now!"
+
+
+def test_title_rule4_title_starts_with_og():
+    html = ("<html><head><title>Real Headline - Extra Site Suffix</title>"
+            '<meta property="og:title" content="Real Headline">'
+            "</head><body></body></html>")
+    assert _title(html) == "Real Headline"
+
+
+def test_title_dash_split_prefers_longest():
+    html = ("<html><head><title>CNN - The Much Longer Piece Of The Title"
+            "</title></head><body></body></html>")
+    assert _title(html) == "The Much Longer Piece Of The Title"
+
+
+def test_title_underscore_and_arrows():
+    assert _title("<html><head><title>Short_The Longer Half Here</title>"
+                  "</head></html>") == "The Longer Half Here"
+    assert _title("<html><head><title>Long Piece Goes Here » site</title>"
+                  "</head></html>") == "Long Piece Goes Here"
+
+
+# --- authors (content_extractor.py:74-189) --------------------------------
+
+def test_parse_byline_actual_semantics():
+    # NB the reference docstring (content_extractor.py:102-107) claims
+    # ['Lucas Ou-Yang', 'Alex Smith'], but its own code consumes the comma
+    # as a split delimiter so no flush happens — the real output is one
+    # joined name. We reproduce the CODE, not the stale docstring.
+    assert metadata._parse_byline(
+        "<div>By: <strong>Lucas Ou-Yang</strong>,<strong>Alex Smith"
+        "</strong></div>") == ["Lucas Ou-Yang Alex Smith"]
+    # separators that do flush: 'and' and empty tokens (double delimiters)
+    assert metadata._parse_byline("By Jane Doe and John Q. Smith") == \
+        ["Jane Doe", "John Q. Smith"]
+
+
+def test_div_byline_first_token_quirk():
+    # for div/span/section matches the reference takes only the FIRST
+    # whitespace token of text_content (content_extractor.py:165-173) —
+    # "By:" parses to no names; faithful quirk, not a bug
+    html = ('<html><body><div class="byline">By: Lucas Ou-Yang, Alex Smith'
+            "</div></body></html>")
+    assert metadata.get_authors(dom.fromstring(html)) == []
+
+
+def test_authors_dedup_case_insensitive_title_cased():
+    html = ('<html><head><meta name="author" content="jane doe">'
+            '<meta property="article:author" content="JANE DOE"></head>'
+            "</html>")
+    assert metadata.get_authors(dom.fromstring(html)) == ["Jane Doe"]
+
+
+def test_author_url_valued_falls_through():
+    html = ('<html><head><meta property="article:author" '
+            'content="http://facebook.com/jane"></head></html>')
+    # URL content dropped; no text_content fallback yields names
+    assert metadata.get_authors(dom.fromstring(html)) == []
+
+
+def test_author_fallback_to_domain():
+    art = extract_article("<html><body><p>x</p></body></html>",
+                          url="http://www.cnn.com/2014/01/02/a/b.html")
+    assert art["authors"] == ["cnn"]
+
+
+# --- cleaner kill-list subtleties (document_cleaner.py:26-42) -------------
+
+def _clean_text(html):
+    return fulltext(html)
+
+
+PARAS = ("<p>One of the many things that we all know about the world is "
+         "that it keeps on turning for all of us every day of the year.</p>"
+         "<p>Another of the many things that we know is that the sun will "
+         "come up in the morning for all of the people of the world.</p>"
+         "<p>A third of the things we know is that the rain falls down on "
+         "all of the people there at some point of the day or night.</p>")
+
+
+def test_kill_list_spares_subscriber_hider():
+    # subscribe(?!r-hider|-truncate): 'subscribe' killed, 'subscriber-hider' spared
+    html = (f"<html><body><div>{PARAS}"
+            '<div class="subscribe"><p>Kill this subscribe box now ok</p></div>'
+            '<div class="subscriber-hider"><p>Keep all of the words of this '
+            "one because they are of the story and we want them here</p></div>"
+            "<p>Trailing paragraph with all of the usual words of the story "
+            "so the trailing-media rule has a shallow last child here.</p>"
+            "</div></body></html>")
+    text = _clean_text(html)
+    assert "Kill this subscribe box" not in text
+    assert "Keep all of the words" in text
+
+
+def test_kill_list_spares_articlebody_itemprop():
+    html = ('<html><body><div class="sponsor" itemprop="articleBody">'
+            f"{PARAS}</div></body></html>")
+    assert "One of the many things" in _clean_text(html)
+
+
+def test_kill_list_date_lookahead():
+    html = (f"<html><body><div>{PARAS}"
+            '<div class="date"><p>Kill the floating date box here now</p></div>'
+            '<div class="dateline-storybody"><p>Keep all of these words of '
+            "the dateline because they are part of the story body here</p>"
+            "</div>"
+            "<p>Trailing paragraph with all of the usual words of the story "
+            "so the trailing-media rule has a shallow last child here.</p>"
+            "</div></body></html>")
+    text = _clean_text(html)
+    assert "Kill the floating date box" not in text
+    assert "Keep all of these words" in text
+
+
+def test_additional_remove_nodes_re_config():
+    cfg = EngineConfig(additional_remove_nodes_re="customkill")
+    html = (f"<html><body><div>{PARAS}"
+            '<div class="customkill"><p>Begone all of this text now ok and '
+            "also all of these other words of it too</p></div>"
+            "<p>Trailing paragraph with all of the usual words of the story "
+            "so the trailing-media rule has a shallow last child here.</p>"
+            "</div></body></html>")
+    art = extract_article(html, url="http://x.co/a/b", config=cfg)
+    assert "Begone" not in art["text"]
+    # same html without the extra pattern keeps it
+    art2 = extract_article(html, url="http://x.co/a/b")
+    assert "Begone" in art2["text"]
+
+
+# --- formatter: negative-gravity sweep (output_formatter.py:103-113) ------
+
+def test_negative_gravity_nodes_removed():
+    cleaner = DocumentCleaner()
+    doc = dom.fromstring(f"<html><body><div>{PARAS}</div></body></html>")
+    cleaner.clean(doc)
+    from stimson_web_scraper_ray.functions.formatter import OutputFormatter
+    from stimson_web_scraper_ray.functions.scoring import BestNodeScorer
+
+    scorer = BestNodeScorer("en")
+    top = scorer.calculate_best_node(doc, "")
+    # plant a negative-scored child
+    bad = dom.Node("div", attrib={"gravityScore": "-5"}, text="loser text")
+    top.append(bad)
+    text = OutputFormatter("en").get_formatted(top)
+    assert "loser text" not in text
+
+
+# --- stopword tokenizer variants (text.py:102-223) ------------------------
+
+def test_korean_suffix_matching():
+    ko = stopwords.StopWordsKorean()
+    # suffix match: any word ending in a stopword counts
+    ko.STOP_WORDS = frozenset(["는"])
+    ws = ko.get_stopword_count("그는 집에 간다")
+    assert ws.get_stopword_count() == 1   # 그는 ends with 는
+
+
+def test_chinese_char_segmentation():
+    zh = stopwords.StopWordsChinese()
+    ws = zh.get_stopword_count("我的书在这里")
+    assert ws.get_word_count() == 6       # per-character tokens
+    assert ws.get_stopword_count() >= 2   # 我 的 在 are stopwords
+
+
+def test_arabic_keeps_punctuation():
+    ar = stopwords.StopWordsArabic()
+    assert ar.remove_punctuation("a,b") == "a,b"
+
+
+# --- host salting (north rule) --------------------------------------------
+
+def test_salt_hosts_spreads_heavy_host():
+    hosts = ["heavy.com"] * 100 + ["light.com"] * 5
+    hashes = np.arange(105, dtype=np.uint64)
+    batch = pa.table({"host": pa.array(hosts),
+                      "url_hash": pa.array(hashes, pa.uint64())})
+    out = salt_hosts(batch, {"heavy.com": 100}, salt_buckets=8)
+    keys = out["part_key"].to_pylist()
+    heavy_keys = set(keys[:100])
+    light_keys = set(keys[100:])
+    assert len(heavy_keys) == 8           # heavy host split into 8 buckets
+    assert len(light_keys) == 1           # light host stays on one key
+    # deterministic across calls (no builtin hash())
+    out2 = salt_hosts(batch, {"heavy.com": 100}, salt_buckets=8)
+    assert keys == out2["part_key"].to_pylist()
+
+
+# --- robots policy --------------------------------------------------------
+
+def test_robots_policy_cache_and_rules():
+    rp = RobotsPolicy()
+    assert rp.allowed("a.com", "/story/x")
+    assert not rp.allowed("a.com", "/private/x")
+    assert not rp.allowed("a.com", "/admin/x")
+    rp.allowed("a.com", "/other")
+    assert rp.fetches == 1                # robots fetched once per host
+    rp.allowed("b.com", "/x")
+    assert rp.fetches == 2
+
+
+# --- workflow lineage (article.py:46-50, 765-777) -------------------------
+
+def test_workflow_states():
+    art = extract_article("<html><body><p>tiny</p></body></html>",
+                          url="http://x.co/a/b")
+    assert art["workflow"] == ["INIT", "DOWNLOADED", "PARSED"]
+    art_err = extract_article(12345, url="http://x.co/a/b")  # bad payload type
+    assert art_err["workflow"][-1] != "PARSED" or art_err["status"] != "ok"

@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) — beyond the reference's golden-file
+strategy: algebraic invariants of the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stimson_web_scraper_ray.functions import dom, urlnorm
+from stimson_web_scraper_ray.functions.extract import extract_article
+from stimson_web_scraper_ray.pipelines.dedup import jaccard, shingle_hashes, simhash64
+from stimson_web_scraper_ray.state.seen import CuckooFilter, SeenShard
+
+url_paths = st.text(
+    alphabet=st.sampled_from("abcdefghij0123456789-_/."), min_size=0,
+    max_size=40)
+
+
+@given(url_paths)
+@settings(max_examples=200, deadline=None)
+def test_prepare_url_strips_one_trailing_slash_and_converges(path):
+    # reference parity: prepare_url strips exactly ONE trailing '/'
+    # (urls.py:98), so 'a//' needs two applications — it converges, and is
+    # idempotent whenever the input doesn't end in '/'
+    url = "http://example.com/" + path
+    once = urlnorm.prepare_url(url)
+    if url.endswith("/"):
+        assert once == url[:-1]
+    else:
+        assert urlnorm.prepare_url(once) == once
+    cur = url
+    for _ in range(len(url)):
+        nxt = urlnorm.prepare_url(cur)
+        if nxt == cur:
+            break
+        cur = nxt
+    assert urlnorm.prepare_url(cur) == cur
+    assert not cur.endswith("/") or cur == "http://example.com/"[:len(cur)]
+
+
+@given(url_paths)
+@settings(max_examples=200, deadline=None)
+def test_canon_hash64_in_range_and_stable(path):
+    url = "http://example.com/" + path
+    h = urlnorm.canon_hash64(url)
+    assert 0 <= h < 2**64
+    assert h == urlnorm.canon_hash64(url)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_inner_trim_idempotent_no_newlines(s):
+    once = dom.inner_trim(s)
+    assert dom.inner_trim(once) == once
+    assert "\n" not in once and "\t" not in once
+    assert once == once.strip()
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_extract_article_never_raises(html_text):
+    art = extract_article(html_text, url="http://x.co/a/b")
+    assert isinstance(art, dict)
+    assert "text" in art and "status" in art
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_extract_article_never_raises_bytes(payload):
+    art = extract_article(payload, url="http://x.co/a/b")
+    assert isinstance(art, dict)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=200, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_no_false_negatives_property(keys):
+    arr = np.array(keys, dtype=np.uint64)
+    f = CuckooFilter(capacity=max(1024, 2 * len(arr)))
+    f.insert(arr)
+    assert f.contains(arr).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_seen_shard_first_sighting_exactly_once(keys):
+    shard = SeenShard(0, capacity=1024)
+    arr = np.array(keys, dtype=np.uint64)
+    mask = shard.check_and_insert(arr)
+    # each distinct key is new exactly once
+    firsts = {}
+    for k, m in zip(keys, mask):
+        if k not in firsts:
+            firsts[k] = m
+        else:
+            assert not m
+    assert all(firsts.values())
+    # second pass: nothing is new
+    assert not shard.check_and_insert(arr).any()
+
+
+words = st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta eta "
+                                 "theta iota kappa lam mu nu xi".split()),
+                 min_size=6, max_size=60)
+
+
+@given(words)
+@settings(max_examples=100, deadline=None)
+def test_jaccard_self_is_one(ws):
+    text = " ".join(ws)
+    assert jaccard(text, text) == 1.0
+    assert simhash64(text) == simhash64(text)
+
+
+@given(words, words)
+@settings(max_examples=100, deadline=None)
+def test_jaccard_symmetric_bounded(a, b):
+    ta, tb = " ".join(a), " ".join(b)
+    j = jaccard(ta, tb)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard(tb, ta)
+
+
+@given(words)
+@settings(max_examples=50, deadline=None)
+def test_shingles_deterministic(ws):
+    t = " ".join(ws)
+    assert shingle_hashes(t).tolist() == shingle_hashes(t).tolist()
