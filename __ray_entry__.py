@@ -249,9 +249,11 @@ def _q_crawl_flagship(sf_dir: str):
 
     pages_path = pages_path_for(sf_dir)
     seeds = seed_urls(pages_path)
+    from stimson_web_scraper_ray.functions.urlnorm import canon_hash64
+
     cfg = EngineConfig(per_host_budget=50, round_budget=2000, seen_shards=4,
                        extract_concurrency=4, fetch_concurrency=2)
-    out_dir = f"/tmp/swsr_q_crawl_{abs(hash(sf_dir)) % 10**8}"
+    out_dir = f"/tmp/swsr_q_crawl_{canon_hash64(sf_dir) % 10**8}"
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -259,13 +259,24 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         fetched_hashes = budget["url_hash"].to_numpy()
         total_fetched += n_fetched
 
-        # per-round metrics: lineage rows (round, host, planned/fetched)
-        fetched_hosts = budget["host"].value_counts()
+        # per-round metrics: lineage rows (round, host, planned, fetched,
+        # ok) — the per-partition accounting the checkpoint carries
+        planned_hosts = budget["host"].value_counts()
+        art_stat = rd.read_parquet(round_dir, columns=["url", "status"]) \
+            .to_pandas()
+        art_stat["host"] = art_stat["url"].map(lambda u: get_domain(u) or "")
+        fetched_by_host = art_stat.groupby("host")["url"].count()
+        ok_by_host = art_stat[art_stat["status"] == "ok"] \
+            .groupby("host")["url"].count()
         metrics = pd.DataFrame({
             "round": rnd,
-            "host": fetched_hosts.index,
-            "planned": fetched_hosts.values,
+            "host": planned_hosts.index,
+            "planned": planned_hosts.values,
         })
+        metrics["fetched"] = metrics["host"].map(fetched_by_host).fillna(0) \
+            .astype("int64")
+        metrics["ok"] = metrics["host"].map(ok_by_host).fillna(0) \
+            .astype("int64")
 
         # next frontier: deferred ∪ redirects ∪ new candidates, minus seen,
         # dedup by hash (priority: redirects 1.5 > depth-based candidates)

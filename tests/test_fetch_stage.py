@@ -1,0 +1,65 @@
+"""Fetcher stage unit tests: robots denial, 404s, politeness accounting,
+url-range-pruned probes — driven directly (plain class, no Ray needed)."""
+
+import pyarrow as pa
+import pytest
+
+from stimson_web_scraper_ray.sources.pages import pages_path_for
+from stimson_web_scraper_ray.stages.fetch import Fetcher
+
+
+@pytest.fixture(scope="module")
+def pages_path():
+    return pages_path_for("/root/testdata/sf0.001")
+
+
+def _frontier_batch(urls, hosts=None, depths=None):
+    hosts = hosts or [u.split("/")[2] for u in urls]
+    depths = depths or [0] * len(urls)
+    return pa.table({
+        "url_canon": pa.array(urls, pa.string()),
+        "host": pa.array(hosts, pa.string()),
+        "depth": pa.array(depths, pa.int32()),
+    })
+
+
+def test_fetch_ok_denied_and_404(pages_path):
+    import pyarrow.dataset as pads
+
+    real_urls = pads.dataset(pages_path).to_table(
+        columns=["url"])["url"].to_pylist()[:3]
+    f = Fetcher(pages_path)
+    batch = _frontier_batch(
+        real_urls
+        + ["http://news.bignews.com/private/secret.html"]   # robots-denied
+        + ["http://news.bignews.com/2014/01/01/nope.html"]  # 404
+    )
+    out = f(batch)
+    assert set(out["url"].to_pylist()) == set(real_urls)
+    assert all(s == "200" for s in out["fetch_status"].to_pylist())
+    assert f.pages_fetched == 3
+    assert f.bytes_fetched > 0
+
+
+def test_politeness_accounting(pages_path):
+    import pyarrow.dataset as pads
+
+    urls = pads.dataset(pages_path).to_table(
+        columns=["url"])["url"].to_pylist()
+    same_host = [u for u in urls if "bignews" in u][:5]
+    f = Fetcher(pages_path, politeness_delay_s=1.0)
+    f(_frontier_batch(same_host))
+    # token bucket: 5 sequential requests to one host accrue 0+1+2+3+4
+    assert f.total_wait == pytest.approx(10.0)
+    host = same_host[0].split("/")[2]
+    assert f.host_clock[host] == pytest.approx(5.0)
+
+
+def test_depth_passthrough(pages_path):
+    import pyarrow.dataset as pads
+
+    real = pads.dataset(pages_path).to_table(
+        columns=["url"])["url"].to_pylist()[:2]
+    f = Fetcher(pages_path)
+    out = f(_frontier_batch(real, depths=[3, 3]))
+    assert out["depth"].to_pylist() == [3, 3]
