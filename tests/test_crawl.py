@@ -101,6 +101,19 @@ def test_metrics_lineage_written(engine_result):
     assert t.num_rows > 0
 
 
+def test_parallelism_invariance(ray_session, pages_path, seeds,
+                                engine_result, tmp_path_factory):
+    """Same crawl with different shard count / pool sizes / budget split
+    must fetch identical per-round sets (ordering invariant, SURVEY §2.9)."""
+    cfg2 = EngineConfig(per_host_budget=30, round_budget=500, seen_shards=7,
+                        extract_concurrency=3, fetch_concurrency=1,
+                        extract_batch_size=16)
+    out = str(tmp_path_factory.mktemp("crawl_alt"))
+    res2 = crawl(pages_path, seeds, cfg2, out_dir=out, max_rounds=3)
+    res1, _ = engine_result
+    assert _round_urls(res1.articles_path) == _round_urls(res2.articles_path)
+
+
 def test_kill_and_resume_reproduces_full_run(ray_session, pages_path, seeds,
                                              engine_result, tmp_path_factory):
     out2 = str(tmp_path_factory.mktemp("crawl_resume"))

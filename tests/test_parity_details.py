@@ -241,3 +241,22 @@ def test_workflow_states():
     assert art["workflow"] == ["INIT", "DOWNLOADED", "PARSED"]
     art_err = extract_article(12345, url="http://x.co/a/b")  # bad payload type
     assert art_err["workflow"][-1] != "PARSED" or art_err["status"] != "ok"
+
+
+# --- top-image selection (O4, image_extractor.py:183-224) ------------------
+
+def test_select_top_image():
+    from stimson_web_scraper_ray.functions.images import select_top_image
+
+    cands = [
+        ("http://x.co/logo.png", 400, 400),        # logo → area/10
+        ("http://x.co/hero.jpg", 300, 200),        # best real image
+        ("http://x.co/banner.jpg", 900, 100),      # ratio 9 → rejected
+        ("http://x.co/tiny.jpg", 20, 20),          # under min width
+    ]
+    assert select_top_image(cands) == "http://x.co/hero.jpg"
+    assert select_top_image([]) == ""
+    # logo penalty: sprite only wins if 10x larger
+    assert select_top_image([("http://x.co/sprite.png", 1000, 1000),
+                             ("http://x.co/photo.jpg", 400, 200)]) == \
+        "http://x.co/sprite.png"
