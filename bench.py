@@ -92,14 +92,20 @@ def _crawl_rounds(pages_path: str, num_cpus: int) -> float:
 
     out_dir = "/tmp/swsr_bench/crawl"
     shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = EngineConfig(per_host_budget=400, round_budget=20000,
+    cfg = EngineConfig(per_host_budget=4000, round_budget=40000,
                        seen_shards=8,
-                       extract_concurrency=max(2, num_cpus - 4),
-                       fetch_concurrency=max(2, num_cpus // 4))
-    seeds = seed_urls(pages_path)
+                       extract_concurrency=max(2, num_cpus // 2),
+                       fetch_concurrency=max(2, num_cpus // 4),
+                       fixed_pools=True)
+    # BFS fanout is ~5, so seed wide enough that 3 rounds touch a large
+    # share of the table (8 seeds would only reach ~200 pages)
+    seeds = seed_urls(pages_path, n_seeds=1024)
     t0 = time.time()
-    crawl(pages_path, seeds, cfg, out_dir=out_dir, max_rounds=3)
-    return time.time() - t0
+    res = crawl(pages_path, seeds, cfg, out_dir=out_dir, max_rounds=3)
+    dt = time.time() - t0
+    print(f"# crawl_rounds fetched {res.pages_fetched} pages",
+          file=sys.stderr)
+    return dt
 
 
 def _timed_queries(sf_dir: str) -> dict[str, float]:

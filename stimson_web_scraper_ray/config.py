@@ -49,6 +49,10 @@ class EngineConfig:
     extract_concurrency: int = 8
     url_batch_size: int = 4096
     fetch_concurrency: int = 4
+    # fixed-size actor pools start all actors up front: ~2.4x faster than
+    # autoscaling ramp per pipeline run, but they DEADLOCK when the session
+    # lacks the CPUs — enable only when pool sizes are tuned to the node
+    fixed_pools: bool = False
 
     http_success_only: bool = True        # network.py:52-89 semantics
     ignored_content_types: dict = field(default_factory=dict)  # configuration.py:78

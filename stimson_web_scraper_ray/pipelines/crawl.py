@@ -209,11 +209,14 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         n_parts = max(cfg.fetch_concurrency, len(counts) // 4 or 1)
         budget_ds = rd.from_pandas(salted).repartition(n_parts)
 
-        # autoscaling pools (1, N): a fixed-size pool would demand all N
-        # actors up front and deadlock on small nodes when stages overlap
+        # pool sizing: fixed pools skip the autoscale ramp (↑ cfg.fixed_pools)
+        fetch_conc = (cfg.fetch_concurrency if cfg.fixed_pools
+                      else (1, cfg.fetch_concurrency))
+        extract_conc = (cfg.extract_concurrency if cfg.fixed_pools
+                        else (1, cfg.extract_concurrency))
         pages = budget_ds.map_batches(
             Fetcher, batch_format="pyarrow", batch_size=512,
-            concurrency=(1, cfg.fetch_concurrency), num_cpus=0.5,
+            concurrency=fetch_conc, num_cpus=0.5,
             fn_constructor_kwargs={
                 "pages_path": pages_path,
                 "politeness_delay_s": cfg.politeness_delay_s,
@@ -222,48 +225,62 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         articles = pages.map_batches(
             ExtractArticles, batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
-            concurrency=(1, cfg.extract_concurrency),
+            concurrency=extract_conc,
             fn_constructor_kwargs={"config": cfg})
 
         round_dir = os.path.join(articles_dir, f"round={rnd}")
         articles.write_parquet(round_dir)
 
-        # outlink harvest from the written round output (columnar, no html)
+        # outlink harvest from the written round output (columnar, no html).
+        # Distributed: explode + canonicalize + valid_url filter + per-batch
+        # partial dedup in map_batches. The exact in-round dedup (D2) then
+        # happens on the driver's bounded planning table below (the whole
+        # frontier is pulled there for budget planning anyway); at a scale
+        # where candidates outgrow the driver this step becomes the
+        # groupby(url_hash) shuffle — same algebra, wider exchange.
         arts = rd.read_parquet(round_dir,
                                columns=["url", "outlinks", "status",
                                         "canonical_link", "meta_refresh_url"])
         cand = arts.select_columns(["outlinks"]) \
             .map_batches(_explode_outlinks, batch_format="pyarrow")
         cand = cand.map_batches(normalize_candidates, batch_format="pyarrow")
-        cand = cand.map_batches(
-            lambda b: b.filter(b["is_valid"]), batch_format="pyarrow")
-        # in-round dedup: groupby(url_hash) keep first — D2
-        cand_df = cand.groupby("url_hash").map_groups(
-            lambda g: g.head(1), batch_format="pandas").to_pandas()
+
+        def _valid_and_partial_dedup(b: pa.Table) -> pa.Table:
+            b = b.filter(b["is_valid"])
+            df = b.select(["url_canon", "url_hash", "host"]).to_pandas()
+            df = df.drop_duplicates("url_hash")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cand_df = cand.map_batches(_valid_and_partial_dedup,
+                                   batch_format="pyarrow").to_pandas()
+        if not cand_df.empty:
+            cand_df = cand_df.drop_duplicates("url_hash")
 
         # redirect-shaped candidates: canonical-link rebuild (article.py:
         # 421-424, one extra round instead of recursion) and meta-refresh
         # follow (utils.py:111-131, ≤1 hop). Bypass valid_url — redirects
         # are not subject to the article-url predicate — but not the seen
         # set. Planning table, bounded by the round budget.
-        redirect_rows = arts.select_columns(
-            ["url", "canonical_link", "meta_refresh_url"]).to_pandas()
+        round_df = arts.select_columns(
+            ["url", "status", "canonical_link", "meta_refresh_url"]) \
+            .to_pandas()
         redirects = []
-        for _, r in redirect_rows.iterrows():
-            for target in (r["canonical_link"], r["meta_refresh_url"]):
-                if target and target != r["url"]:
-                    prepared = prepare_url(target, r["url"])
+        for url_v, canonical, refresh in zip(round_df["url"],
+                                             round_df["canonical_link"],
+                                             round_df["meta_refresh_url"]):
+            for target in (canonical, refresh):
+                if target and target != url_v:
+                    prepared = prepare_url(target, url_v)
                     if prepared:
                         redirects.append(prepared)
-        n_fetched = len(redirect_rows)
+        n_fetched = len(round_df)
         fetched_hashes = budget["url_hash"].to_numpy()
         total_fetched += n_fetched
 
         # per-round metrics: lineage rows (round, host, planned, fetched,
         # ok) — the per-partition accounting the checkpoint carries
         planned_hosts = budget["host"].value_counts()
-        art_stat = rd.read_parquet(round_dir, columns=["url", "status"]) \
-            .to_pandas()
+        art_stat = round_df[["url", "status"]].copy()
         art_stat["host"] = art_stat["url"].map(lambda u: get_domain(u) or "")
         fetched_by_host = art_stat.groupby("host")["url"].count()
         ok_by_host = art_stat[art_stat["status"] == "ok"] \

@@ -340,17 +340,28 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
 
 
 def seed_urls(pages_path: str, n_seeds: int = 8) -> list[str]:
-    """First page url per distinct host, file order (FIXTURES.md §2:
-    seed order = file order, the crawl-ordering invariant's anchor)."""
+    """Deterministic seed list, file order (FIXTURES.md §2: seed order =
+    file order, the crawl-ordering invariant's anchor). The first seeds
+    cover distinct hosts; beyond that, urls are taken in stride so large
+    seed lists (benchmarks) spread across the table."""
     import pyarrow.dataset as pads
 
     t = pads.dataset(pages_path, format="parquet").to_table(columns=["url"])
-    seen_hosts, seeds = set(), []
-    for u in t["url"].to_pylist():
+    urls = t["url"].to_pylist()
+    seen_hosts, seeds, seed_set = set(), [], set()
+    for u in urls:
         h = u.split("/")[2]
         if h not in seen_hosts:
             seen_hosts.add(h)
             seeds.append(u)
+            seed_set.add(u)
+        if len(seeds) >= n_seeds:
+            return seeds
+    stride = max(1, len(urls) // max(1, n_seeds - len(seeds) + 1))
+    for i in range(0, len(urls), stride):
+        if urls[i] not in seed_set:
+            seeds.append(urls[i])
+            seed_set.add(urls[i])
         if len(seeds) >= n_seeds:
             break
     return seeds
