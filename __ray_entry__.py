@@ -130,6 +130,20 @@ def _q_minhash_pairs(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_minhash_dedup_groups(sf_dir: str):
+    """Full near-dup dedup: LSH pairs → connected components → one keeper
+    per duplicate cluster (rows-only)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        minhash_lsh_dedup,
+        resolve_duplicate_groups,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    return resolve_duplicate_groups(pairs)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.dedup import simhash_near_dup_pairs
@@ -293,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_dedup_groups": _q_minhash_dedup_groups,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         # similarity search

@@ -193,6 +193,41 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, n_perm: int = 64,
     return pairs_ds.map_batches(verify, batch_format="pandas")
 
 
+def resolve_duplicate_groups(pairs_df: pd.DataFrame,
+                             max_rounds: int = 10) -> pd.DataFrame:
+    """Duplicate pairs (a, b) → cluster labels via min-label propagation:
+    each id's label is the minimum id reachable through pairs. Returns
+    (doc_id, keep_doc_id); rows with keep_doc_id == doc_id are keepers.
+
+    Implemented as bounded rounds of grouped min-joins — the same algebra
+    runs as `groupby(label).aggregate(Min)` over edge tables at cluster
+    scale (ray_guide: 'iterate a few rounds of min-label propagation');
+    pandas here because verified pair sets are small relative to the
+    corpus. Converges in O(log(diameter)) rounds."""
+    if pairs_df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "keep_doc_id": pd.Series(dtype="int64")})
+    a = pairs_df["a"].to_numpy(dtype=np.int64)
+    b = pairs_df["b"].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    ea = np.fromiter((idx[int(x)] for x in a), dtype=np.int64, count=len(a))
+    eb = np.fromiter((idx[int(x)] for x in b), dtype=np.int64, count=len(b))
+    label = np.arange(len(ids), dtype=np.int64)
+    for _ in range(max_rounds):
+        lo = np.minimum(label[ea], label[eb])
+        new_label = label.copy()
+        np.minimum.at(new_label, ea, lo)
+        np.minimum.at(new_label, eb, lo)
+        new_label = np.minimum(new_label, new_label[new_label])  # pointer jump
+        if (new_label == label).all():
+            break
+        label = new_label
+    return pd.DataFrame({"doc_id": ids,
+                         "keep_doc_id": ids[label]}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 # --- simhash ----------------------------------------------------------------
 
 

@@ -172,3 +172,24 @@ def test_multimodal_real_codec_raises():
 
     with pytest.raises(NotImplementedError):
         ImageDecodeFeatures(fake=False)
+
+
+def test_resolve_duplicate_groups_chain_and_clusters():
+    import pandas as pd
+
+    # chain 1-2-3-4 and separate pair (10,11); singleton 99 not in pairs
+    pairs = pd.DataFrame({"a": [1, 2, 3, 10], "b": [2, 3, 4, 11]})
+    out = dedup.resolve_duplicate_groups(pairs)
+    labels = dict(zip(out["doc_id"], out["keep_doc_id"]))
+    assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+    assert labels[10] == labels[11] == 10
+    assert 99 not in labels
+
+
+def test_resolve_duplicate_groups_from_lsh(docs_with_dups):
+    pairs = dedup.minhash_lsh_dedup(docs_with_dups, threshold=0.4).to_pandas()
+    groups = dedup.resolve_duplicate_groups(pairs)
+    labels = dict(zip(groups["doc_id"], groups["keep_doc_id"]))
+    for base in (0, 10, 20, 30):
+        # near-dup + exact-dup collapse to one keeper: the min doc_id
+        assert labels[base + 1] == base and labels[base + 2] == base
