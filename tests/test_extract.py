@@ -136,7 +136,8 @@ def test_br_literal_newline_semantics():
 def test_reference_fixture_corpus_budget():
     """Golden-file sweep with an explicit budget (reference allows 38
     failures of 145, exhaustive_test.py:98-99; the engine currently passes
-    100/145 byte-exact with the stdlib parser — ratchet this up, never down."""
+    107/145 byte-exact with the stdlib parser — at or above the reference's
+    own exhaustive budget (145-38=107). Ratchet this up, never down."""
     pairs = []
     for tf in sorted(glob.glob(TEXT_DIR + "/*.txt")):
         hf = os.path.join(HTML_DIR, os.path.basename(tf)[:-4] + ".html")
@@ -155,4 +156,4 @@ def test_reference_fixture_corpus_budget():
             got = ""
         if got.strip() == golden.strip():
             exact += 1
-    assert exact >= 98, f"fixture regression: only {exact}/145 byte-exact"
+    assert exact >= 107, f"fixture regression: only {exact}/145 byte-exact"
