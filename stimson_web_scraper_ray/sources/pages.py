@@ -304,7 +304,7 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
     use_parallel = ray.is_initialized() and n_docs_meta * copies > 4000
     btag = "p" if use_parallel else "s"
     key = hashlib.md5(
-        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v5"
+        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v6"
         .encode()).hexdigest()[:16]
     out_path = os.path.join(cache_dir, f"pages_{key}.parquet")
     if os.path.exists(out_path):
