@@ -40,9 +40,14 @@ class BestNodeScorer:
         # `self::p or self::pre or self::td` xpath), where e.g.
         # livescience.com1's image-caption <td> precedes the article <p>s and
         # stays positive.  We match the goldens (the graded invariant).
+        # Also newspaper-era: NO `.text` gate on candidates (the current
+        # reference adds `if node.text:`, content_extractor.py:847, which
+        # silently drops every <p><strong>Speaker:</strong> tail…
+        # paragraph — e.g. upworthy.com1's transcript, which its golden
+        # extracts).  Empty-text nodes are filtered downstream by the
+        # get_text()/stopword gate in calculate_best_node.
         wanted = ("p", "pre", "td")
-        return [n for n in doc.iter()
-                if n.tag in wanted and n.text]
+        return [n for n in doc.iter() if n.tag in wanted]
 
     def _nodes_to_check_fallback(self, html) -> list[Node]:
         """Re-parse raw html and lift p/pre/td text into a fake body —

@@ -136,8 +136,11 @@ def test_br_literal_newline_semantics():
 def test_reference_fixture_corpus_budget():
     """Golden-file sweep with an explicit budget (reference allows 38
     failures of 145, exhaustive_test.py:98-99; the engine currently passes
-    118/145 byte-exact with the stdlib parser — above the reference's
-    own exhaustive budget (145-38=107). Ratchet this up, never down."""
+    120/145 byte-exact with the stdlib parser — well above the reference's
+    own exhaustive budget (145-38=107). Uses the full extract_article path
+    (meta-lang-aware stopword scoring, like the reference's exhaustive run
+    with use_meta_language) rather than fulltext(lang="en"). Ratchet this
+    up, never down."""
     pairs = []
     for tf in sorted(glob.glob(TEXT_DIR + "/*.txt")):
         hf = os.path.join(HTML_DIR, os.path.basename(tf)[:-4] + ".html")
@@ -151,9 +154,10 @@ def test_reference_fixture_corpus_budget():
         with open(tf, encoding="utf-8", errors="replace") as f:
             golden = f.read()
         try:
-            got = _normalize_text(fulltext(html), "en", 100_000)
+            got = extract_article(
+                html, url="http://" + os.path.basename(hf)[:-5] + "/x")["text"]
         except Exception:
             got = ""
         if got.strip() == golden.strip():
             exact += 1
-    assert exact >= 118, f"fixture regression: only {exact}/145 byte-exact"
+    assert exact >= 120, f"fixture regression: only {exact}/145 byte-exact"
