@@ -199,7 +199,7 @@ class Node:
                 yield node.text
 
     def text_content(self) -> str:
-        return "".join(self.itertext())
+        return "".join(_text_parts(self))
 
     def __deepcopy__(self, memo):
         n = Node(self.tag, dict(self.attrib), self.text, self.tail)
@@ -361,9 +361,102 @@ def fromstring(html) -> Node:
 # the Parser-object surface the extraction code uses (parser.py:32-264)
 # --------------------------------------------------------------------------
 
+_TAG_CACHE: dict | None = None
+
+
+class tag_cache:
+    """Context manager enabling a (root-id, tag) → node-list cache for all
+    dom selectors inside the block.  ONLY valid while the tree is not
+    mutated — extract_article wraps its read-only metadata pass in this
+    (the pass runs ~20 selectors over the same immutable doc; one walk per
+    distinct tag instead of one per selector)."""
+
+    def __enter__(self):
+        global _TAG_CACHE
+        self._prev = _TAG_CACHE
+        _TAG_CACHE = {}
+        return self
+
+    def __exit__(self, *exc):
+        global _TAG_CACHE
+        _TAG_CACHE = self._prev
+        return False
+
+
+def _tagged(node: Node, tag) -> list[Node]:
+    """Descendant-or-self nodes with the given tag (None = all non-comment),
+    served from the active tag_cache when one is installed."""
+    c = _TAG_CACHE
+    if c is not None:
+        key = (id(node), tag)
+        r = c.get(key)
+        if r is None:
+            if tag is None:
+                r = [n for n in _preorder(node) if n.tag != COMMENT]
+            else:
+                r = [n for n in _preorder(node) if n.tag == tag]
+            c[key] = r
+        return list(r)
+    if tag is None:
+        return [n for n in _preorder(node) if n.tag != COMMENT]
+    return [n for n in _preorder(node) if n.tag == tag]
+
+
+def _preorder(node: Node) -> list[Node]:
+    """Document-order descendant-or-self as a plain list — the hot path of
+    every selector; a tight append loop beats generator resumption ~3×."""
+    out = [node]
+    append = out.append
+    stack = list(node._children)
+    stack.reverse()
+    pop = stack.pop
+    while stack:
+        n = pop()
+        append(n)
+        cs = n._children
+        if cs:
+            if len(cs) == 1:
+                stack.append(cs[0])
+            else:
+                stack.extend(cs[::-1])
+    return out
+
+
+def _text_parts(node: Node) -> list[str]:
+    """itertext() as a list without generator overhead (same emission
+    order: text before children, tails after subtrees, comments skipped
+    but their tails kept)."""
+    if node.tag == COMMENT:
+        return []
+    parts = []
+    append = parts.append
+    if node.text:
+        append(node.text)
+    stack = [(c, False) for c in reversed(node._children)]
+    pop = stack.pop
+    push = stack.append
+    while stack:
+        n, tail_only = pop()
+        if tail_only:
+            append(n.tail)
+            continue
+        if n.tag == COMMENT:
+            if n.tail:
+                append(n.tail)
+            continue
+        if n.tail:
+            push((n, True))
+        cs = n._children
+        if cs:
+            stack.extend((c, False) for c in reversed(cs))
+        if n.text:
+            append(n.text)
+    return parts
+
+
 def get_text(node: Node) -> str:
     """parser.py:215-217: innerTrim(' '.join(itertext()).strip())."""
-    return inner_trim(" ".join(list(node.itertext())).strip())
+    return inner_trim(" ".join(_text_parts(node)).strip())
 
 
 def get_elements_by_tag(node: Node, tag=None, attr=None, value=None,
@@ -372,7 +465,6 @@ def get_elements_by_tag(node: Node, tag=None, attr=None, value=None,
     substring match (or regex when use_regex), excluding comments; the root
     itself is dropped from the result when a tag is given (parser.py:118-135).
     """
-    results = []
     if attr and value:
         if use_regex:
             pat = re.compile(value, re.IGNORECASE)
@@ -380,15 +472,9 @@ def get_elements_by_tag(node: Node, tag=None, attr=None, value=None,
         else:
             vl = value.lower()
             pred = lambda n: (av := n.attrib.get(attr)) is not None and vl in av.lower()
+        results = [n for n in _tagged(node, tag) if pred(n)]
     else:
-        pred = lambda n: True
-    for n in node.iter():
-        if n.tag == COMMENT:
-            continue
-        if tag is not None and n.tag != tag:
-            continue
-        if pred(n):
-            results.append(n)
+        results = _tagged(node, tag)
     if tag is not None and results and results[0] is node:
         results.pop(0)
     return results
@@ -396,24 +482,24 @@ def get_elements_by_tag(node: Node, tag=None, attr=None, value=None,
 
 def get_elements_by_tags(node: Node, tags) -> list[Node]:
     """descendant (not self) matching any tag (parser.py:170-175)."""
-    tagset = set(tags)
-    return [n for n in node.iterdescendants() if n.tag in tagset]
+    tagset = frozenset(tags)
+    walk = _preorder(node)
+    return [n for n in walk[1:] if n.tag in tagset]
 
 
 def css_attr_select(node: Node, tag: str, attr: str, value: str) -> list[Node]:
     """Exact-match attribute selector, e.g. meta[name=description]
     (cssselect semantics used via parser.css_select)."""
-    return [
-        n for n in node.iter(tag)
-        if n.attrib.get(attr) == value
-    ]
+    return [n for n in _tagged(node, tag) if n.attrib.get(attr) == value]
 
 
 def css_class_word_select(node: Node, tag: str, words) -> list[Node]:
     """[class~=word] selector (whitespace-token match)."""
     wordset = set(words)
     out = []
-    for n in node.iter(tag):
+    for n in _preorder(node):
+        if n.tag != tag:
+            continue
         cls = n.attrib.get("class")
         if cls and wordset & set(cls.split()):
             out.append(n)

@@ -113,53 +113,60 @@ def extract_article(html, url: str = "", language: str = "en",
         out["link_hash"] = hashlib.md5(
             html_text.encode("utf-8", "replace")).hexdigest()  # utils.py:39-45 (time suffix dropped: non-deterministic)
         doc = dom.fromstring(html_text)
-        clean_doc = copy.deepcopy(doc)  # article.py:232
-        if collect_outlinks:
-            # harvest from the metadata copy so the body cleaner can't eat
-            # links first (one shared parse instead of a second fromstring)
-            out["outlinks"] = harvest_outlinks_from_doc(clean_doc, url)
+        # The reference deepcopies the doc (article.py:232) only because it
+        # cleans FIRST and extracts metadata from the pristine copy; every
+        # metadata extractor is a pure reader, so running the whole metadata
+        # pass (and outlink/image harvest) BEFORE cleaning is equivalent and
+        # saves a full-tree copy per page (~5% of kernel time).
+        clean_doc = doc
+        # read-only pass → one tree walk per distinct tag
+        with dom.tag_cache():
+            if collect_outlinks:
+                out["outlinks"] = harvest_outlinks_from_doc(clean_doc, url)
 
-        # metadata pass over the *uncleaned* copy (article.py:245-280)
-        title = metadata.get_title(clean_doc)
-        meta_lang = metadata.get_meta_lang(clean_doc)
-        if meta_lang and meta_lang in LANGUAGE_CODES:
-            out["meta_lang"] = meta_lang  # set_meta_language, article.py:725-730
-        effective_lang = out["meta_lang"] or language
+            # metadata pass over the *not-yet-cleaned* doc (article.py:245-280)
+            title = metadata.get_title(clean_doc)
+            meta_lang = metadata.get_meta_lang(clean_doc)
+            if meta_lang and meta_lang in LANGUAGE_CODES:
+                out["meta_lang"] = meta_lang  # set_meta_language, article.py:725-730
+            effective_lang = out["meta_lang"] or language
 
-        authors = metadata.get_authors(clean_doc)
-        # set_authors (article.py:707-717): dedup already done; cap; tld fallback
-        final_authors = []
-        for a in authors:
-            if a and a not in final_authors and len(final_authors) < cfg.max_authors:
-                final_authors.append(a)
-        if not final_authors and url:
-            final_authors.append(extract_domain(url)[0])
-        out["authors"] = final_authors
+            authors = metadata.get_authors(clean_doc)
+            # set_authors (article.py:707-717): dedup already done; cap; tld fallback
+            final_authors = []
+            for a in authors:
+                if a and a not in final_authors and len(final_authors) < cfg.max_authors:
+                    final_authors.append(a)
+            if not final_authors and url:
+                final_authors.append(extract_domain(url)[0])
+            out["authors"] = final_authors
 
-        # meta-refresh target (utils.py:111-131; followed ≤1 hop by the
-        # crawl round loop instead of download-time recursion)
-        for el in dom.get_elements_by_tag(clean_doc, tag="meta"):
-            if (el.attrib.get("http-equiv") or "").lower() == "refresh":
-                content = el.attrib.get("content", "")
-                if ";" in content:
-                    _wait, url_part = content.split(";", 1)
-                    if url_part.lower().startswith("url="):
-                        out["meta_refresh_url"] = url_part[4:] \
-                            .replace('"', "").replace("'", "")
-                break
-        out["meta_favicon"] = metadata.get_favicon(clean_doc)
-        out["meta_site_name"] = metadata.get_meta_site_name(clean_doc)
-        out["meta_description"] = metadata.get_meta_description(clean_doc)
-        out["canonical_link"] = metadata.get_canonical_link(url, clean_doc)
-        out["tags"] = sorted(metadata.extract_tags(clean_doc))
-        mk = metadata.get_meta_keywords(clean_doc)
-        out["meta_keywords"] = [k.strip() for k in mk.split(",")] if mk else []  # article.py:732-735
-        out["meta_data"] = json.dumps(metadata.get_meta_data(clean_doc),
-                                      sort_keys=True, ensure_ascii=False)
-        pub = metadata.get_publishing_date(url, clean_doc)
-        out["publish_date"] = pub.strftime(_DATE_FORMAT) if pub else cfg.run_date
-        # (reference defaults publish_date to *today* when absent,
-        #  article.py:126-127 — frozen to cfg.run_date for determinism)
+            # meta-refresh target (utils.py:111-131; followed ≤1 hop by the
+            # crawl round loop instead of download-time recursion)
+            for el in dom.get_elements_by_tag(clean_doc, tag="meta"):
+                if (el.attrib.get("http-equiv") or "").lower() == "refresh":
+                    content = el.attrib.get("content", "")
+                    if ";" in content:
+                        _wait, url_part = content.split(";", 1)
+                        if url_part.lower().startswith("url="):
+                            out["meta_refresh_url"] = url_part[4:] \
+                                .replace('"', "").replace("'", "")
+                    break
+            out["meta_favicon"] = metadata.get_favicon(clean_doc)
+            out["meta_site_name"] = metadata.get_meta_site_name(clean_doc)
+            out["meta_description"] = metadata.get_meta_description(clean_doc)
+            out["canonical_link"] = metadata.get_canonical_link(url, clean_doc)
+            out["tags"] = sorted(metadata.extract_tags(clean_doc))
+            mk = metadata.get_meta_keywords(clean_doc)
+            out["meta_keywords"] = [k.strip() for k in mk.split(",")] if mk else []  # article.py:732-735
+            out["meta_data"] = json.dumps(metadata.get_meta_data(clean_doc),
+                                          sort_keys=True, ensure_ascii=False)
+            pub = metadata.get_publishing_date(url, clean_doc)
+            out["publish_date"] = pub.strftime(_DATE_FORMAT) if pub else cfg.run_date
+            # (reference defaults publish_date to *today* when absent,
+            #  article.py:126-127 — frozen to cfg.run_date for determinism)
+            meta_img = metadata.get_meta_img_url(url, clean_doc)
+            out["images"] = sorted(metadata.get_img_urls(url, clean_doc))
 
         # body pass over the cleaned DOM (article.py:283-295)
         scorer = BestNodeScorer(language)
@@ -176,10 +183,10 @@ def extract_article(html, url: str = "", language: str = "en",
             top_node = scorer.post_cleanup(top_node)
             text = formatter.get_formatted(top_node)
             out["text"] = _normalize_text(text, out["meta_lang"], cfg.max_text)
-            out["top_image"] = (metadata.get_meta_img_url(url, clean_doc)
+            out["top_image"] = (meta_img
                                 or metadata.get_first_img_url(url, top_node))
         else:
-            out["top_image"] = metadata.get_meta_img_url(url, clean_doc)
+            out["top_image"] = meta_img
 
         if ".wikipedia.org/wiki/" in url.lower():
             # wikitable pass, wikipedia-only like the reference
@@ -187,7 +194,6 @@ def extract_article(html, url: str = "", language: str = "en",
             # of a re-download
             out["tables"] = json.dumps(parse_tables(html_text, url),
                                        ensure_ascii=False)
-        out["images"] = sorted(metadata.get_img_urls(url, clean_doc))
         # set_title runs BEFORE set_meta_language in Article.parse
         # (article.py:245-253), so no en double-space collapse applies here
         out["title"] = title[:cfg.max_text]
