@@ -35,9 +35,8 @@ import pyarrow.parquet as pq
 
 from ..config import EngineConfig
 from ..functions.urlnorm import canon_hash64, get_domain, prepare_url
-from ..stages.extract_stage import ExtractArticles
-from ..stages.fetch import Fetcher
-from ..stages.url_stage import normalize_candidates, salt_hosts
+from ..stages.round_worker import CrawlRoundWorker
+from ..stages.url_stage import salt_hosts
 from ..state.seen import make_shard_actors, route
 
 FRONTIER_SCHEMA = pa.schema([
@@ -151,7 +150,6 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
           resume: bool = False) -> CrawlResult:
     """Run the crawl. Requires an initialised Ray session (caller owns it)."""
     import ray
-    import ray.data as rd
 
     import shutil
 
@@ -179,6 +177,27 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
                 for i, s in enumerate(shards)])
             start_round = last + 1
 
+    # ONE persistent pool of fused round workers for the whole crawl
+    # (stages/round_worker.py: fetch → extract → write → harvest; html
+    # never leaves the actor). Raw Ray actors instead of a per-round
+    # map_batches pool — the Dataset API tears actor state down at the end
+    # of every execution, but politeness clocks, robots caches, parquet
+    # handles and warm extraction state must SURVIVE across rounds; this
+    # is exactly the "shared mutable state the Dataset API can't express"
+    # escape hatch, and it removes ~1s/round of pool spin-up. Host→actor
+    # pinning (part_key % pool) is now stable for the whole crawl, which
+    # is stronger politeness than per-round pools could give.
+    # cap by free CPUs: raw actors at num_cpus=1 would otherwise deadlock
+    # on sessions smaller than extract_concurrency (the map_batches
+    # autoscaler used to absorb this)
+    avail_cpus = int(ray.available_resources().get("CPU", 1))
+    pool_size = max(1, min(cfg.extract_concurrency, avail_cpus))
+    worker_cls = ray.remote(CrawlRoundWorker)
+    pool = [worker_cls.options(num_cpus=1).remote(
+                pages_path=pages_path, round_dir="", config=cfg,
+                politeness_delay_s=cfg.politeness_delay_s)
+            for _ in range(pool_size)]
+
     total_fetched = 0
     for rnd in range(start_round, max_rounds):
         if frontier.empty:
@@ -194,10 +213,17 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
             frontier = deferred
             continue
 
-        # skew detection for the fetch partitioning (north rule salting)
+        # skew detection for the fetch partitioning (north rule salting).
+        # The threshold is RELATIVE to the round: any host holding more
+        # than a ~1/pool share of the budget is a straggler for its pinned
+        # actor, so salt it over salt_buckets sub-keys (deterministic:
+        # url_hash % buckets). An absolute threshold alone leaves a 30%%
+        # host unsalted in small rounds and one actor does 30%% of the
+        # round serially.
         counts = budget["host"].value_counts()
-        heavy = {h: int(c) for h, c in counts.items()
-                 if c > cfg.heavy_host_threshold}
+        salt_at = min(cfg.heavy_host_threshold,
+                      max(32, len(budget) // pool_size))
+        heavy = {h: int(c) for h, c in counts.items() if c > salt_at}
 
         # partition plan: salted host key, then (part_key, url) sort so each
         # fetch block covers a contiguous url range of one (sub-)host —
@@ -206,53 +232,34 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
                             heavy, cfg.salt_buckets).to_pandas()
         salted = salted.sort_values(["part_key", "url_canon"],
                                     kind="mergesort").reset_index(drop=True)
-        n_parts = max(cfg.fetch_concurrency, len(counts) // 4 or 1)
-        budget_ds = rd.from_pandas(salted).repartition(n_parts)
-
-        # pool sizing: fixed pools skip the autoscale ramp (↑ cfg.fixed_pools)
-        fetch_conc = (cfg.fetch_concurrency if cfg.fixed_pools
-                      else (1, cfg.fetch_concurrency))
-        extract_conc = (cfg.extract_concurrency if cfg.fixed_pools
-                        else (1, cfg.extract_concurrency))
-        pages = budget_ds.map_batches(
-            Fetcher, batch_format="pyarrow", batch_size=512,
-            concurrency=fetch_conc, num_cpus=0.5,
-            fn_constructor_kwargs={
-                "pages_path": pages_path,
-                "politeness_delay_s": cfg.politeness_delay_s,
-            })
-
-        articles = pages.map_batches(
-            ExtractArticles, batch_format="pyarrow",
-            batch_size=cfg.extract_batch_size,
-            concurrency=extract_conc,
-            fn_constructor_kwargs={"config": cfg})
 
         round_dir = os.path.join(articles_dir, f"round={rnd}")
-        articles.write_parquet(round_dir)
+        # wipe a partially-written (no _SUCCESS yet) round before rerun
+        shutil.rmtree(round_dir, ignore_errors=True)
+        os.makedirs(round_dir, exist_ok=True)
 
-        # outlink harvest from the written round output (columnar, no html).
-        # Distributed: explode + canonicalize + valid_url filter + per-batch
-        # partial dedup in map_batches. The exact in-round dedup (D2) then
-        # happens on the driver's bounded planning table below (the whole
-        # frontier is pulled there for budget planning anyway); at a scale
-        # where candidates outgrow the driver this step becomes the
-        # groupby(url_hash) shuffle — same algebra, wider exchange.
-        arts = rd.read_parquet(round_dir,
-                               columns=["url", "outlinks", "status",
-                                        "canonical_link", "meta_refresh_url"])
-        cand = arts.select_columns(["outlinks"]) \
-            .map_batches(_explode_outlinks, batch_format="pyarrow")
-        cand = cand.map_batches(normalize_candidates, batch_format="pyarrow")
+        # bucket by part_key % pool: a (sub-)host always lands on the same
+        # actor, every round; buckets stay (part_key, url)-sorted. The
+        # exact in-round dedup (D2) then happens on the driver's bounded
+        # planning table below (the whole frontier is pulled there for
+        # budget planning anyway); at a scale where candidates outgrow the
+        # driver this step becomes the groupby(url_hash) shuffle — same
+        # algebra, wider exchange.
+        refs = []
+        for aid, grp in salted.groupby(salted["part_key"] % pool_size,
+                                       sort=False):
+            tbl = pa.Table.from_pandas(grp, preserve_index=False)
+            refs.append(pool[int(aid)].process.remote(tbl, round_dir))
+        plan_parts = [t for t in ray.get(refs) if t.num_rows]
+        if plan_parts:
+            plan_df = pa.concat_tables(plan_parts).to_pandas()
+        else:
+            plan_df = pd.DataFrame({c: [] for c in (
+                "kind", "url", "status", "canonical_link",
+                "meta_refresh_url", "url_canon", "url_hash", "host")})
 
-        def _valid_and_partial_dedup(b: pa.Table) -> pa.Table:
-            b = b.filter(b["is_valid"])
-            df = b.select(["url_canon", "url_hash", "host"]).to_pandas()
-            df = df.drop_duplicates("url_hash")
-            return pa.Table.from_pandas(df, preserve_index=False)
-
-        cand_df = cand.map_batches(_valid_and_partial_dedup,
-                                   batch_format="pyarrow").to_pandas()
+        cand_df = plan_df[plan_df["kind"] == "cand"][
+            ["url_canon", "url_hash", "host"]]
         if not cand_df.empty:
             cand_df = cand_df.drop_duplicates("url_hash")
 
@@ -261,9 +268,9 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         # follow (utils.py:111-131, ≤1 hop). Bypass valid_url — redirects
         # are not subject to the article-url predicate — but not the seen
         # set. Planning table, bounded by the round budget.
-        round_df = arts.select_columns(
-            ["url", "status", "canonical_link", "meta_refresh_url"]) \
-            .to_pandas()
+        round_df = plan_df[plan_df["kind"] == "page"][
+            ["url", "status", "canonical_link", "meta_refresh_url"]] \
+            .reset_index(drop=True)
         redirects = []
         for url_v, canonical, refresh in zip(round_df["url"],
                                              round_df["canonical_link"],
@@ -333,19 +340,12 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         _checkpoint_round(ckpt_dir, rnd, frontier, shards, metrics)
 
     seen_size = sum(ray.get([s.size.remote() for s in shards]))
+    for actor in pool:
+        ray.kill(actor)
     return CrawlResult(
         rounds=max_rounds, pages_fetched=total_fetched,
         articles_path=articles_dir, checkpoint_dir=ckpt_dir,
         seen_size=seen_size)
-
-
-def _explode_outlinks(batch: pa.Table) -> pa.Table:
-    """outlinks list<string> → one candidate row per outlink (M21 flat_map)."""
-    flat = []
-    for links in batch["outlinks"].to_pylist():
-        if links:
-            flat.extend(links)
-    return pa.table({"url": pa.array(flat, pa.string())})
 
 
 def final_seen_hashes(ckpt_dir: str, rnd: int, n_shards: int) -> np.ndarray:

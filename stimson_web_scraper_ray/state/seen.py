@@ -180,7 +180,10 @@ def make_shard_actors(n_shards: int, capacity: int = 1 << 16):
 
     # near-zero reservation: shards are RPC-bound, not CPU-bound; a full
     # reservation would starve the map stages on small nodes
-    remote_cls = ray.remote(num_cpus=0.05)(SeenShard)
+    # num_cpus=0: shards are memory services (dict/filter probes),
+    # never CPU-bound; reserving CPU would let them overcommit the
+    # session when the crawl's worker pool fills every core
+    remote_cls = ray.remote(num_cpus=0)(SeenShard)
     return [remote_cls.remote(i, capacity) for i in range(n_shards)]
 
 
