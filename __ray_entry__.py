@@ -295,6 +295,77 @@ def _q_url_algebra(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    df["a"] = df["a"].astype("int64")
+    df["b"] = df["b"].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_crawl_content_dedup(sf_dir: str):
+    """Exact content dedup over the crawl output: groupby(link_hash =
+    md5(html)) on the articles table of a 2-round crawl (D5 in SURVEY.md
+    §2.7; rows-only — the crawl is not SQL-expressible)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    arts_dir = _crawl_for(sf_dir)
+    out = rd.read_parquet(arts_dir, columns=["url", "link_hash"]) \
+        .groupby("link_hash") \
+        .aggregate(Count(alias_name="n_dups"), Min("url", alias_name="keep_url"))
+    df = out.to_pandas().sort_values("link_hash").reset_index(drop=True)
+    df["n_dups"] = df["n_dups"].astype("int64")
+    return df
+
+
+def _q_crawl_metrics(sf_dir: str):
+    """Per-(round, host) crawl lineage from the checkpoints — the
+    metrics rows written with every round (A7; rows-only)."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    arts_dir = _crawl_for(sf_dir)
+    ckpt_dir = arts_dir.replace("/articles", "/checkpoints")
+    parts = [_pq.read_table(f).to_pandas()
+             for f in sorted(_glob.glob(ckpt_dir + "/round=*/metrics.parquet"))]
+    df = pd.concat(parts, ignore_index=True)
+    return df.sort_values(["round", "host"]).reset_index(drop=True)
+
+
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _crawl_for(sf_dir: str) -> str:
+    """Run (once per sf_dir per process) the standard 2-round crawl the
+    crawl-derived queries share; returns the articles dir."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
+    import shutil
+
+    from stimson_web_scraper_ray.config import EngineConfig
+    from stimson_web_scraper_ray.functions.urlnorm import canon_hash64
+    from stimson_web_scraper_ray.pipelines.crawl import crawl
+    from stimson_web_scraper_ray.sources.pages import pages_path_for, seed_urls
+
+    pages_path = pages_path_for(sf_dir)
+    seeds = seed_urls(pages_path)
+    cfg = EngineConfig(per_host_budget=50, round_budget=2000, seen_shards=4,
+                       extract_concurrency=4, fetch_concurrency=2)
+    out_dir = f"/tmp/swsr_q_crawlshared_{canon_hash64(sf_dir) % 10**8}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = crawl(pages_path, seeds, cfg, out_dir=out_dir, max_rounds=2)
+    _CRAWL_CACHE[sf_dir] = res.articles_path
+    return res.articles_path
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # documents / text analysis
@@ -309,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -327,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords_nlp": _q_doc_keywords_nlp,
         # crawl / url / multimodal (rows-only)
         "crawl_flagship": _q_crawl_flagship,
+        "crawl_content_dedup": _q_crawl_content_dedup,
+        "crawl_metrics": _q_crawl_metrics,
         "url_algebra": _q_url_algebra,
         "multimodal_decode": _q_multimodal_decode,
     }
@@ -353,6 +427,32 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY md5(text) ORDER BY text_md5
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+              FROM toks
+            ), gsets AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN gsets na ON na.doc_id = a
+            JOIN gsets nb ON nb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+            ORDER BY a, b
         """,
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -385,3 +385,83 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
 
     return rd.from_pandas(df.drop_duplicates(["a", "b"])
                           .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+# --- n-gram Jaccard (exact, inverted-index form) ----------------------------
+
+_WORD_SPLIT = None  # compiled lazily per worker
+
+
+def _word_ngrams(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-grams of lower(text) split on [^a-z0-9_]+ — the
+    tokenization is shared verbatim with the DuckDB oracle in
+    __ray_entry__.oracle_sql()['ngram_jaccard_pairs']."""
+    global _WORD_SPLIT
+    if _WORD_SPLIT is None:
+        import re
+
+        _WORD_SPLIT = re.compile(r"[^a-z0-9_]+")
+    ws = [w for w in _WORD_SPLIT.split((text or "").lower()) if w]
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Exact n-gram Jaccard near-dup pairs via a distributed inverted
+    index: doc → distinct n-grams → (gram_hash, doc) rows →
+    ``groupby(gram_hash)`` (the one wide shuffle) → per-bucket pairs →
+    ``groupby(a, b)`` intersection counts → Jaccard against broadcast
+    set sizes. Gram strings never shuffle — only 64-bit FNV hashes
+    (collision odds ~G²/2⁶⁴, immaterial against the oracle corpus)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        gh, dids = [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            for g in _word_ngrams(text, n):
+                gh.append(fnv1a_64(g.encode("utf-8")))
+                dids.append(did)
+        return pa.table({"gram": pa.array(gh, pa.uint64()),
+                         "doc_id": pa.array(dids, pa.int64())})
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        ns = [len(_word_ngrams(t, n)) for t in batch[text_col].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(ns, pa.int64())})
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64")})
+
+    size_df = ds.map_batches(sizes, batch_format="pyarrow").to_pandas()
+    nmap = dict(zip(size_df["doc_id"], size_df["n_grams"]))
+    nref = ray.put(nmap)  # broadcast small side — no shuffle join
+
+    inter = ds.map_batches(gram_rows, batch_format="pyarrow") \
+        .groupby("gram").map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="i"))
+
+    def jaccard_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nref)
+        na = batch["a"].map(nm)
+        nb = batch["b"].map(nm)
+        jac = batch["i"] / (na + nb - batch["i"])
+        batch = batch.assign(jaccard=jac.round(4))
+        return batch[batch["jaccard"] >= threshold][["a", "b", "jaccard"]]
+
+    df = inter.map_batches(jaccard_filter, batch_format="pandas").to_pandas()
+    if df.empty:
+        return rd.from_pandas(pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}))
+    return rd.from_pandas(df.sort_values(["a", "b"]).reset_index(drop=True))
