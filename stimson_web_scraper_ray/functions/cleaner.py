@@ -130,7 +130,7 @@ class DocumentCleaner:
     def clean_bad_tags(self, doc):
         # document_cleaner.py:132-148
         for attr in ("id", "class", "name"):
-            for node in list(doc.iter()):
+            for node in dom._preorder(doc):
                 val = node.attrib.get(attr)
                 if val is None or not self.remove_nodes_re.search(val):
                     continue
@@ -145,14 +145,14 @@ class DocumentCleaner:
     def remove_nodes_matching(self, doc, pattern: re.Pattern):
         # document_cleaner.py:150-156
         for attr in ("id", "class"):
-            for node in list(doc.iter()):
+            for node in dom._preorder(doc):
                 val = node.attrib.get(attr)
                 if val is not None and pattern.search(val) and node.parent is not None:
                     dom.remove(node)
 
     def remove_nodes_matching_many(self, doc, patterns):
         hits = []
-        for node in doc.iter():
+        for node in dom._preorder(doc):
             node_id = node.attrib.get("id")
             node_cls = node.attrib.get("class")
             if node_id is None and node_cls is None:

@@ -163,7 +163,7 @@ def get_authors(doc: Node) -> list[str]:
     # (attr, val), then replay in the reference's attr-major order so the
     # resulting match order is identical (content_extractor.py:156-162)
     buckets: dict[tuple[int, int], list[Node]] = {}
-    nodes_in_order = [n for n in doc.iter() if n.tag != dom.COMMENT]
+    nodes_in_order = [n for n in dom._preorder(doc) if n.tag != dom.COMMENT]
     for node in nodes_in_order:
         for ai, attr in enumerate(ATTRS):
             av = node.attrib.get(attr)

@@ -47,7 +47,7 @@ class BestNodeScorer:
         # extracts).  Empty-text nodes are filtered downstream by the
         # get_text()/stopword gate in calculate_best_node.
         wanted = ("p", "pre", "td")
-        return [n for n in doc.iter() if n.tag in wanted]
+        return [n for n in dom._preorder(doc) if n.tag in wanted]
 
     def _nodes_to_check_fallback(self, html) -> list[Node]:
         """Re-parse raw html and lift p/pre/td text into a fake body —

@@ -107,14 +107,41 @@ def redirect_back(url: str, source_domain: str) -> str:
     return url
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 15)
+def _netloc_of(url: str) -> str:
+    return urlparse(url).netloc
+
+
+@lru_cache(maxsize=1 << 16)
+def _prepare_absolute(url: str, source_netloc: str) -> str:
+    """prepare_url fast path for already-absolute hrefs: urljoin(source,
+    absolute) == absolute, so the result depends only on (url,
+    source_netloc) — cacheable across pages (site-template nav links
+    repeat on every page of a host)."""
+    try:
+        proper = redirect_back(url, source_netloc)
+        if proper.endswith("/"):
+            proper = proper[:-1]
+        if proper.endswith("\n"):
+            proper = proper[:-1]
+    except ValueError:
+        proper = ""
+    return proper
+
+
 def prepare_url(url: str, source_url: str | None = None) -> str:
     """Canonicalize a URL: join relative against source, unwrap redirects,
     strip a single trailing '/' or newline. '' on parse failure.
     Reference: urls.py:82-103."""
     try:
         if source_url is not None:
+            if url.startswith(("http://", "https://")):
+                return _prepare_absolute(url, _netloc_of(source_url))
             proper = urljoin(source_url, url)
-            proper = redirect_back(proper, urlparse(source_url).netloc)
+            proper = redirect_back(proper, _netloc_of(source_url))
         else:
             proper = url
         if proper.endswith("/"):
