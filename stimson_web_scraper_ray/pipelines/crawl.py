@@ -238,18 +238,33 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
         shutil.rmtree(round_dir, ignore_errors=True)
         os.makedirs(round_dir, exist_ok=True)
 
-        # bucket by part_key % pool: a (sub-)host always lands on the same
-        # actor, every round; buckets stay (part_key, url)-sorted. The
-        # exact in-round dedup (D2) then happens on the driver's bounded
-        # planning table below (the whole frontier is pulled there for
-        # budget planning anyway); at a scale where candidates outgrow the
-        # driver this step becomes the groupby(url_hash) shuffle — same
-        # algebra, wider exchange.
+        # Route each (sub-)host group to one actor (politeness: a host's
+        # token bucket never spans actors within a round) with
+        # deterministic LPT bin-packing — largest group first onto the
+        # least-loaded actor. Naive part_key % pool hashing collided
+        # hosts into lumpy buckets (observed 9.7k rows on one actor, 23 on
+        # another → the round runs at straggler speed); LPT bounds the max
+        # bucket at ~total/pool as long as per_host_budget/salt_buckets
+        # keeps single groups small. The exact in-round dedup (D2) then
+        # happens on the driver's bounded planning table below; at a scale
+        # where candidates outgrow the driver this step becomes the
+        # groupby(url_hash) shuffle — same algebra, wider exchange.
+        groups = salted.groupby("part_key", sort=True)
+        sizes = groups.size().sort_values(ascending=False, kind="mergesort")
+        loads = [0] * pool_size
+        assign: dict[int, int] = {}
+        for pk, sz in sizes.items():
+            aid = loads.index(min(loads))
+            assign[pk] = aid
+            loads[aid] += int(sz)
+        per_actor: dict[int, list] = {}
+        for pk, grp in groups:
+            per_actor.setdefault(assign[pk], []).append(grp)
         refs = []
-        for aid, grp in salted.groupby(salted["part_key"] % pool_size,
-                                       sort=False):
-            tbl = pa.Table.from_pandas(grp, preserve_index=False)
-            refs.append(pool[int(aid)].process.remote(tbl, round_dir))
+        for aid in sorted(per_actor):
+            df = pd.concat(per_actor[aid], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
+            refs.append(pool[aid].process.remote(tbl, round_dir))
         plan_parts = [t for t in ray.get(refs) if t.num_rows]
         if plan_parts:
             plan_df = pa.concat_tables(plan_parts).to_pandas()

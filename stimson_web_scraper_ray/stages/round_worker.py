@@ -65,7 +65,12 @@ class CrawlRoundWorker:
         chunks to ``extract_batch_size`` so a large per-actor bucket never
         holds more than one chunk of html + DOMs in memory."""
         n = batch.num_rows
-        step = max(1, self.cfg.extract_batch_size)
+        # chunk well above extract_batch_size: each chunk pays one parquet
+        # range-probe ("network fetch") and writes one output part file, so
+        # 64-row chunks mean ~10x more probes and a spray of tiny files;
+        # html for 512 rows is only ~1.5-50 MB and the DOM is per-row
+        # transient inside extract_article
+        step = max(512, self.cfg.extract_batch_size)
         if n > step:
             parts = [self._process_chunk(batch.slice(off, step), round_dir)
                      for off in range(0, n, step)]

@@ -57,7 +57,13 @@ def salt_hosts(batch: pa.Table, heavy_hosts: dict[str, int],
     hosts). ``heavy_hosts`` maps host → candidate count (from a small
     groupby done once per round)."""
     hosts = batch["host"].to_pylist()
-    hashes = batch["url_hash"].to_numpy(zero_copy_only=False)
+    # NB: stay in uint64 for the modulo — `np.uint64 % python_int` promotes
+    # BOTH operands to float64 (numpy mixed-kind rule), which rounds away
+    # the low bits of a 64-bit hash and made every salt come out 0 (one
+    # heavy host collapsed onto a single part_key → straggler actor).
+    salts = (np.asarray(batch["url_hash"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64)
+             % np.uint64(salt_buckets)).astype(np.int64)
     keys = np.empty(len(hosts), dtype=np.int64)
     host_hash_cache: dict[str, int] = {}
     for i, h in enumerate(hosts):
@@ -67,7 +73,7 @@ def salt_hosts(batch: pa.Table, heavy_hosts: dict[str, int],
             base = canon_hash64(h) & 0x7FFFFFFF
             host_hash_cache[h] = base
         if h in heavy_hosts:
-            keys[i] = base + int(hashes[i] % salt_buckets) + 1
+            keys[i] = base + int(salts[i]) + 1
         else:
             keys[i] = base
     return batch.append_column("part_key", pa.array(keys, pa.int64()))
