@@ -127,6 +127,41 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_crawl_only() -> dict:
+    """One crawl-pipeline run (3 BFS rounds over the scaling table) at
+    NUM_CPUS — the subprocess body of the crawl half of --scaling."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from stimson_web_scraper_ray.config import EngineConfig
+    from stimson_web_scraper_ray.pipelines.crawl import crawl
+    from stimson_web_scraper_ray.sources.pages import pages_path_for, seed_urls
+
+    pages_path = pages_path_for(SF_DIR, copies=BENCH_COPIES)
+    seeds = seed_urls(pages_path, n_seeds=4096)
+    cfg = EngineConfig(per_host_budget=8000, round_budget=80000,
+                       seen_shards=8,
+                       extract_concurrency=max(2, int(NUM_CPUS * 0.85)),
+                       fixed_pools=True)
+    out_dir = "/tmp/swsr_bench/crawl_scaling"
+    best, fetched = 9e9, 0
+    # 1 rep by default: the crawl half of --scaling is ~4x the headline's
+    # wall time at the low cpu level; keep the whole --scaling run bounded
+    for _ in range(int(os.environ.get("GRAFT_CRAWL_REPS", "1"))):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = crawl(pages_path, seeds, cfg, out_dir=out_dir, max_rounds=3)
+        best = min(best, time.time() - t0)
+        fetched = res.pages_fetched
+    ray.shutdown()
+    return {"sec": round(best, 3), "pages": fetched,
+            "pages_per_sec": round(fetched / best, 1)}
+
+
 def run_bench(headline_only: bool = False) -> dict:
     import ray
 
@@ -164,8 +199,9 @@ def run_bench(headline_only: bool = False) -> dict:
 
 
 def run_scaling() -> dict:
-    """Two fresh processes, identical input (pre-built before timing),
-    headline pipeline only; efficiency = tput_32 / (4 × tput_8)."""
+    """Fresh processes on identical input (pre-built before timing): the
+    headline bulk pipeline AND the full 3-round crawl pipeline, each at
+    both parallelism levels; efficiency = tput_hi / ((hi/lo) × tput_lo)."""
     # build the pages cache OUTSIDE both timed subprocesses
     import ray
 
@@ -176,19 +212,21 @@ def run_scaling() -> dict:
     pages_path_for(SF_DIR, copies=SCALING_COPIES)
     ray.shutdown()
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, mode: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_COPIES=str(SCALING_COPIES))
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                              "--headline-only"],
+                              mode],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     n_lo, n_hi = SCALING_CPUS
-    lo, hi = run(n_lo), run(n_hi)
+    lo, hi = run(n_lo, "--headline-only"), run(n_hi, "--headline-only")
     tput_lo, tput_hi = lo["pages_per_sec"], hi["pages_per_sec"]
     eff = tput_hi / ((n_hi / n_lo) * tput_lo)
+    clo, chi = run(n_lo, "--crawl-only"), run(n_hi, "--crawl-only")
+    ceff = chi["pages_per_sec"] / ((n_hi / n_lo) * clo["pages_per_sec"])
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -197,11 +235,19 @@ def run_scaling() -> dict:
         f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
         f"pages_per_sec_{n_lo}": tput_lo, f"pages_per_sec_{n_hi}": tput_hi,
         "pages": hi["pages"], "sf": SF_DIR,
+        "crawl_efficiency": round(ceff, 3),
+        f"crawl_pages_per_sec_{n_lo}": clo["pages_per_sec"],
+        f"crawl_pages_per_sec_{n_hi}": chi["pages_per_sec"],
+        "crawl_pages": chi["pages"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--crawl-only" in sys.argv:
+        r = run_crawl_only()
+        print(json.dumps({"value": r["sec"], "pages": r["pages"],
+                          "pages_per_sec": r["pages_per_sec"]}))
     else:
         print(json.dumps(run_bench(headline_only="--headline-only" in sys.argv)))

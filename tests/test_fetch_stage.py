@@ -63,3 +63,25 @@ def test_depth_passthrough(pages_path):
     f = Fetcher(pages_path)
     out = f(_frontier_batch(real, depths=[3, 3]))
     assert out["depth"].to_pylist() == [3, 3]
+
+
+def test_salt_hosts_spreads_heavy_host_uniformly():
+    """Regression: `np.uint64 % python_int` promotes to float64 and zeroes
+    the low hash bits — every salt came out 0 and a heavy host collapsed
+    onto one part_key (one actor ran ~30% of a round serially)."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.functions.urlnorm import canon_hash64
+    from stimson_web_scraper_ray.stages.url_stage import salt_hosts
+
+    urls = [f"http://heavy.example.com/2014/01/01/s{i}.html"
+            for i in range(1000)]
+    t = pa.table({
+        "url_canon": pa.array(urls),
+        "url_hash": pa.array([canon_hash64(u) for u in urls], pa.uint64()),
+        "host": pa.array(["heavy.example.com"] * 1000),
+    })
+    out = salt_hosts(t, {"heavy.example.com": 1000}, 16).to_pandas()
+    sizes = out.groupby("part_key").size()
+    assert len(sizes) == 16, f"expected 16 salt buckets, got {len(sizes)}"
+    assert sizes.max() < 200, f"salting is lumpy: {sizes.tolist()}"
