@@ -345,6 +345,246 @@ def decode_html(html) -> str:
     return html.decode("latin-1", errors="replace")
 
 
+# ---------------------------------------------------------------------------
+# fast tokenizer: html.parser's goahead/parse_* loop re-rolled for the
+# whole-document case, REUSING the stdlib's own tolerant regexes so the
+# tokenization semantics are bit-identical — what goes away is the
+# feed()/updatepos()/handler-dispatch bookkeeping (~30% of kernel time).
+# Any exception falls back to the stdlib HTMLParser drive loop.
+# ---------------------------------------------------------------------------
+
+import _markupbase as _mb
+import html.parser as _hp
+from html import unescape as _html_unescape
+
+_STARTTAGOPEN = _hp.starttagopen
+_CHARREF_RE = _hp.charref
+_ENTITYREF_RE = _hp.entityref
+_INCOMPLETE_RE = _hp.incomplete
+_TAGFIND_T = _hp.tagfind_tolerant
+_ATTRFIND_T = _hp.attrfind_tolerant
+_LOCATESTART_T = _hp.locatestarttagend_tolerant
+_ENDENDTAG = _hp.endendtag
+_ENDTAGFIND = _hp.endtagfind
+_PICLOSE = _hp.piclose
+_COMMENTCLOSE_RE = _mb._commentclose
+_MARKEDCLOSE_RE = _mb._markedsectionclose
+_MSMARKEDCLOSE_RE = _mb._msmarkedsectionclose
+_DECLNAME_MATCH = _mb._declname_match
+_ALNUM_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyz=/"
+                            "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_CDATA_RES = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+              for t in ("script", "style")}
+
+
+def _fast_feed(rawdata: str, tb: "_TreeBuilder") -> None:
+    """Equivalent of tb.feed(rawdata); tb.close() for a complete document
+    (HTMLParser.goahead with end=True, convert_charrefs=False)."""
+    i, n = 0, len(rawdata)
+    find = rawdata.find
+    startswith = rawdata.startswith
+    handle_data = tb.handle_data
+    cdata_elem: str | None = None
+    cdata_re = None
+    while i < n:
+        if cdata_elem is None:
+            lt = find("<", i)
+            amp = find("&", i)
+            if lt < 0:
+                j = n if amp < 0 else amp
+            elif amp < 0:
+                j = lt
+            else:
+                j = lt if lt < amp else amp
+        else:
+            m = cdata_re.search(rawdata, i)
+            if m is None:
+                # unterminated CDATA at EOF: stdlib drops the tail
+                return
+            j = m.start()
+        if i < j:
+            handle_data(rawdata[i:j])
+        i = j
+        if i >= n:
+            break
+        c = rawdata[i]
+        if c == "<":
+            if _STARTTAGOPEN.match(rawdata, i):
+                k, cdata_elem, cdata_re = _fast_starttag(rawdata, i, tb)
+            elif startswith("</", i):
+                k, cdata_elem, cdata_re = _fast_endtag(
+                    rawdata, i, tb, cdata_elem, cdata_re)
+            elif startswith("<!--", i):
+                m = _COMMENTCLOSE_RE.search(rawdata, i + 4)
+                if m:
+                    tb.handle_comment(rawdata[i + 4:m.start()])
+                    k = m.end()
+                else:
+                    k = -1
+            elif startswith("<?", i):
+                m = _PICLOSE.search(rawdata, i + 2)
+                k = m.end() if m else -1  # handle_pi is a no-op
+            elif startswith("<!", i):
+                k = _fast_decl(rawdata, i, tb)
+            elif i + 1 < n:
+                handle_data("<")
+                k = i + 1
+            else:
+                break
+            if k < 0:
+                # end=True recovery: emit through the next > (or <) as data
+                k = find(">", i + 1)
+                if k < 0:
+                    k = find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                handle_data(rawdata[i:k])
+            i = k
+        elif startswith("&#", i):
+            m = _CHARREF_RE.match(rawdata, i)
+            if m:
+                tb.handle_charref(m.group()[2:-1])
+                k = m.end()
+                if rawdata[k - 1] != ";":
+                    k -= 1
+                i = k
+                continue
+            if ";" in rawdata[i:]:
+                handle_data(rawdata[i:i + 2])
+                i += 2
+            break
+        else:  # '&'
+            m = _ENTITYREF_RE.match(rawdata, i)
+            if m:
+                tb.handle_entityref(m.group(1))
+                k = m.end()
+                if rawdata[k - 1] != ";":
+                    k -= 1
+                i = k
+                continue
+            m = _INCOMPLETE_RE.match(rawdata, i)
+            if m:
+                if m.group() == rawdata[i:]:
+                    i += 1
+                break
+            if i + 1 < n:
+                handle_data("&")
+                i += 1
+            else:
+                break
+    if i < n and cdata_elem is None:
+        handle_data(rawdata[i:n])
+
+
+def _fast_starttag(rawdata, i, tb):
+    # HTMLParser.check_for_whole_start_tag + parse_starttag
+    m = _LOCATESTART_T.match(rawdata, i)
+    j = m.end()
+    nxt = rawdata[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if rawdata.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return -1, None, None  # lone trailing '/'
+    elif nxt == "" or nxt in _ALNUM_EQ_SLASH:
+        return -1, None, None
+    else:
+        endpos = j if j > i else i + 1
+    tm = _TAGFIND_T.match(rawdata, i + 1)
+    k = tm.end()
+    tag = tm.group(1).lower()
+    attrs = []
+    while k < endpos:
+        am = _ATTRFIND_T.match(rawdata, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                attrvalue[:1] == '"' == attrvalue[-1:]:
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _html_unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+    end = rawdata[k:endpos].strip()
+    if end not in (">", "/>"):
+        tb.handle_data(rawdata[i:endpos])
+        return endpos, None, None
+    if end.endswith("/>"):
+        tb.handle_startendtag(tag, attrs)
+        return endpos, None, None
+    tb.handle_starttag(tag, attrs)
+    if tag in _CDATA_RES:
+        return endpos, tag, _CDATA_RES[tag]
+    return endpos, None, None
+
+
+def _fast_endtag(rawdata, i, tb, cdata_elem, cdata_re):
+    m = _ENDENDTAG.search(rawdata, i + 1)
+    if not m:
+        return -1, cdata_elem, cdata_re
+    gtpos = m.end()
+    m = _ENDTAGFIND.match(rawdata, i)
+    if not m:
+        if cdata_elem is not None:
+            tb.handle_data(rawdata[i:gtpos])
+            return gtpos, cdata_elem, cdata_re
+        nm = _TAGFIND_T.match(rawdata, i + 2)
+        if not nm:
+            if rawdata[i:i + 3] == "</>":
+                return i + 3, None, None
+            pos = rawdata.find(">", i + 2)
+            if pos == -1:
+                return -1, None, None
+            tb.handle_comment(rawdata[i + 2:pos])
+            return pos + 1, None, None
+        tagname = nm.group(1).lower()
+        gtpos = rawdata.find(">", nm.end())
+        tb.handle_endtag(tagname)
+        return gtpos + 1, None, None
+    elem = m.group(1).lower()
+    if cdata_elem is not None and elem != cdata_elem:
+        tb.handle_data(rawdata[i:gtpos])
+        return gtpos, cdata_elem, cdata_re
+    tb.handle_endtag(elem)
+    return gtpos, None, None
+
+
+def _fast_decl(rawdata, i, tb):
+    # parse_html_declaration minus the <!-- case (dispatched earlier)
+    if rawdata[i:i + 3] == "<![":
+        m = _DECLNAME_MATCH(rawdata, i + 3)
+        if not m or i + 3 + len(m.group()) == len(rawdata):
+            return -1
+        name = m.group().strip().lower()
+        if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+            mm = _MARKEDCLOSE_RE.search(rawdata, i + 3)
+        elif name in ("if", "else", "endif"):
+            mm = _MSMARKEDCLOSE_RE.search(rawdata, i + 3)
+        else:
+            raise AssertionError(
+                "unknown status keyword %r in marked section" % name)
+        if not mm:
+            return -1
+        return mm.end()  # unknown_decl is a no-op
+    if rawdata[i:i + 9].lower() == "<!doctype":
+        gtpos = rawdata.find(">", i + 9)
+        if gtpos == -1:
+            return -1
+        return gtpos + 1  # handle_decl is a no-op
+    pos = rawdata.find(">", i + 2)
+    if pos == -1:
+        return -1
+    tb.handle_comment(rawdata[i + 2:pos])
+    return pos + 1
+
+
 def fromstring(html) -> Node:
     """Parse HTML (str or bytes) into a tree; strips an ``<?xml?>`` prolog
     first like the reference (parser.py:73-74)."""
@@ -352,9 +592,14 @@ def fromstring(html) -> Node:
     if html.startswith("<?"):
         html = _XML_PROLOG_RE.sub("", html)
     builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
-    return builder.root
+    try:
+        _fast_feed(html, builder)
+        return builder.root
+    except Exception:
+        builder = _TreeBuilder()
+        builder.feed(html)
+        builder.close()
+        return builder.root
 
 
 # --------------------------------------------------------------------------

@@ -260,3 +260,39 @@ def test_select_top_image():
     assert select_top_image([("http://x.co/sprite.png", 1000, 1000),
                              ("http://x.co/photo.jpg", 400, 200)]) == \
         "http://x.co/sprite.png"
+
+
+def test_fast_tokenizer_tree_identical_to_stdlib():
+    """The fast scanner (dom._fast_feed) must build byte-identical trees
+    to the stdlib HTMLParser drive loop on the whole fixture corpus —
+    it reuses the stdlib's tolerant regexes, so any divergence is a bug."""
+    import glob
+
+    from stimson_web_scraper_ray.functions import dom
+
+    def build(raw, fast):
+        html = dom.decode_html(raw)
+        if html.startswith("<?"):
+            html = dom._XML_PROLOG_RE.sub("", html)
+        b = dom._TreeBuilder()
+        if fast:
+            dom._fast_feed(html, b)
+        else:
+            b.feed(html)
+            b.close()
+        return b.root
+
+    def tree_eq(a, b):
+        if a.tag != b.tag or a.attrib != b.attrib \
+                or (a.text or "") != (b.text or "") \
+                or (a.tail or "") != (b.tail or ""):
+            return False
+        ac, bc = a.getchildren(), b.getchildren()
+        return len(ac) == len(bc) and all(
+            tree_eq(x, y) for x, y in zip(ac, bc))
+
+    files = sorted(glob.glob("/root/reference/tests/fixtures/html/*.html"))
+    assert len(files) > 100
+    for f in files:
+        raw = open(f, "rb").read()
+        assert tree_eq(build(raw, False), build(raw, True)), f
