@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "session_start", "n_events"]],
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
         "event_props_sum_k": lambda sf: _mk("parse_event_props")(sf),
+        "asof_error_click": lambda sf: _mk("asof_error_click")(sf),
         # scalar extractors / nlp tier
         "doc_emails": _q_doc_emails,
         "doc_keywords_nlp": _q_doc_keywords_nlp,
@@ -453,6 +454,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN gsets nb ON nb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
             ORDER BY a, b
+        """,
+        "asof_error_click": """
+            SELECT e.event_id, e.user_id, e.ts AS err_ts,
+                   c.event_id AS click_event_id, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+            ORDER BY e.event_id
         """,
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs

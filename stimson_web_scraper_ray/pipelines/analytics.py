@@ -216,3 +216,47 @@ def parse_event_props(sf_dir: str):
     df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
     df["sum_k"] = df["sum_k"].astype("int64")
     return df
+
+
+def asof_error_click(sf_dir: str):
+    """As-of join — an operator Ray Data lacks natively, composed as
+    ``groupby(key).map_groups`` with a per-group time sort + vectorized
+    backward searchsorted (the composition form the driver brief names for
+    as-of/range joins). Semantics: for each 'error' event, the most recent
+    'click' of the SAME user at or before the error's timestamp (inner —
+    errors with no prior click drop out). Partitioning assumption: both
+    sides co-partition on the join key (one groupby shuffle); within a
+    group the time sort is local. Matches DuckDB's ``ASOF JOIN`` oracle."""
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        errors = g[g["event_type"] == "error"]
+        clicks = g[g["event_type"] == "click"]
+        if errors.empty or clicks.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "err_ts": pd.Series(dtype="datetime64[us]"),
+                "click_event_id": pd.Series(dtype="int64"),
+                "click_ts": pd.Series(dtype="datetime64[us]"),
+            })
+        idx = np.searchsorted(clicks["ts"].to_numpy(),
+                              errors["ts"].to_numpy(), side="right") - 1
+        keep = idx >= 0
+        errors = errors[keep]
+        matched = clicks.iloc[idx[keep]]
+        return pd.DataFrame({
+            "event_id": errors["event_id"].to_numpy(),
+            "user_id": errors["user_id"].to_numpy(),
+            "err_ts": errors["ts"].to_numpy(),
+            "click_event_id": matched["event_id"].to_numpy(),
+            "click_ts": matched["ts"].to_numpy(),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["click_event_id"] = df["click_event_id"].astype("int64")
+    return df
