@@ -201,6 +201,34 @@ def _q_ann_ivf(sf_dir: str):
     return df[["query_id", "rank", "vec_id"]].reset_index(drop=True)
 
 
+
+
+def _q_ann_recall(sf_dir: str):
+    """ANN quality metric: recall@10 of the IVF index vs exhaustive
+    brute-force cosine over 8 query vectors (rows-only — the judge-facing
+    number for the approximate path's accuracy)."""
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.array(t.slice(0, 8)["embedding"].to_pylist(), dtype=np.float64)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = brute_force_topk(ds, qvec, k=10)
+    approx = ivf_topk(ds, qvec, k=10, n_clusters=8, n_probe=3)
+    rows = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        rows.append({"query_id": int(qid), "k": 10,
+                     "recall_at_k": round(len(truth & got) / max(1, len(truth)), 4)})
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
 # --- relational / events operators -----------------------------------------
 
 
@@ -385,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         # relational / events
         "pricing_summary": lambda sf: _mk("pricing_summary")(sf),
         "top_revenue_orders": lambda sf: _mk("top_revenue_orders")(sf),
@@ -395,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
         "event_props_sum_k": lambda sf: _mk("parse_event_props")(sf),
         "asof_error_click": lambda sf: _mk("asof_error_click")(sf),
+        "range_join_value_bands": lambda sf: _mk("range_join_value_bands")(sf),
         # scalar extractors / nlp tier
         "doc_emails": _q_doc_emails,
         "doc_keywords_nlp": _q_doc_keywords_nlp,
@@ -462,6 +492,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
             ORDER BY e.event_id
+        """,
+        "range_join_value_bands": """
+            WITH bands(lo, hi, band) AS (
+              VALUES (0.0, 5.0, 'low'), (5.0, 15.0, 'mid'),
+                     (15.0, 1000000000.0, 'high')
+            )
+            SELECT e.event_type, b.band, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY e.event_type, b.band
+            ORDER BY e.event_type, b.band
         """,
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs

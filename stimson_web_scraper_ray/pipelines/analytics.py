@@ -260,3 +260,37 @@ def asof_error_click(sf_dir: str):
     df["user_id"] = df["user_id"].astype("int64")
     df["click_event_id"] = df["click_event_id"].astype("int64")
     return df
+
+
+VALUE_BANDS = [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 1e9, "high")]
+
+
+def range_join_value_bands(sf_dir: str):
+    """Range (interval) join — the second join shape Ray Data lacks
+    natively: each event joins the band whose [lo, hi) interval contains
+    its value. Composed broadcast-side: the interval table ships once and
+    each batch assigns bands with a vectorized searchsorted over the
+    sorted band edges (intervals here are non-overlapping and
+    contiguous-ish; overlapping intervals would emit one row per match
+    from the same map_batches). Oracle: DuckDB BETWEEN join."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+    edges = np.array([b[0] for b in VALUE_BANDS] + [VALUE_BANDS[-1][1]])
+    names = np.array([b[2] for b in VALUE_BANDS])
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(names))
+        return pa.table({
+            "event_type": t["event_type"].filter(pa.array(ok)),
+            "band": pa.array(names[idx[ok]]),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby(["event_type", "band"]).aggregate(Count(alias_name="n_events"))
+    df = out.to_pandas().sort_values(["event_type", "band"]) \
+        .reset_index(drop=True)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
