@@ -198,6 +198,27 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
                 politeness_delay_s=cfg.politeness_delay_s)
             for _ in range(pool_size)]
 
+    try:
+        total_fetched = _run_rounds(
+            pool, pool_size, shards, frontier, start_round, max_rounds,
+            cfg, articles_dir, ckpt_dir)
+    finally:
+        for actor in pool:
+            ray.kill(actor)
+
+    seen_size = sum(ray.get([s.size.remote() for s in shards]))
+    return CrawlResult(
+        rounds=max_rounds, pages_fetched=total_fetched,
+        articles_path=articles_dir, checkpoint_dir=ckpt_dir,
+        seen_size=seen_size)
+
+
+def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
+                cfg, articles_dir, ckpt_dir) -> int:
+    import ray
+
+    import shutil
+
     total_fetched = 0
     for rnd in range(start_round, max_rounds):
         if frontier.empty:
@@ -354,13 +375,7 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
 
         _checkpoint_round(ckpt_dir, rnd, frontier, shards, metrics)
 
-    seen_size = sum(ray.get([s.size.remote() for s in shards]))
-    for actor in pool:
-        ray.kill(actor)
-    return CrawlResult(
-        rounds=max_rounds, pages_fetched=total_fetched,
-        articles_path=articles_dir, checkpoint_dir=ckpt_dir,
-        seen_size=seen_size)
+    return total_fetched
 
 
 def final_seen_hashes(ckpt_dir: str, rnd: int, n_shards: int) -> np.ndarray:
