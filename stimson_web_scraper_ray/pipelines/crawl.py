@@ -238,8 +238,8 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         # The threshold is RELATIVE to the round: any host holding more
         # than a ~1/pool share of the budget is a straggler for its pinned
         # actor, so salt it over salt_buckets sub-keys (deterministic:
-        # url_hash % buckets). An absolute threshold alone leaves a 30%%
-        # host unsalted in small rounds and one actor does 30%% of the
+        # url_hash % buckets). An absolute threshold alone leaves a 30%
+        # host unsalted in small rounds and one actor does 30% of the
         # round serially.
         counts = budget["host"].value_counts()
         salt_at = min(cfg.heavy_host_threshold,

@@ -126,3 +126,40 @@ def test_jaccard_symmetric_bounded(a, b):
 def test_shingles_deterministic(ws):
     t = " ".join(ws)
     assert shingle_hashes(t).tolist() == shingle_hashes(t).tolist()
+
+
+@given(st.text(alphabet=st.characters(), max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_inner_trim_matches_reference_formulation(s):
+    """inner_trim's C-level split/join must equal the reference's
+    regex-collapse + splitlines-join + strip (utils.py:307-313)."""
+    import re
+
+    from stimson_web_scraper_ray.functions.dom import inner_trim
+
+    ws_re = re.compile(r"[\s\t]+")
+    ref = "".join(ws_re.sub(" ", s).splitlines()).strip()
+    assert inner_trim(s) == ref
+
+
+@given(st.integers(min_value=2, max_value=64),
+       st.integers(min_value=50, max_value=400))
+@settings(max_examples=20, deadline=None)
+def test_salt_hosts_spread_property(buckets, n):
+    """A salted heavy host must spread over ~all salt buckets with no
+    bucket holding more than a few times its fair share (regression for
+    the uint64 % int float-promotion bug)."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.functions.urlnorm import canon_hash64
+    from stimson_web_scraper_ray.stages.url_stage import salt_hosts
+
+    urls = [f"http://h.example.com/a/{i}.html" for i in range(n)]
+    t = pa.table({
+        "url_canon": pa.array(urls),
+        "url_hash": pa.array([canon_hash64(u) for u in urls], pa.uint64()),
+        "host": pa.array(["h.example.com"] * n),
+    })
+    out = salt_hosts(t, {"h.example.com": n}, buckets).to_pandas()
+    sizes = out.groupby("part_key").size()
+    assert sizes.max() <= max(8, 4 * n // buckets)
