@@ -85,6 +85,15 @@ def _headline_bulk_extract(pages_path: str, num_cpus: int) -> dict:
     return {"sec": dt, "pages": n_pages, "pages_per_sec": n_pages / dt}
 
 
+def _crawl_pool(num_cpus: int) -> int:
+    """Crawl worker-pool size per parallelism level: ~85% of the node
+    below the saturation knee, but num_cpus//2 at 24+ cpus — measured
+    FASTER there (7.8s vs 14.7s at 32 cpus: politeness pinning caps
+    useful parallelism at ~#sub-host groups and >26 busy workers trips
+    this host's per-core saturation cliff)."""
+    return max(2, num_cpus // 2 if num_cpus >= 24 else int(num_cpus * 0.85))
+
+
 def _crawl_rounds(pages_path: str, num_cpus: int) -> float:
     from stimson_web_scraper_ray.config import EngineConfig
     from stimson_web_scraper_ray.pipelines.crawl import crawl
@@ -94,12 +103,7 @@ def _crawl_rounds(pages_path: str, num_cpus: int) -> float:
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = EngineConfig(per_host_budget=4000, round_budget=40000,
                        seen_shards=8,
-                       # one fused fetch+extract pool. num_cpus//2 measures
-                       # FASTER than 0.85*num_cpus here (7.8s vs 14.7s at 32
-                       # cpus): politeness pinning caps useful parallelism at
-                       # ~#sub-host groups, and >26 busy workers trips this
-                       # host's per-core saturation cliff
-                       extract_concurrency=max(2, num_cpus // 2),
+                       extract_concurrency=_crawl_pool(num_cpus),
                        fixed_pools=True)
     # BFS fanout is ~5, so seed wide enough that 3 rounds touch a large
     # share of the table (8 seeds would only reach ~200 pages)
@@ -149,7 +153,7 @@ def run_crawl_only() -> dict:
     seeds = seed_urls(pages_path, n_seeds=4096)
     cfg = EngineConfig(per_host_budget=8000, round_budget=80000,
                        seen_shards=8,
-                       extract_concurrency=max(2, int(NUM_CPUS * 0.85)),
+                       extract_concurrency=_crawl_pool(NUM_CPUS),
                        fixed_pools=True)
     out_dir = "/tmp/swsr_bench/crawl_scaling"
     best, fetched = 9e9, 0
