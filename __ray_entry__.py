@@ -486,12 +486,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "asof_error_click": """
-            SELECT e.event_id, e.user_id, e.ts AS err_ts,
-                   c.event_id AS click_event_id, c.ts AS click_ts
-            FROM (SELECT * FROM events WHERE event_type = 'error') e
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-              ON e.user_id = c.user_id AND e.ts >= c.ts
-            ORDER BY e.event_id
+            -- deterministic as-of: max click ts <= err ts, ties broken by
+            -- max click event_id (ASOF JOIN's row choice on ts ties is
+            -- unspecified, so spell the tie-break out)
+            WITH j AS (
+              SELECT e.event_id, e.user_id, e.ts AS err_ts,
+                     c.event_id AS click_event_id, c.ts AS click_ts,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'error') e
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON e.user_id = c.user_id AND c.ts <= e.ts
+            )
+            SELECT event_id, user_id, err_ts, click_event_id, click_ts
+            FROM j WHERE rn = 1 ORDER BY event_id
         """,
         "range_join_value_bands": """
             WITH bands(lo, hi, band) AS (

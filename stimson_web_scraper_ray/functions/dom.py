@@ -388,6 +388,10 @@ def _fast_feed(rawdata: str, tb: "_TreeBuilder") -> None:
     handle_data = tb.handle_data
     cdata_elem: str | None = None
     cdata_re = None
+    # feed()+close() is goahead(0) then ONE goahead(1) re-entry: a bare
+    # '&#' bail-out that consumed its two chars at feed time resumes
+    # parsing exactly once; a second one breaks and dumps the tail.
+    reentries = 1
     while i < n:
         if cdata_elem is None:
             lt = find("<", i)
@@ -456,6 +460,9 @@ def _fast_feed(rawdata: str, tb: "_TreeBuilder") -> None:
             if ";" in rawdata[i:]:
                 handle_data(rawdata[i:i + 2])
                 i += 2
+                if reentries:
+                    reentries -= 1
+                    continue
             break
         else:  # '&'
             m = _ENTITYREF_RE.match(rawdata, i)

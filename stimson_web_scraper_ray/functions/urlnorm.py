@@ -138,7 +138,11 @@ def prepare_url(url: str, source_url: str | None = None) -> str:
     Reference: urls.py:82-103."""
     try:
         if source_url is not None:
-            if url.startswith(("http://", "https://")):
+            # the fast path requires a non-empty netloc: 'http:///path'
+            # must fall through to urljoin, which resolves it against the
+            # source host like the reference's urls.py:90 does
+            if url.startswith(("http://", "https://")) and not (
+                    url.startswith("http:///") or url.startswith("https:///")):
                 return _prepare_absolute(url, _netloc_of(source_url))
             proper = urljoin(source_url, url)
             proper = redirect_back(proper, _netloc_of(source_url))

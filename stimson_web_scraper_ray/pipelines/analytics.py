@@ -226,13 +226,18 @@ def asof_error_click(sf_dir: str):
     'click' of the SAME user at or before the error's timestamp (inner —
     errors with no prior click drop out). Partitioning assumption: both
     sides co-partition on the join key (one groupby shuffle); within a
-    group the time sort is local. Matches DuckDB's ``ASOF JOIN`` oracle."""
+    group the time sort is local. Tie-break is deterministic: among clicks
+    sharing the max ts <= err ts, the one with the largest event_id wins
+    (clicks sorted by (ts, event_id), backward search takes the last) —
+    and the DuckDB oracle selects the same row explicitly instead of the
+    underspecified ASOF JOIN row choice (advisor finding)."""
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        errors = g[g["event_type"] == "error"]
-        clicks = g[g["event_type"] == "click"]
+        errors = g[g["event_type"] == "error"].sort_values(
+            "ts", kind="mergesort")
+        clicks = g[g["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
         if errors.empty or clicks.empty:
             return pd.DataFrame({
                 "event_id": pd.Series(dtype="int64"),

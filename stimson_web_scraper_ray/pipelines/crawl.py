@@ -185,8 +185,10 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     # handles and warm extraction state must SURVIVE across rounds; this
     # is exactly the "shared mutable state the Dataset API can't express"
     # escape hatch, and it removes ~1s/round of pool spin-up. Host→actor
-    # pinning (part_key % pool) is now stable for the whole crawl, which
-    # is stronger politeness than per-round pools could give.
+    # pinning is sticky for the whole crawl (_run_rounds remembers each
+    # part_key's actor across rounds; LPT packs only NEW keys), so a
+    # host's politeness clock follows it from round to round — stronger
+    # politeness than per-round pools could give.
     # cap by free CPUs: raw actors at num_cpus=1 would otherwise deadlock
     # on sessions smaller than extract_concurrency (the map_batches
     # autoscaler used to absorb this)
@@ -220,6 +222,11 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     import shutil
 
     total_fetched = 0
+    # sticky host→actor map: a part_key keeps its actor across rounds so
+    # the per-actor politeness clock follows the host; LPT below packs
+    # only keys not yet pinned (advisor finding: per-round LPT let hosts
+    # migrate between actors, resetting their politeness accounting)
+    sticky: dict[int, int] = {}
     for rnd in range(start_round, max_rounds):
         if frontier.empty:
             break
@@ -274,10 +281,20 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         sizes = groups.size().sort_values(ascending=False, kind="mergesort")
         loads = [0] * pool_size
         assign: dict[int, int] = {}
+        # first honor sticky pins (and account their load) ...
         for pk, sz in sizes.items():
+            aid = sticky.get(pk)
+            if aid is not None:
+                assign[pk] = aid
+                loads[aid] += int(sz)
+        # ... then LPT-pack only the new keys onto the least-loaded actors
+        for pk, sz in sizes.items():
+            if pk in assign:
+                continue
             aid = loads.index(min(loads))
             assign[pk] = aid
             loads[aid] += int(sz)
+        sticky.update(assign)
         per_actor: dict[int, list] = {}
         for pk, grp in groups:
             per_actor.setdefault(assign[pk], []).append(grp)

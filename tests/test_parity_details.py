@@ -296,3 +296,111 @@ def test_fast_tokenizer_tree_identical_to_stdlib():
     for f in files:
         raw = open(f, "rb").read()
         assert tree_eq(build(raw, False), build(raw, True)), f
+
+
+def test_fast_tokenizer_bare_charref_resumes():
+    """A bare '&#' that is not a valid charref must not flush the rest of
+    the document as raw data: stdlib feed()+close() consumes the '&#' and
+    re-enters goahead once, so markup after it is still parsed.  The fast
+    scanner must match stdlib event-for-event on these adversarial shapes
+    (advisor-reported bug: the old break dumped the tail)."""
+    from stimson_web_scraper_ray.functions import dom
+
+    def build(html, fast):
+        b = dom._TreeBuilder()
+        if fast:
+            dom._fast_feed(html, b)
+        else:
+            b.feed(html)
+            b.close()
+        return b.root
+
+    def tree_eq(a, b):
+        if a.tag != b.tag or a.attrib != b.attrib \
+                or (a.text or "") != (b.text or "") \
+                or (a.tail or "") != (b.tail or ""):
+            return False
+        ac, bc = a.getchildren(), b.getchildren()
+        return len(ac) == len(bc) and all(
+            tree_eq(x, y) for x, y in zip(ac, bc))
+
+    cases = [
+        "&#<div>hello</div>; tail",                      # the repro
+        "<p>pre</p>&#<div>a</div>; <b>x</b>;",
+        "&#<div>a</div>; &#<span>b</span>; more",        # two bare &# — one resume
+        "pre &# mid; <p>x</p> &# end; <b>y</b>;",
+        "a&# ;b&# ;c&# ;d",                              # three bare &#
+        "&#nodiv no semicolon <div>z</div>",             # no ';' → tail is data
+        "&#x<div>hex-ish</div>;",
+        "&am",                                           # incomplete entityref at EOF
+        "&a",
+        "&x <div>q</div>",
+        "&#65;ok<div>v</div>&#",                         # valid charref then bare at EOF
+        "<div>t</div>&#;",                               # '&#' immediately before ';'
+    ]
+    for html in cases:
+        assert tree_eq(build(html, False), build(html, True)), repr(html)
+    # sanity: the repro actually keeps the div now
+    root = build("&#<div>hello</div>; tail", True)
+    assert any(nd.tag == "div" for nd in root.iter())
+
+
+def test_fast_tokenizer_charref_fuzz():
+    """Randomized differential fuzz of the bail-out paths: fragments mixing
+    bare '&#', entities, tags and semicolons must parse identically in the
+    fast scanner and stdlib feed()+close()."""
+    import random
+
+    from stimson_web_scraper_ray.functions import dom
+
+    def events(html, fast):
+        ev = []
+
+        class Rec(dom._TreeBuilder):
+            def handle_starttag(self, t, a):
+                ev.append(("st", t, tuple(a)))
+                super().handle_starttag(t, a)
+
+            def handle_endtag(self, t):
+                ev.append(("et", t))
+                super().handle_endtag(t)
+
+            def handle_data(self, d):
+                ev.append(("d", d))
+                super().handle_data(d)
+
+            def handle_charref(self, n):
+                ev.append(("cr", n))
+                super().handle_charref(n)
+
+            def handle_entityref(self, n):
+                ev.append(("er", n))
+                super().handle_entityref(n)
+
+        b = Rec()
+        if fast:
+            dom._fast_feed(html, b)
+        else:
+            b.feed(html)
+            b.close()
+        return ev
+
+    rng = random.Random(1234)
+    atoms = ["&#", "&", ";", "&#65;", "&amp;", "&am", "<div>", "</div>",
+             "<p>", "</p>", "x", " ", "&#x41;", "<!--c-->", "<", ">",
+             "&#12", "&z;", "tail"]
+    for _ in range(300):
+        html = "".join(rng.choice(atoms)
+                       for _ in range(rng.randint(1, 12)))
+        # normalize consecutive-data splits: stdlib may emit data in
+        # different chunkings; compare coalesced event streams
+        def coalesce(ev):
+            out = []
+            for e in ev:
+                if e[0] == "d" and out and out[-1][0] == "d":
+                    out[-1] = ("d", out[-1][1] + e[1])
+                else:
+                    out.append(list(e) if e[0] == "d" else e)
+            return [tuple(e) if isinstance(e, list) else e for e in out]
+        assert coalesce(events(html, True)) == \
+            coalesce(events(html, False)), repr(html)

@@ -88,3 +88,17 @@ def test_canon_hash64_deterministic_and_u64():
 
 def test_shebang_unwrap():
     assert urlnorm.shebang_unwrap("http://x.co/#!/a") == "http://x.co/?_escaped_fragment_=/a"
+
+
+def test_prepare_url_empty_netloc_resolves_against_source():
+    """'http:///path' (scheme but empty netloc) must resolve against the
+    source host via urljoin like the reference slow path, not be returned
+    unchanged by the absolute-href fast path (advisor finding)."""
+    from urllib.parse import urljoin
+
+    from stimson_web_scraper_ray.functions.urlnorm import prepare_url
+
+    src = "http://sourcehost/page"
+    assert prepare_url("http:///path", src) == "http://sourcehost/path"
+    # cross-scheme empty netloc: parity with the reference's urljoin result
+    assert prepare_url("https:///a/b", src) == urljoin(src, "https:///a/b")
