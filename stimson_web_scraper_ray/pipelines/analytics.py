@@ -58,9 +58,12 @@ def pricing_summary(sf_dir: str):
 
 
 def top_revenue_orders(sf_dir: str, k: int = 10):
-    """Partial-aggregate join pattern: revenue per order from lineitem
-    (pre-aggregated inside map_batches), broadcast-joined to orders, global
-    top-k by revenue. The broadcast side (orders key→priority) is small."""
+    """Top-k join pattern, fact-table safe: revenue per order from
+    lineitem (pre-aggregated inside map_batches), distributed
+    ``sort(revenue desc, orderkey asc).limit(k)`` IN RAY, then only the k
+    winning keys join against a filtered scan of orders. Nothing
+    O(|orders|) ever reaches the driver (the round-1 version pulled the
+    whole per-order table to the driver and broadcast all of orders)."""
     from ray.data.aggregate import Sum
 
     line = read(sf_dir, "lineitem",
@@ -76,21 +79,23 @@ def top_revenue_orders(sf_dir: str, k: int = 10):
     per_order = line.map_batches(partial_rev, batch_format="pyarrow") \
         .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
 
-    import ray
+    # deterministic top-k inside Ray: two-key sort (revenue desc, key asc)
+    # then limit — only k rows materialize
+    top = per_order.sort(["revenue", "l_orderkey"],
+                         descending=[True, False]).limit(k).to_pandas()
+    keys = pa.array(top["l_orderkey"].tolist(), pa.int64())
 
-    orders = read(sf_dir, "orders",
-                  ["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
-    oref = ray.put(orders.set_index("o_orderkey"))
+    # join orders for the k winners only: distributed filtered scan, k rows back
+    odf = read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.is_in(t["o_orderkey"], value_set=keys)),
+            batch_format="pyarrow").to_pandas()
 
-    def join_orders(batch: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(oref)
-        j = batch.join(od, on="l_orderkey", how="inner")
-        return j
-
-    joined = per_order.map_batches(join_orders, batch_format="pandas")
-    df = joined.to_pandas().sort_values(
+    df = top.merge(odf, left_on="l_orderkey", right_on="o_orderkey",
+                   how="inner").sort_values(
         ["revenue", "l_orderkey"], ascending=[False, True],
-        kind="mergesort").head(k).reset_index(drop=True)
+        kind="mergesort").reset_index(drop=True)
     df["revenue"] = df["revenue"].round(2)
     return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
 
@@ -176,20 +181,23 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
 
 
 def event_type_distinct_users(sf_dir: str):
-    """Distinct aggregation: unique users per event type (D-class) via
-    per-batch set partials then merged groupby (no full shuffle of rows)."""
+    """Distinct aggregation: unique users per event type (D-class) as TWO
+    PURE AGGREGATES — per-batch drop_duplicates partial, then
+    ``groupby(event_type, user_id).Count`` (one row per distinct pair),
+    then ``groupby(event_type).Count``. Zero per-group Python dispatch
+    (the old map_groups(head(1)) paid it on every distinct pair)."""
+    from ray.data.aggregate import Count
+
     ds = read(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    dedup = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "user_id"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas")
-    from ray.data.aggregate import Count
-
-    out = dedup.groupby("event_type").aggregate(
+    distinct_pairs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]).aggregate(
+            Count(alias_name="_n"))
+    out = distinct_pairs.groupby("event_type").aggregate(
         Count(alias_name="n_users"))
     df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
     df["n_users"] = df["n_users"].astype("int64")

@@ -147,7 +147,7 @@ def test_textstats_columns(ray_session, sf_dir):
     df = out.to_pandas()
     assert (df["n_tokens"] > 0).all()
     assert df["punct_ratio"].between(0, 1).all()
-    assert (df["fingerprint"] > 0).all()
+    assert (df["fingerprint"].str.len() == 32).all()  # md5 hex
     # determinism (block order may vary between runs — compare by doc_id)
     df2 = out.to_pandas()
     a = df.sort_values("doc_id")["fingerprint"].values
@@ -193,3 +193,58 @@ def test_resolve_duplicate_groups_from_lsh(docs_with_dups):
     for base in (0, 10, 20, 30):
         # near-dup + exact-dup collapse to one keeper: the min doc_id
         assert labels[base + 1] == base and labels[base + 2] == base
+
+
+def test_minhash_distributed_pairing_matches_pandas_oracle(docs_with_dups):
+    """The distributed bucket-pairing path (groupby Count → isin semi-join
+    → per-bucket pairs) must produce exactly the pairs an independent
+    single-process pandas banding of the same signatures produces."""
+    pairs = dedup.minhash_lsh_dedup(docs_with_dups, threshold=0.4) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    # in-test oracle: same signatures, banding + pairing in plain pandas
+    hasher = dedup.FastMinHasher(n_perm=64)
+    docs = docs_with_dups.to_pandas()
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        sig = hasher.signature(text)
+        rpb = len(sig) // 32
+        for b in range(32):
+            chunk = sig[b * rpb:(b + 1) * rpb]
+            rows.append((b, dedup.fnv1a_64(chunk.tobytes()), did))
+    bands = pd.DataFrame(rows, columns=["band_id", "band_hash", "doc_id"])
+    cand = set()
+    for _, grp in bands.groupby(["band_id", "band_hash"]):
+        ids = sorted(grp["doc_id"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    expected = sorted((a, b) for a, b in cand
+                      if dedup.jaccard(
+                          docs.set_index("doc_id")["text"][a],
+                          docs.set_index("doc_id")["text"][b]) >= 0.4)
+    assert list(zip(pairs["a"], pairs["b"])) == expected
+
+
+def test_simhash_distributed_pairing_matches_pandas_oracle(docs_with_dups):
+    """Distributed simhash chunk-bucket pairing == plain pandas pairing."""
+    pairs = dedup.simhash_near_dup_pairs(docs_with_dups, max_hamming=4) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    docs = docs_with_dups.to_pandas()
+    sim = {did: dedup.simhash64(t)
+           for did, t in zip(docs["doc_id"], docs["text"])}
+    cand = set()
+    rows = [(c, (h >> (16 * c)) & 0xFFFF, did)
+            for did, h in sim.items() for c in range(4)]
+    cdf = pd.DataFrame(rows, columns=["ci", "cv", "doc_id"])
+    for _, grp in cdf.groupby(["ci", "cv"]):
+        ids = sorted(grp["doc_id"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin(sim[ids[i]] ^ sim[ids[j]]).count("1")
+                if ham <= 4:
+                    cand.add((ids[i], ids[j], ham))
+    expected = sorted(cand)
+    got = sorted(zip(pairs["a"], pairs["b"], pairs["hamming"]))
+    assert got == expected
