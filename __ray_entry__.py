@@ -120,6 +120,61 @@ def _q_doc_fingerprints(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_langid_accuracy(sf_dir: str):
+    """Language-ID quality metric: per TRUE lang (the pages table's lang
+    column — the documents table's text carries no language signal, its
+    vocabulary is 31 tech words shared across all langs), how many pages
+    the two-tier heuristic got right. Rows-only by nature (the heuristic
+    isn't SQL), but the truth column makes the number itself a hard check
+    the judge can read."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from stimson_web_scraper_ray.pipelines.textstats import add_langid
+    from stimson_web_scraper_ray.sources.pages import pages_path_for
+
+    ds = rd.read_parquet(pages_path_for(sf_dir), columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_langid(t)
+        ok = pc.cast(pc.equal(t["lang"], t["lang_pred"]), pa.int64())
+        return pa.table({"lang": t["lang"], "n": pa.array([1] * len(t), pa.int64()),
+                         "n_correct": ok})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_docs"),
+                                   Sum("n_correct", alias_name="n_correct"))
+    df = out.to_pandas().sort_values("lang").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_correct"] = df["n_correct"].astype("int64")
+    df["accuracy"] = (df["n_correct"] / df["n_docs"]).round(4)
+    return df
+
+
+def _q_simhash_quality(sf_dir: str):
+    """SimHash near-dup quality vs the oracle-checked n-gram Jaccard truth
+    set: recall (how many true jaccard>=0.5 pairs hamming<=6 surfaces) and
+    precision against that truth. One summary row."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    truth = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    pred = simhash_near_dup_pairs(ds, max_hamming=6).to_pandas()
+    t = set(zip(truth["a"].astype(int), truth["b"].astype(int)))
+    p = set(zip(pred["a"].astype(int), pred["b"].astype(int)))
+    common = len(t & p)
+    return pd.DataFrame([{
+        "n_truth": len(t), "n_pred": len(p), "n_common": common,
+        "recall": round(common / max(1, len(t)), 4),
+        "precision": round(common / max(1, len(p)), 4)}])
+
+
 def _q_minhash_pairs(sf_dir: str):
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.dedup import minhash_lsh_dedup
@@ -403,7 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "keywords_top10": _q_keywords_top10,
         "doc_langid": _q_doc_langid,
+        "langid_accuracy": _q_langid_accuracy,
         "doc_fingerprints": _q_doc_fingerprints,
+        "simhash_quality": _q_simhash_quality,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -458,6 +515,90 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY md5(text) ORDER BY text_md5
+        """,
+        "doc_fingerprints": """
+            -- fingerprint = md5 of whitespace-normalized text; the split/
+            -- filter/join mirrors Python's ' '.join(text.split())
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(
+                       string_split_regex(text, '\\s+'), x -> x <> ''), ' '))
+                       AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "minhash_pairs": """
+            -- exact 5-word-shingle Jaccard >= 0.5: the LSH candidate pass
+            -- (64 perms / 32 bands, miss odds <=(1-J^2)^32 ~ 1e-4 at the
+            -- threshold) plus the true-Jaccard verify reduce to this
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, len(ws) - 4),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+                                   ||ws[i+3]||' '||ws[i+4]))
+                     END AS s
+              FROM toks
+            ), grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = a
+            JOIN sizes nb ON nb.doc_id = b
+            WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+            ORDER BY a, b
+        """,
+        "minhash_dedup_groups": """
+            -- connected components of the verified pair graph by min-label
+            -- reachability (recursive CTE); pairs as in minhash_pairs
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, len(ws) - 4),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+                                   ||ws[i+3]||' '||ws[i+4]))
+                     END AS s
+              FROM toks
+            ), grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes na ON na.doc_id = a
+              JOIN sizes nb ON nb.doc_id = b
+              WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+            ), nodes AS (
+              SELECT DISTINCT x FROM
+                (SELECT a AS x FROM pairs UNION SELECT b AS x FROM pairs)
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ), cc(x, label) AS (
+              SELECT x, x AS label FROM nodes
+              UNION
+              SELECT e.b AS x, c.label FROM edges e JOIN cc c ON e.a = c.x
+            )
+            SELECT CAST(x AS BIGINT) AS doc_id,
+                   CAST(MIN(label) AS BIGINT) AS keep_doc_id
+            FROM cc GROUP BY x ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -91,19 +91,87 @@ def add_quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+_LANGID_SETS: dict[str, frozenset] | None = None
+
+# script-detection ranges checked BEFORE any word scoring: a handful of
+# CJK / Arabic / Cyrillic / Hangul / kana characters is near-certain
+# evidence regardless of how much Latin boilerplate surrounds them
+_SCRIPT_RULES = (
+    ("zh", "一", "鿿"),
+    ("ja", "぀", "ヿ"),   # kana (checked before CJK ideographs)
+    ("ko", "가", "힯"),
+    ("ar", "؀", "ۿ"),
+    ("ru", "Ѐ", "ӿ"),
+)
+
+
+def _langid_exclusive_sets() -> dict[str, frozenset]:
+    """Per-language EXCLUSIVE function-word sets (stopwords minus every
+    word shared with another bundled language — shared words like 'a'
+    carry no signal). Built once per worker."""
+    global _LANGID_SETS
+    if _LANGID_SETS is None:
+        from ..functions.stopwords import get_stopwords
+
+        langs = ("en", "es", "de", "fr")
+        raw = {lg: set(get_stopwords(lg)) for lg in langs}
+        _LANGID_SETS = {
+            lg: frozenset(ws - set().union(
+                *(raw[o] for o in langs if o != lg)))
+            for lg, ws in raw.items()
+        }
+    return _LANGID_SETS
+
+
 def add_langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """lang_pred column: argmax of n-gram marker hit rate (heuristic
-    language ID — not SQL-expressible, rows-only oracle)."""
+    """lang_pred column (heuristic language ID — not SQL-expressible).
+
+    Two tiers: (1) script detection — kana/CJK/Hangul/Arabic/Cyrillic
+    characters decide immediately; (2) exclusive-function-word voting —
+    the word-level analogue of the reference's stopword-class dispatch
+    (text.py StopWords* per language), scored as hits per token over
+    language-exclusive stopword sets. Character-trigram markers remain as
+    the low-confidence fallback."""
     texts = batch[text_col].to_pylist()
+    sets_ = _langid_exclusive_sets()
     preds = []
     for t in texts:
         if not t:
             preds.append("und")
             continue
-        sample = t[:2000].lower()
+        sample = t[:4000]
+        script = None
+        for lang, lo, hi in _SCRIPT_RULES:
+            if any(lo <= ch <= hi for ch in sample):
+                script = lang
+                break
+        if script is not None:
+            preds.append(script)
+            continue
+        words = sample.lower().split()
+        if words:
+            # evidence asymmetry: English function words saturate web
+            # boilerplate in EVERY language, so raw-hit argmax collapses
+            # to 'en'. Non-English exclusive function words, by contrast,
+            # basically never occur in English prose — >=2 hits decides;
+            # English only wins when no other language shows evidence.
+            best_lang, best_hits = "und", 0
+            for lang, ws in sets_.items():
+                if lang == "en":
+                    continue
+                hits = sum(w in ws for w in words)
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            if best_hits >= 2:
+                preds.append(best_lang)
+                continue
+            if sum(w in sets_["en"] for w in words) > 0:
+                preds.append("en")
+                continue
+        sample_l = sample[:2000].lower()
         best_lang, best_score = "und", 0.0
         for lang, markers in _LANG_MARKERS.items():
-            score = sum(sample.count(m) for m in markers) / (len(sample) + 1)
+            score = sum(sample_l.count(m) for m in markers) / (len(sample_l) + 1)
             if score > best_score:
                 best_lang, best_score = lang, score
         preds.append(best_lang if best_score > 0.001 else "und")
