@@ -323,6 +323,41 @@ def _q_doc_keywords_nlp(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_entities(sf_dir: str):
+    """NER tier (named_entity_recognition.py:136-162 surface re-derived
+    without spaCy): capitalized-sequence candidates + first-text-date per
+    crawled article (title + body, the same text article.nlp() feeds its
+    TextRank4Keyword). Rows-only (regex NER is not SQL-expressible); the
+    reference-parity checks live in tests/test_ner.py against the
+    reference's own unit-test inputs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.functions.ner import (
+        extract_dates,
+        extract_persons,
+    )
+
+    def entities(batch: pa.Table) -> pa.Table:
+        persons, dates = [], []
+        for title, text in zip(batch["title"].to_pylist(),
+                               batch["text"].to_pylist()):
+            t = f"{title or ''}\n{(text or '')[:20_000]}"
+            persons.append(extract_persons(t))
+            ds = extract_dates(t)
+            dates.append(ds[0].date().isoformat() if ds else None)
+        return pa.table({
+            "url": batch["url"],
+            "persons": pa.array(persons, pa.list_(pa.string())),
+            "text_date": pa.array(dates, pa.string())})
+
+    arts = rd.read_parquet(_crawl_for(sf_dir),
+                           columns=["url", "title", "text"])
+    df = arts.map_batches(entities, batch_format="pyarrow").to_pandas()
+    df["persons"] = df["persons"].map(list)
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def _q_multimodal_decode(sf_dir: str):
     import ray.data as rd
 
@@ -485,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar extractors / nlp tier
         "doc_emails": _q_doc_emails,
         "doc_keywords_nlp": _q_doc_keywords_nlp,
+        "doc_entities": _q_doc_entities,
         # crawl / url / multimodal (rows-only)
         "crawl_flagship": _q_crawl_flagship,
         "crawl_content_dedup": _q_crawl_content_dedup,
