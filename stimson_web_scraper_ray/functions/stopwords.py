@@ -103,6 +103,19 @@ _AR = """
 عليها إليه إليها منه منها له لها لهم به بها
 """.split()
 
+# Thai high-frequency function words (the reference gets its th set from
+# spaCy, text.py:19-23; this is the standard core of that list). The same
+# set doubles as the segmentation dictionary for StopWordsThai below.
+_TH = """
+ที่ การ ใน ของ และ เป็น มี ไม่ ได้ ให้ ว่า จะ มา ไป กับ แต่ ก็ นี้ นั้น อยู่
+อย่าง คน เรา เขา ผม ฉัน คุณ มัน ซึ่ง โดย จาก ถ้า เมื่อ แล้ว ต้อง ถึง กว่า หรือ
+เพราะ ทำ ด้วย อีก ทั้ง ยัง จึง เลย ตาม ช่วง เพื่อ ต่อ ครั้ง ความ หลัง ก่อน วัน
+ปี คือ ดี มาก ขึ้น ลง ออก เข้า ใช้ รับ เรื่อง กำลัง เคย ไว้ เอง ทุก บาง หนึ่ง
+สอง สาม ได้แก่ เช่น ๆ นะ ครับ ค่ะ จ้ะ สามารถ ควร อาจ เกี่ยวกับ ระหว่าง ภายใน
+ตั้งแต่ จนถึง ทำให้ เพียง เท่านั้น ด้าน ส่วน ทาง กรณี ขณะ เวลา ตอน แห่ง ราย
+พร้อม เพิ่ม ลด นาย นาง เดือน
+""".split()
+
 _LISTS = {
     "en": frozenset(_EN),
     "es": frozenset(_ES),
@@ -110,6 +123,7 @@ _LISTS = {
     "fr": frozenset(_FR),
     "zh": frozenset(_ZH),
     "ar": frozenset(_AR),
+    "th": frozenset(_TH),
 }
 
 _PUNCT_TABLE = {ord(c): None for c in string.punctuation}
@@ -230,6 +244,49 @@ class StopWordsJapanese(StopWords):
         return [c for c in stripped_input if not c.isspace()]
 
 
+class StopWordsThai(StopWords):
+    """th: Thai script has no inter-word spaces, so words must be
+    segmented before counting. The reference delegates to
+    pythainlp.word_tokenize (text.py:213-223, unavailable here); this
+    stand-in does greedy longest-match segmentation over the bundled
+    stopword dictionary — a run of Thai characters is consumed
+    dictionary-word by dictionary-word, with non-matching spans chunked
+    into single unknown tokens. Stopword COUNTS (the only thing best-node
+    scoring consumes) agree with a full segmenter whenever the function
+    words themselves are in the dictionary."""
+
+    def __init__(self, language="th"):
+        super().__init__("th")
+        self._maxlen = max((len(w) for w in self.STOP_WORDS), default=1)
+
+    def candidate_words(self, stripped_input: str):
+        tokens: list[str] = []
+        for run in stripped_input.split():
+            if not any("฀" <= c <= "๿" for c in run):
+                tokens.append(run)
+                continue
+            i, n = 0, len(run)
+            unk: list[str] = []
+            while i < n:
+                matched = None
+                for ln in range(min(self._maxlen, n - i), 0, -1):
+                    if run[i:i + ln] in self.STOP_WORDS:
+                        matched = run[i:i + ln]
+                        break
+                if matched:
+                    if unk:
+                        tokens.append("".join(unk))
+                        unk = []
+                    tokens.append(matched)
+                    i += len(matched)
+                else:
+                    unk.append(run[i])
+                    i += 1
+            if unk:
+                tokens.append("".join(unk))
+        return tokens
+
+
 def stopwords_class_for(language: str):
     """Language → tokenizer class registry (configuration.py:112-130)."""
     return {
@@ -239,4 +296,5 @@ def stopwords_class_for(language: str):
         "ko": StopWordsKorean,
         "hi": StopWordsHindi,
         "ja": StopWordsJapanese,
+        "th": StopWordsThai,
     }.get(language[:2], StopWords)

@@ -161,3 +161,25 @@ def test_reference_fixture_corpus_budget():
         if got.strip() == golden.strip():
             exact += 1
     assert exact >= 120, f"fixture regression: only {exact}/145 byte-exact"
+
+
+def test_thai_fulltext_extract():
+    """multilanguage_test.py:74-82 — the th golden is byte-exact under the
+    longest-match dictionary segmenter standing in for pythainlp
+    (stopwords.py StopWordsThai)."""
+    with open(HTML_DIR + "/thai_article.html", encoding="utf-8") as f:
+        html = f.read()
+    with open(TEXT_DIR + "/thai.txt", encoding="utf-8") as f:
+        golden = f.read()
+    assert fulltext(html, "th") == golden
+
+
+def test_thai_stopword_segmentation():
+    """Thai runs segment into dictionary words + unknown chunks; stopword
+    counts are non-zero on ordinary Thai prose."""
+    from stimson_web_scraper_ray.functions.stopwords import StopWordsThai
+
+    ws = StopWordsThai().get_stopword_count(
+        "ผู้สื่อข่าวได้รับแจ้งจากนายที่หายไปว่าเป็นของจริง")
+    assert ws.get_stopword_count() >= 3
+    assert ws.get_word_count() > ws.get_stopword_count()
