@@ -36,6 +36,15 @@ class EngineConfig:
     run_date: str = "2026-01-01"
 
     # Crawl / frontier
+    # distributed_planning routes round planning through Ray Data instead
+    # of driver pandas: workers spill outlink candidates to parquet, and
+    # candidate dedup, seen-filtering, frontier construction and budget
+    # selection run as salted-partition Dataset ops — only the round
+    # budget (<= round_budget rows) ever materializes on the driver. Same
+    # algebra and same deterministic order as the pandas path (parity-
+    # tested crawl==sim); flip on when candidates/round outgrow driver
+    # memory (~10^6 rows).
+    distributed_planning: bool = False
     max_depth: int = 3
     per_host_budget: int = 64             # pages fetched per host per round
     round_budget: int = 100_000           # global pages per round

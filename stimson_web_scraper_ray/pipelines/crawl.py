@@ -90,6 +90,128 @@ def _plan_round(frontier: pd.DataFrame, cfg: EngineConfig
     return budget.reset_index(drop=True), deferred.reset_index(drop=True)
 
 
+def _uh_sortable(t: pa.Table) -> pa.Table:
+    """Add an int64 sort key with the SAME order as the uint64 url_hash
+    (flip the top bit: uint64 ascending == int64(u ^ 2^63) ascending) —
+    Ray's sort path round-trips through pandas/arrow paths that mishandle
+    uint64 above 2^63."""
+    u = t["url_hash"].to_numpy()
+    return t.append_column("uh_s", pa.array((u ^ np.uint64(1 << 63))
+                                            .view(np.int64)))
+
+
+def _plan_round_distributed(frontier_ds, cfg: EngineConfig):
+    """Distributed form of _plan_round — same algebra, same deterministic
+    order (parity-tested against the pandas path via crawl==sim):
+
+    - per-host top-k: salted-partition apply keyed on host hash; within a
+      part, the global (priority desc, depth asc, url_hash asc) sort
+      restricted to one host equals the global per-host order, so the
+      cumcount cut selects identical rows;
+    - global budget: Ray sort on the same keys + limit(round_budget) —
+      ONLY the budget materializes on the driver;
+    - deferred = frontier minus budget via a broadcast isin anti-join —
+      stays a Dataset end to end.
+
+    Returns (budget_df, deferred_ds)."""
+    import ray
+
+    from .dedup import _salted_partition_apply
+    from .textstats import word_hash64
+
+    def host_key(t: pa.Table) -> np.ndarray:
+        hosts = t["host"].to_pylist()
+        return np.fromiter((word_hash64(h or "") for h in hosts),
+                           dtype=np.uint64,
+                           count=len(hosts)).view(np.int64)
+
+    def per_host_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["priority", "depth", "url_hash"],
+                            ascending=[False, True, True], kind="mergesort")
+        keep = df.groupby("host", sort=False).cumcount() < cfg.per_host_budget
+        return df[keep][list(FRONTIER_SCHEMA.names)]
+
+    kept = _salted_partition_apply(frontier_ds, per_host_topk, host_key)
+    budget_df = kept.map_batches(_uh_sortable, batch_format="pyarrow") \
+        .sort(["priority", "depth", "uh_s"],
+              descending=[True, False, False]) \
+        .limit(cfg.round_budget).drop_columns(["uh_s"]).to_pandas()
+    budget_df["url_hash"] = budget_df["url_hash"].astype("uint64")
+
+    taken_ref = ray.put(np.sort(budget_df["url_hash"].to_numpy()))
+
+    def not_taken(t: pa.Table) -> pa.Table:
+        mask = ~np.isin(t["url_hash"].to_numpy(), ray.get(taken_ref))
+        return t.filter(pa.array(mask))
+
+    deferred_ds = frontier_ds.map_batches(not_taken, batch_format="pyarrow")
+    return budget_df, deferred_ds
+
+
+def _build_frontier_distributed(cand_dir: str, deferred_ds, redirects_df,
+                                fetched_hashes: np.ndarray, shards,
+                                cfg: EngineConfig, depth: int):
+    """Distributed next-frontier build: deferred ∪ redirects ∪ spilled
+    candidates → drop fetched (broadcast isin) → seen anti-join (shard-
+    actor RPCs from inside map_batches) → keep-best-per-hash dedup
+    (salted partition, same sort-then-drop_duplicates tie-break as the
+    pandas path) → depth cut. Candidate volume never touches the driver."""
+    import glob as _glob
+
+    import ray
+    import ray.data as rd
+
+    from .dedup import _salted_partition_apply
+
+    parts = [deferred_ds]
+    if redirects_df is not None and len(redirects_df):
+        parts.append(rd.from_arrow(pa.Table.from_pandas(
+            redirects_df, schema=FRONTIER_SCHEMA, preserve_index=False)))
+    if _glob.glob(os.path.join(cand_dir, "*.parquet")):
+        cand_ds = rd.read_parquet(cand_dir)
+
+        def mk_frontier(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "url_canon": t["url_canon"].cast(pa.string()),
+                "url_hash": t["url_hash"].cast(pa.uint64()),
+                "host": t["host"].cast(pa.string()),
+                "depth": pa.array(np.full(n, depth, np.int32)),
+                "priority": pa.array(np.full(
+                    n, 1.0 / (1.0 + depth), np.float32)),
+            }, schema=FRONTIER_SCHEMA)
+
+        parts.append(cand_ds.map_batches(mk_frontier, batch_format="pyarrow"))
+
+    fr = parts[0]
+    for p in parts[1:]:
+        fr = fr.union(p)
+
+    fetched_ref = ray.put(np.sort(np.asarray(fetched_hashes,
+                                             dtype=np.uint64)))
+
+    def unseen_filter(t: pa.Table) -> pa.Table:
+        h = t["url_hash"].to_numpy()
+        t = t.filter(pa.array(~np.isin(h, ray.get(fetched_ref))))
+        if t.num_rows == 0:
+            return t
+        mask = _seen_check(shards, t["url_hash"].to_numpy(), insert=False)
+        return t.filter(pa.array(mask))
+
+    fr = fr.map_batches(unseen_filter, batch_format="pyarrow")
+
+    def dedup_best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["priority", "depth", "url_hash"],
+                            ascending=[False, True, True], kind="mergesort")
+        df = df.drop_duplicates("url_hash")
+        return df[df["depth"] <= cfg.max_depth][list(FRONTIER_SCHEMA.names)]
+
+    def hash_key(t: pa.Table) -> np.ndarray:
+        return t["url_hash"].to_numpy().view(np.int64)
+
+    return _salted_partition_apply(fr, dedup_best, hash_key)
+
+
 def _seen_check(shards, hashes: np.ndarray, insert: bool) -> np.ndarray:
     """Distributed semi-join against the shard actors: partition by
     ``hash % n_shards``, one RPC per shard per call (J1 in SURVEY.md §2.4).
@@ -117,21 +239,45 @@ def _seen_check(shards, hashes: np.ndarray, insert: bool) -> np.ndarray:
     return out
 
 
-def _checkpoint_round(ckpt_dir: str, rnd: int, frontier: pd.DataFrame,
-                      shards, metrics: pd.DataFrame):
+def _checkpoint_round(ckpt_dir: str, rnd: int, frontier, shards,
+                      metrics: pd.DataFrame) -> str:
+    """Write the round checkpoint; ``frontier`` is a DataFrame (driver
+    planning) or a Ray Dataset (distributed planning — streamed straight
+    to the checkpoint parquet, which then becomes the NEXT round's input:
+    the checkpoint is the frontier's only materialization). Returns the
+    frontier parquet path."""
+    import glob as _glob
+
     import ray
 
     rdir = os.path.join(ckpt_dir, f"round={rnd}")
     os.makedirs(rdir, exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(frontier, schema=FRONTIER_SCHEMA,
-                                        preserve_index=False),
-                   os.path.join(rdir, "frontier.parquet"))
+    fpath = os.path.join(rdir, "frontier.parquet")
+    if isinstance(frontier, pd.DataFrame):
+        pq.write_table(pa.Table.from_pandas(frontier, schema=FRONTIER_SCHEMA,
+                                            preserve_index=False), fpath)
+        n_rows = len(frontier)
+    else:
+        import shutil
+
+        shutil.rmtree(fpath, ignore_errors=True)
+        frontier.write_parquet(fpath)
+        files = _glob.glob(os.path.join(fpath, "*.parquet"))
+        if not files:
+            # empty frontier → write_parquet emits nothing; keep the
+            # checkpoint readable with an empty typed table
+            os.makedirs(fpath, exist_ok=True)
+            pq.write_table(FRONTIER_SCHEMA.empty_table(),
+                           os.path.join(fpath, "part-empty.parquet"))
+            files = []
+        n_rows = sum(pq.read_metadata(f).num_rows for f in files)
     ray.get([s.snapshot.remote(os.path.join(rdir, f"seen_shard_{i}.parquet"))
              for i, s in enumerate(shards)])
     pq.write_table(pa.Table.from_pandas(metrics, preserve_index=False),
                    os.path.join(rdir, "metrics.parquet"))
     with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
-        f.write(json.dumps({"round": rnd, "frontier_rows": len(frontier)}))
+        f.write(json.dumps({"round": rnd, "frontier_rows": n_rows}))
+    return fpath
 
 
 def _find_resume_round(ckpt_dir: str) -> int | None:
@@ -228,9 +374,13 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     # migrate between actors, resetting their politeness accounting)
     sticky: dict[int, int] = {}
     for rnd in range(start_round, max_rounds):
-        if frontier.empty:
-            break
-        budget, deferred = _plan_round(frontier, cfg)
+        if cfg.distributed_planning:
+            budget, deferred = _plan_round_distributed(
+                _as_frontier_ds(frontier), cfg)
+        else:
+            if frontier.empty:
+                break
+            budget, deferred = _plan_round(frontier, cfg)
         if budget.empty:
             break
 
@@ -265,6 +415,14 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         # wipe a partially-written (no _SUCCESS yet) round before rerun
         shutil.rmtree(round_dir, ignore_errors=True)
         os.makedirs(round_dir, exist_ok=True)
+        cand_dir = None
+        if cfg.distributed_planning:
+            # candidate spill target (distributed planning): under the
+            # checkpoint tree, NOT the articles tree, so article readers
+            # never see planning rows
+            cand_dir = os.path.join(ckpt_dir, f"round={rnd}", "cand")
+            shutil.rmtree(cand_dir, ignore_errors=True)
+            os.makedirs(cand_dir, exist_ok=True)
 
         # Route each (sub-)host group to one actor (politeness: a host's
         # token bucket never spans actors within a round) with
@@ -302,7 +460,7 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         for aid in sorted(per_actor):
             df = pd.concat(per_actor[aid], ignore_index=True)
             tbl = pa.Table.from_pandas(df, preserve_index=False)
-            refs.append(pool[aid].process.remote(tbl, round_dir))
+            refs.append(pool[aid].process.remote(tbl, round_dir, cand_dir))
         plan_parts = [t for t in ray.get(refs) if t.num_rows]
         if plan_parts:
             plan_df = pa.concat_tables(plan_parts).to_pandas()
@@ -358,17 +516,30 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         # next frontier: deferred ∪ redirects ∪ new candidates, minus seen,
         # dedup by hash (priority: redirects 1.5 > depth-based candidates)
         depth = rnd + 1
-        parts = [deferred]
+        redirects_df = None
         if redirects:
             rseen = sorted(set(redirects))
-            parts.append(pd.DataFrame({
+            redirects_df = pd.DataFrame({
                 "url_canon": rseen,
                 "url_hash": pd.array([canon_hash64(u) for u in rseen],
                                      dtype="uint64"),
                 "host": [get_domain(u) or "" for u in rseen],
                 "depth": np.int32(depth),
                 "priority": np.float32(1.5),
-            }))
+            })
+
+        if cfg.distributed_planning:
+            frontier_ds = _build_frontier_distributed(
+                cand_dir, deferred, redirects_df, fetched_hashes, shards,
+                cfg, depth)
+            # checkpoint IS the materialization; next round reads it back
+            frontier = _checkpoint_round(ckpt_dir, rnd, frontier_ds,
+                                         shards, metrics)
+            continue
+
+        parts = [deferred]
+        if redirects_df is not None:
+            parts.append(redirects_df)
         if not cand_df.empty:
             parts.append(pd.DataFrame({
                 "url_canon": cand_df["url_canon"],
@@ -393,6 +564,20 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         _checkpoint_round(ckpt_dir, rnd, frontier, shards, metrics)
 
     return total_fetched
+
+
+def _as_frontier_ds(frontier):
+    """Frontier as a Ray Dataset: a checkpoint parquet path (the steady
+    state of distributed planning), a DataFrame (seeds / resume), or an
+    already-built Dataset (post-seen-filter deferred)."""
+    import ray.data as rd
+
+    if isinstance(frontier, str):
+        return rd.read_parquet(frontier)
+    if isinstance(frontier, pd.DataFrame):
+        return rd.from_arrow(pa.Table.from_pandas(
+            frontier, schema=FRONTIER_SCHEMA, preserve_index=False))
+    return frontier
 
 
 def final_seen_hashes(ckpt_dir: str, rnd: int, n_shards: int) -> np.ndarray:

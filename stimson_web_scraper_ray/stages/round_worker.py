@@ -57,13 +57,19 @@ class CrawlRoundWorker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.process(batch, self.round_dir)
 
-    def process(self, batch: pa.Table, round_dir: str) -> pa.Table:
+    def process(self, batch: pa.Table, round_dir: str,
+                cand_dir: str | None = None) -> pa.Table:
         """Explicit-round entry point for the persistent-pool path (the
         crawl loop keeps ONE pool of these actors alive across rounds —
         politeness clocks, robots caches and parquet handles persist, and
         host→actor pinning is stable for the whole crawl). Internally
         chunks to ``extract_batch_size`` so a large per-actor bucket never
-        holds more than one chunk of html + DOMs in memory."""
+        holds more than one chunk of html + DOMs in memory.
+
+        With ``cand_dir`` set (distributed_planning), outlink candidates
+        are SPILLED to parquet there instead of returned — the driver
+        never sees candidate rows; planning reads them back as a
+        Dataset."""
         n = batch.num_rows
         # chunk well above extract_batch_size: each chunk pays one parquet
         # range-probe ("network fetch") and writes one output part file, so
@@ -72,12 +78,14 @@ class CrawlRoundWorker:
         # transient inside extract_article
         step = max(512, self.cfg.extract_batch_size)
         if n > step:
-            parts = [self._process_chunk(batch.slice(off, step), round_dir)
+            parts = [self._process_chunk(batch.slice(off, step), round_dir,
+                                         cand_dir)
                      for off in range(0, n, step)]
             return pa.concat_tables(parts)
-        return self._process_chunk(batch, round_dir)
+        return self._process_chunk(batch, round_dir, cand_dir)
 
-    def _process_chunk(self, batch: pa.Table, round_dir: str) -> pa.Table:
+    def _process_chunk(self, batch: pa.Table, round_dir: str,
+                       cand_dir: str | None = None) -> pa.Table:
         pages = self.fetcher(batch)
         arts = self.extract(pages)
         if arts.num_rows:
@@ -102,6 +110,14 @@ class CrawlRoundWorker:
             cand = cand.take(pa.array(keep, pa.int64()))
         else:
             cand = None
+
+        if cand_dir is not None:
+            if cand is not None and cand.num_rows:
+                pq.write_table(
+                    cand.select(["url_canon", "url_hash", "host"]),
+                    os.path.join(cand_dir, f"part-{uuid.uuid4().hex}.parquet"))
+            cand = None  # spilled — nothing returns to the driver
+
         n_cand = cand.num_rows if cand is not None else 0
 
         empty_s = [""] * n_cand

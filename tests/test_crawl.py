@@ -131,3 +131,27 @@ def test_kill_and_resume_reproduces_full_run(ray_session, pages_path, seeds,
     assert np.array_equal(
         final_seen_hashes(res2.checkpoint_dir, last, CFG.seen_shards),
         final_seen_hashes(res_full.checkpoint_dir, last, CFG.seen_shards))
+
+
+def test_distributed_planning_parity(ray_session, pages_path, seeds,
+                                     tmp_path_factory):
+    """cfg.distributed_planning routes candidate dedup, seen filtering,
+    frontier construction and budget selection through Ray Data (salted
+    partitions + checkpoint-parquet frontier). A tiny round_budget forces
+    real deferral through the distributed anti-join; the run must match
+    the driver-pandas path (and hence the simulator) round for round."""
+    import dataclasses
+
+    cfg_p = dataclasses.replace(CFG, round_budget=60)
+    cfg_d = dataclasses.replace(CFG, round_budget=60,
+                                distributed_planning=True)
+    out_p = str(tmp_path_factory.mktemp("crawl_pandas_small"))
+    out_d = str(tmp_path_factory.mktemp("crawl_dist_small"))
+    res_p = crawl(pages_path, seeds, cfg_p, out_dir=out_p, max_rounds=3)
+    res_d = crawl(pages_path, seeds, cfg_d, out_dir=out_d, max_rounds=3)
+
+    assert res_p.pages_fetched == res_d.pages_fetched
+    assert _round_urls(res_p.articles_path) == _round_urls(res_d.articles_path)
+    seen_p = final_seen_hashes(res_p.checkpoint_dir, 2, cfg_p.seen_shards)
+    seen_d = final_seen_hashes(res_d.checkpoint_dir, 2, cfg_d.seen_shards)
+    assert np.array_equal(seen_p, seen_d)
