@@ -116,7 +116,7 @@ def _plan_round_distributed(frontier_ds, cfg: EngineConfig):
     Returns (budget_df, deferred_ds)."""
     import ray
 
-    from .dedup import _salted_partition_apply
+    from .shuffle import salted_partition_apply as _salted_partition_apply
     from .textstats import word_hash64
 
     def host_key(t: pa.Table) -> np.ndarray:
@@ -161,7 +161,7 @@ def _build_frontier_distributed(cand_dir: str, deferred_ds, redirects_df,
     import ray
     import ray.data as rd
 
-    from .dedup import _salted_partition_apply
+    from .shuffle import salted_partition_apply as _salted_partition_apply
 
     parts = [deferred_ds]
     if redirects_df is not None and len(redirects_df):

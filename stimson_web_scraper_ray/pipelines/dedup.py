@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .shuffle import salted_partition_apply as _salted_partition_apply
 from .textstats import hash64 as fnv1a_64
 from .textstats import word_hash64
 
@@ -208,41 +209,6 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
-
-
-def _salted_partition_apply(rows_ds, part_fn, combine_key,
-                            n_parts: int = 64):
-    """The salted distributed-groupby primitive behind the dedup family:
-    ONE all-to-all exchange, zero driver materialization, zero per-group
-    Python dispatch.
-
-    Every row gets a coarse partition id ``part = key % n_parts``
-    (key-functional, so a key group never splits across parts);
-    ``groupby(part).map_groups(part_fn)`` pays per-group dispatch on
-    n_parts groups — NOT per key. A naive ``groupby(key)`` form pays
-    per-distinct-key overhead in Ray's reduce (measured: ~10 s on 160k
-    LSH buckets, 247 s on 1.1M pair keys at sf0.1); this form does the
-    same exchange volume and then lets ``part_fn`` process its whole part
-    with vectorized pandas (grouped transforms, self-merges, aggs).
-
-    Keys and rows never touch the driver; per-task memory is the part
-    size — size ``n_parts ≈ total_rows / 2M`` at cluster scale (64 here
-    covers the test scales and 32-way parallelism).
-
-    ``combine_key(table) -> np.ndarray[int64]`` folds the key columns
-    into one int64 per row (numpy ``%`` is sign-of-divisor, so negative
-    int64 keys still land in [0, n_parts)). Returns the Dataset of
-    part_fn outputs."""
-
-    def add_part(t: pa.Table) -> pa.Table:
-        part = (combine_key(t) % np.int64(n_parts)).astype(np.int32)
-        return t.append_column("part", pa.array(part))
-
-    def run_part(df: pd.DataFrame) -> pd.DataFrame:
-        return part_fn(df.drop(columns=["part"])).reset_index(drop=True)
-
-    return rows_ds.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("part").map_groups(run_part, batch_format="pandas")
 
 
 def _self_merge_pairs(df: pd.DataFrame, key_cols: list[str],
