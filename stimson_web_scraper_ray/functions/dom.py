@@ -71,17 +71,52 @@ def inner_trim(value) -> str:
     return ""
 
 
+# shared attrib dict for attribute-less nodes (the majority): nodes are
+# created with it and copy-on-write in set() the first time an attribute
+# is written. dict.pop(k, None)/get() on it are no-ops/reads — the only
+# mutators in the package are Node.set/clear (guarded here) and
+# attrib.pop (no-op on an empty dict), audited in cleaner.py/dom.py.
+_EMPTY_ATTRIB: dict = {}
+
+# shared children list for leaf nodes (roughly half of any DOM): append/
+# insert copy-on-write it; every other _children mutation site operates
+# on provably non-empty lists (audited: remove_child, the slice-assign in
+# _drop_tag_keep_children, clear reassigns)
+_EMPTY_CHILDREN: list = []
+
+# per-process tag intern memo: html.parser yields fresh string slices per
+# tag; interning makes every `node.tag == tag` in the close scans a
+# pointer comparison and collapses millions of duplicate tag strings
+_TAG_MEMO: dict = {}
+
+
+def _intern_tag(tag: str) -> str:
+    t = _TAG_MEMO.get(tag)
+    if t is None:
+        import sys
+
+        t = sys.intern(tag)
+        _TAG_MEMO[tag] = t
+    return t
+
+
 class Node:
-    """One element. Mutable, parent-linked, lxml-style text/tail."""
+    """One element. Mutable, parent-linked, lxml-style text/tail.
+
+    ``attrib`` ownership: the constructor TAKES the dict it is given
+    (callers pass freshly-built dicts or None) — the empty case shares
+    ``_EMPTY_ATTRIB`` instead of allocating. This halves per-node dict
+    allocations in the parse hot path, which is what caps multi-worker
+    scaling on one host (allocator bandwidth)."""
 
     __slots__ = ("tag", "attrib", "text", "tail", "_children", "parent")
 
     def __init__(self, tag, attrib=None, text=None, tail=None):
         self.tag = tag
-        self.attrib = dict(attrib) if attrib else {}
+        self.attrib = attrib if attrib else _EMPTY_ATTRIB
         self.text = text
         self.tail = tail
-        self._children: list[Node] = []
+        self._children: list[Node] = _EMPTY_CHILDREN
         self.parent: Node | None = None
 
     # -- container protocol (mirrors lxml element) --
@@ -96,10 +131,14 @@ class Node:
 
     def append(self, child: "Node"):
         child.parent = self
+        if self._children is _EMPTY_CHILDREN:
+            self._children = []
         self._children.append(child)
 
     def insert(self, i: int, child: "Node"):
         child.parent = self
+        if self._children is _EMPTY_CHILDREN:
+            self._children = []
         self._children.insert(i, child)
 
     def index(self, child: "Node") -> int:
@@ -145,8 +184,8 @@ class Node:
         """lxml .clear(): drop children, attributes, text and tail."""
         for c in self._children:
             c.parent = None
-        self._children = []
-        self.attrib = {}
+        self._children = _EMPTY_CHILDREN
+        self.attrib = _EMPTY_ATTRIB
         self.text = None
         self.tail = None
 
@@ -155,6 +194,8 @@ class Node:
         return self.attrib.get(key, default)
 
     def set(self, key, value):
+        if self.attrib is _EMPTY_ATTRIB:
+            self.attrib = {}
         self.attrib[key] = value
 
     # -- traversal (iterative: recursion is the hot path of the kernel) --
@@ -204,11 +245,10 @@ class Node:
         return "".join(_text_parts(self))
 
     def __deepcopy__(self, memo):
-        n = Node(self.tag, dict(self.attrib), self.text, self.tail)
+        n = Node(self.tag, dict(self.attrib) if self.attrib else None,
+                 self.text, self.tail)
         for c in self._children:
-            cc = _copy.deepcopy(c, memo)
-            cc.parent = n
-            n._children.append(cc)
+            n.append(_copy.deepcopy(c, memo))
         return n
 
     def __repr__(self):
@@ -237,7 +277,11 @@ class _TreeBuilder(HTMLParser):
 
     def _open(self, tag, attrs):
         cur = self.stack[-1]
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        # interned tag (pointer-fast equality in the close scans below)
+        # and no dict for the attr-less majority
+        node = Node(_intern_tag(tag),
+                    {k: (v if v is not None else "") for k, v in attrs}
+                    if attrs else None)
         cur.append(node)
         return node
 
@@ -269,7 +313,8 @@ class _TreeBuilder(HTMLParser):
             if not self._saw_html:
                 self._saw_html = True
                 for k, v in attrs:
-                    self.root.attrib.setdefault(k, v if v is not None else "")
+                    if k not in self.root.attrib:
+                        self.root.set(k, v if v is not None else "")
                 return
         self._close_implied(tag)
         node = self._open(tag, attrs)
@@ -285,6 +330,7 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_TAGS or tag == "html":
             return
+        tag = _intern_tag(tag)  # pointer-fast equality in the scan below
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
