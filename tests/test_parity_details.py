@@ -404,3 +404,51 @@ def test_fast_tokenizer_charref_fuzz():
             return [tuple(e) if isinstance(e, list) else e for e in out]
         assert coalesce(events(html, True)) == \
             coalesce(events(html, False)), repr(html)
+
+
+def test_calculate_area_reference_gates():
+    """image_extractor.py:199-224 gate order with the reference's own
+    constants (minimal_area 5000, thumbnail width 90, ratio 16/9,
+    sprite/logo penalty /10)."""
+    from stimson_web_scraper_ray.functions.images import calculate_area
+
+    assert calculate_area("u", None) == 0.0
+    assert calculate_area("u", (100, 40)) == 0.0       # area 4000 < 5000
+    assert calculate_area("u", (80, 80)) == 0.0        # width < 90
+    assert calculate_area("u", (200, 100)) == 0.0      # ratio 2 > 16/9
+    assert calculate_area("u", (160, 90)) == 160 * 90  # 1.78 <= 16/9 ok
+    assert calculate_area("a/sprite.png", (160, 90)) == 160 * 90 / 10
+    assert calculate_area("a/logo-x.jpg", (160, 90)) == 160 * 90 / 10
+
+
+def test_square_image_entropy_crop():
+    """image_extractor.py:60-77: strips of <=10px are cut from the
+    LOWER-entropy end until the image is square."""
+    import numpy as np
+
+    from stimson_web_scraper_ray.functions.images import (
+        image_entropy,
+        square_image,
+    )
+
+    rng = np.random.default_rng(7)
+    # 60 wide x 100 tall: noisy (high-entropy) top half, flat bottom half
+    top = rng.integers(0, 256, size=(50, 60), dtype=np.uint8)
+    bottom = np.zeros((50, 60), dtype=np.uint8)
+    img = np.vstack([top, bottom])
+    sq = square_image(img)
+    assert sq.shape == (60, 60)
+    # the noisy rows survive: the result keeps the top 50 noisy rows
+    assert np.array_equal(sq[:50], top)
+    # entropy sanity: uniform histogram maxes at 8 bits
+    assert abs(image_entropy([1.0] * 256) - 8.0) < 1e-9
+    assert image_entropy([5.0] + [0.0] * 255 ) == 0.0
+
+
+def test_thumbnail_dims_shrink_only():
+    from stimson_web_scraper_ray.functions.images import thumbnail_dims
+
+    assert thumbnail_dims(50, 40) == (50, 40)          # no upscale
+    assert thumbnail_dims(180, 90) == (90, 45)
+    assert thumbnail_dims(90, 180) == (45, 90)
+    assert thumbnail_dims(1000, 1000) == (90, 90)
