@@ -310,6 +310,44 @@ def _q_doc_emails(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_gopher_quality(sf_dir: str):
+    """Gopher-rule quality filter (Rae et al. 2021) — repetition/shape
+    signals + keep flag; oracle-checked against DuckDB list functions."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import add_gopher_filters
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(add_gopher_filters, batch_format="pyarrow") \
+        .to_pandas()
+    cols = ["doc_id", "n_words_g", "mean_word_len_g", "dup_line_frac",
+            "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+            "gopher_keep"]
+    return df[cols].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_redact_pii(sf_dir: str):
+    """PII redaction (<EMAIL>/<PHONE>) — RE2 kernels on both sides."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import redact_pii
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(redact_pii, batch_format="pyarrow").to_pandas()
+    return df[["doc_id", "clean_text"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def _q_top_image(sf_dir: str):
+    """largest_image_url selection algebra (image_extractor.py:183-224)
+    over deterministic synthesized candidate dims (md5-derived, so the
+    DuckDB oracle reproduces width/height bit-exact)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.multimodal import top_image_table
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    df = top_image_table(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -496,6 +534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_accuracy": _q_langid_accuracy,
         "doc_fingerprints": _q_doc_fingerprints,
         "simhash_quality": _q_simhash_quality,
+        "doc_gopher_quality": _q_doc_gopher_quality,
+        "doc_redact_pii": _q_doc_redact_pii,
+        "top_image": _q_top_image,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -560,6 +601,105 @@ def oracle_sql() -> dict[str, str]:
                        string_split_regex(text, '\\s+'), x -> x <> ''), ' '))
                        AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "doc_gopher_quality": """
+            -- Gopher heuristics: words = non-empty \\s+ tokens; lines =
+            -- non-empty trimmed lines; symbols = '#' + non-overlapping
+            -- '...' occurrences (mirrors str.count)
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words_g,
+                     CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                       round(CAST(list_aggregate(list_transform(ws,
+                           w -> length(w)), 'sum') AS DOUBLE) / len(ws), 4)
+                     END AS mean_word_len_g,
+                     CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                       round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                             / len(lines), 4)
+                     END AS dup_line_frac,
+                     CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                       round((CAST(length(text) - length(replace(text, '#', ''))
+                              AS DOUBLE)
+                              + (length(text) - length(replace(text, '...', '')))
+                                / 3) / len(ws), 4)
+                     END AS symbol_word_ratio,
+                     CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                       round(CAST(list_aggregate(list_transform(lines,
+                           l -> CASE WHEN l LIKE '-%' OR l LIKE '*%'
+                                THEN 1 ELSE 0 END), 'sum') AS DOUBLE)
+                           / len(lines), 4)
+                     END AS bullet_line_frac,
+                     CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                       round(CAST(list_aggregate(list_transform(lines,
+                           l -> CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END),
+                           'sum') AS DOUBLE) / len(lines), 4)
+                     END AS ellipsis_line_frac
+              FROM base
+            )
+            SELECT *,
+                   (n_words_g BETWEEN 50 AND 100000
+                    AND mean_word_len_g BETWEEN 3.0 AND 10.0
+                    AND dup_line_frac <= 0.30
+                    AND symbol_word_ratio <= 0.10
+                    AND bullet_line_frac <= 0.90
+                    AND ellipsis_line_frac <= 0.30) AS gopher_keep
+            FROM m ORDER BY doc_id
+        """,
+        "doc_redact_pii": """
+            -- same RE2 patterns as pipelines/textstats.py (pyarrow compute
+            -- and DuckDB both run RE2, so replacement is byte-identical)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '[^@|[:space:]]+@[^@]+\\.[^@|[:space:]]+',
+                       '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g')
+                       AS clean_text
+            FROM documents ORDER BY doc_id
+        """,
+        "top_image": """
+            -- calculate_area gates (image_extractor.py:199-224) over
+            -- md5-derived synthetic dims; first-in-page-order wins ties
+            WITH cand AS (
+              SELECT doc_id, i.ord AS ord,
+                     'http://img.example.com/d' || doc_id || '/' || i.name
+                         AS url
+              FROM documents,
+                   (VALUES (0, 'logo.png'), (1, 'sprite-nav.png'),
+                           (2, 'photo-2.jpg'), (3, 'hero-3.jpg'),
+                           (4, 'art-4.jpg')) AS i(ord, name)
+            ), dims AS (
+              SELECT doc_id, ord, url,
+                     CAST(40 + md5_number_lower(url) % 1400 AS BIGINT) AS w,
+                     CAST(40 + md5_number_upper(url) % 1000 AS BIGINT) AS h
+              FROM cand
+            ), scored AS (
+              SELECT doc_id, ord, url,
+                     CASE WHEN w * h < 5000 THEN 0.0
+                          WHEN w < 90 THEN 0.0
+                          WHEN CAST(greatest(w, h) AS DOUBLE) / least(w, h)
+                               > CAST(16 AS DOUBLE) / 9 THEN 0.0
+                          WHEN url LIKE '%sprite%' OR url LIKE '%logo%'
+                               THEN CAST(w * h AS DOUBLE) / 10
+                          ELSE CAST(w * h AS DOUBLE) END AS score
+              FROM dims
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, ord ASC) AS rn
+              FROM scored
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN url ELSE '' END AS top_image,
+                   round(CASE WHEN score > 0 THEN score ELSE 0.0 END, 2)
+                       AS best_area
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "minhash_pairs": """
             -- exact 5-word-shingle Jaccard >= 0.5: the LSH candidate pass

@@ -119,3 +119,54 @@ def decode_pipeline(ds, fake: bool = True):
     return ds.map_batches(
         ImageDecodeFeatures, batch_format="pyarrow", batch_size=32,
         concurrency=(1, 4), fn_constructor_kwargs={"fake": fake})
+
+# --- top-image selection over synthesized candidate dims -------------------
+
+# one candidate list per document, in page order; names exercise every
+# calculate_area gate (sprite/logo penalty, small, banner-shaped, normal)
+_IMG_NAMES = ("logo.png", "sprite-nav.png", "photo-2.jpg",
+              "hero-3.jpg", "art-4.jpg")
+
+
+def _synth_dims(url: str) -> tuple[int, int]:
+    """Deterministic (width, height) from md5(url) — little-endian 64-bit
+    halves so DuckDB's md5_number_upper/lower reproduce them bit-exact
+    (upper = bytes 0..8 LE, lower = bytes 8..16 LE)."""
+    import hashlib
+
+    d = hashlib.md5(url.encode("utf-8")).digest()
+    lower = int.from_bytes(d[8:16], "little")
+    upper = int.from_bytes(d[:8], "little")
+    return 40 + lower % 1400, 40 + upper % 1000
+
+
+def top_image_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Per-document largest_image_url (image_extractor.py:183-224) over
+    synthesized candidate dims — the dims stand in for the decode stage's
+    (url, width, height) sidecar; the selection algebra is the real one."""
+    from ..functions.images import score_image, select_top_image
+
+    doc_ids = batch[id_col].to_pylist()
+    tops, areas = [], []
+    for doc_id in doc_ids:
+        cands = []
+        for name in _IMG_NAMES:
+            url = f"http://img.example.com/d{doc_id}/{name}"
+            w, h = _synth_dims(url)
+            cands.append((url, w, h))
+        best = select_top_image(cands)
+        tops.append(best)
+        areas.append(round(max((score_image(u, w, h) for u, w, h in cands
+                                if u == best), default=0.0), 2)
+                     if best else 0.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "top_image": pa.array(tops, pa.string()),
+        "best_area": pa.array(areas, pa.float64()),
+    })
+
+
+def top_image_table(ds, id_col: str = "doc_id"):
+    """Dataset wiring: one map_batches, no shuffle, no driver rows."""
+    return ds.map_batches(lambda b: top_image_batch(b, id_col),
+                          batch_format="pyarrow")

@@ -221,6 +221,103 @@ def add_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
 
+# --- Gopher-style quality filter (Rae et al. 2021, §A1.1 heuristics) ----
+#
+# Signals a 100-TB pretraining pipeline gates on: word-count bounds, mean
+# word length, duplicate-line fraction, symbol-to-word ratio, bullet- and
+# ellipsis-line fractions. Thresholds follow the published Gopher rules.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MAX_BULLET_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30
+
+
+def add_gopher_filters(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher repetition/shape signals + the keep flag, rounded to 4dp so
+    a DuckDB list-function oracle compares byte-exact.
+
+    Definitions (mirrored exactly in the `doc_gopher_quality` oracle):
+    words = non-empty whitespace tokens; lines = non-empty trimmed lines;
+    symbols = '#' chars plus non-overlapping '...' runs."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_words = np.zeros(n, dtype=np.int64)
+    mean_wlen = np.zeros(n)
+    dup_frac = np.zeros(n)
+    sym_ratio = np.zeros(n)
+    bullet_frac = np.zeros(n)
+    ellipsis_frac = np.zeros(n)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words = t.split()
+        if words:
+            n_words[i] = len(words)
+            mean_wlen[i] = sum(map(len, words)) / len(words)
+            sym_ratio[i] = (t.count("#") + t.count("...")) / len(words)
+        lines = [ln.strip() for ln in t.split("\n")]
+        lines = [ln for ln in lines if ln]
+        if lines:
+            dup_frac[i] = 1.0 - len(set(lines)) / len(lines)
+            bullet_frac[i] = sum(
+                ln.startswith(("-", "*")) for ln in lines) / len(lines)
+            ellipsis_frac[i] = sum(
+                ln.endswith("...") for ln in lines) / len(lines)
+    def _round4_half_away(a: np.ndarray) -> np.ndarray:
+        # DuckDB round() is half-away-from-zero; np.round is banker's —
+        # exact binary ties (e.g. 141/32 = 4.40625) diverge otherwise.
+        # All inputs here are non-negative.
+        return np.floor(a * 10000.0 + 0.5) / 10000.0
+
+    mean_wlen = _round4_half_away(mean_wlen)
+    dup_frac = _round4_half_away(dup_frac)
+    sym_ratio = _round4_half_away(sym_ratio)
+    bullet_frac = _round4_half_away(bullet_frac)
+    ellipsis_frac = _round4_half_away(ellipsis_frac)
+    keep = ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+            & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+            & (dup_frac <= GOPHER_MAX_DUP_LINE_FRAC)
+            & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+            & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+            & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC))
+    batch = batch.append_column("n_words_g", pa.array(n_words, pa.int64()))
+    for name, arr in (("mean_word_len_g", mean_wlen),
+                      ("dup_line_frac", dup_frac),
+                      ("symbol_word_ratio", sym_ratio),
+                      ("bullet_line_frac", bullet_frac),
+                      ("ellipsis_line_frac", ellipsis_frac)):
+        batch = batch.append_column(name, pa.array(arr, pa.float64()))
+    return batch.append_column("gopher_keep", pa.array(keep, pa.bool_()))
+
+
+# --- PII redaction --------------------------------------------------------
+#
+# RE2-compatible patterns (no backtracking-only constructs) so the SAME
+# regex engine runs on both sides of the oracle: pyarrow.compute's
+# replace_substring_regex is RE2, and DuckDB's regexp_replace is RE2.
+# The email pattern is the reference extractor's (patterns.py:63-69,
+# textutil._EMAIL_RE); the phone pattern is a deliberately simple
+# digit-run shape (redaction wants recall, not NANP validity).
+PII_EMAIL_PATTERN = r"[^@|\s]+@[^@]+\.[^@|\s]+"
+PII_PHONE_PATTERN = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """clean_text column: emails → <EMAIL> then phone runs → <PHONE>.
+    Vectorized end-to-end (two RE2 kernel passes, zero Python rows)."""
+    col = pc.cast(batch[text_col], pa.string())
+    col = pc.replace_substring_regex(
+        col, pattern=PII_EMAIL_PATTERN, replacement="<EMAIL>")
+    col = pc.replace_substring_regex(
+        col, pattern=PII_PHONE_PATTERN, replacement="<PHONE>")
+    return batch.append_column("clean_text", col)
+
+
 def partial_word_counts(batch: pa.Table, text_col: str = "text",
                         stop_lang: str | None = "en") -> pa.Table:
     """Per-batch partial aggregation for the corpus keyword top-k: one

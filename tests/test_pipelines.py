@@ -248,3 +248,68 @@ def test_simhash_distributed_pairing_matches_pandas_oracle(docs_with_dups):
     expected = sorted(cand)
     got = sorted(zip(pairs["a"], pairs["b"], pairs["hamming"]))
     assert got == expected
+
+
+def test_gopher_filters_semantics():
+    """Gopher rules on hand-built docs: a clean doc keeps, a repeated-line
+    doc and a bullet-list doc are dropped; ratios match hand math."""
+    import pyarrow as pa
+
+    good = " ".join(f"word{i % 97} token" for i in range(40))  # 80 words
+    dupl = "\n".join(["the same line again"] * 10 + ["unique one"]) + \
+        " " + " ".join(["pad"] * 60)
+    bullets = "\n".join(f"- item {i} listed here" for i in range(20))
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([good, dupl, bullets], pa.string())})
+    out = textstats.add_gopher_filters(t).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "gopher_keep"])
+    # 11 non-empty lines, 2 distinct -> dup frac 1 - 2/11 > 0.3
+    assert out.loc[2, "dup_line_frac"] > 0.3 and not bool(
+        out.loc[2, "gopher_keep"])
+    assert out.loc[3, "bullet_line_frac"] == 1.0 and not bool(
+        out.loc[3, "gopher_keep"])
+    # empty text row survives with zeros
+    z = textstats.add_gopher_filters(
+        pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array([""], pa.string())})).to_pandas()
+    assert int(z["n_words_g"][0]) == 0 and not bool(z["gopher_keep"][0])
+
+
+def test_redact_pii_kernels():
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([
+                      "mail bob.smith@example.org or +1 (212) 555-0187 now",
+                      "no pii here at all",
+                      "two: a@b.co then c@d.io end",
+                  ], pa.string())})
+    out = textstats.redact_pii(t).to_pandas()["clean_text"].tolist()
+    assert "<EMAIL>" in out[0] and "<PHONE>" in out[0]
+    assert "bob.smith" not in out[0] and "555" not in out[0]
+    assert out[1] == "no pii here at all"
+    assert out[2].count("<EMAIL>") == 2
+
+
+def test_top_image_selection_over_synth_dims():
+    """Every doc gets 5 deterministic candidates; the winner always beats
+    the sprite/logo candidates unless they alone pass the gates."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        _synth_dims,
+        top_image_batch,
+    )
+    from stimson_web_scraper_ray.functions.images import calculate_area
+
+    t = pa.table({"doc_id": pa.array(list(range(50)), pa.int64())})
+    out = top_image_batch(t).to_pandas()
+    assert len(out) == 50
+    for _, row in out.iterrows():
+        if not row["top_image"]:
+            continue
+        url = row["top_image"]
+        w, h = _synth_dims(url)
+        assert abs(calculate_area(url, (w, h)) - row["best_area"]) < 0.01
+    # dims are pure functions of the url
+    assert _synth_dims("http://x/y.jpg") == _synth_dims("http://x/y.jpg")
