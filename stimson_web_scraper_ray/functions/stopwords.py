@@ -96,6 +96,29 @@ _ZH = """
 叫 死 常 提 感 金 何 更 反 题 必 都 位 唯
 """.split()
 
+# Multi-character zh function words (core of spaCy's zh STOP_WORDS — the
+# reference's source, text.py:19-23). Doubles as the full-mode
+# segmentation lexicon for StopWordsChinese: jieba's dictionary is far
+# larger, but function words are the entries stopword counting and
+# best-node scoring actually consume.
+_ZH_WORDS = """
+我们 你们 他们 她们 它们 咱们 自己 大家 什么 怎么 怎样 为什么 没有 可以
+这个 那个 这些 那些 这样 那样 这里 那里 这么 那么 因为 所以 但是 如果
+虽然 然后 而且 或者 还是 已经 正在 曾经 知道 觉得 认为 应该 能够 需要
+开始 一些 一个 一种 一样 一直 一定 一般 现在 时候 地方 问题 就是 只是
+还有 很多 非常 十分 根据 关于 对于 由于 通过 随着 作为 成为 以及 其他
+其中 之后 之前 之间 以后 以前 上面 下面 里面 外面 不过 不能 不会 不要
+不是 可能 可是 每个 许多 任何 所有 有些 有的 得到 进行 表示 认为 主要
+重要 出来 起来 下去 上去 过去 今天 明天 昨天 今年 去年 明年 以来 后来
+原来 本来 当然 突然 忽然 仍然 依然 果然 既然 尽管 无论 不论 只要 只有
+除了 为了 按照 如何 多少 几乎 大约 左右 方面 情况 时间 东西 使用 工作
+生活 发展 社会 经济 国家 世界 公司 政府 记者 报道 表明 指出 强调 要求
+希望 相信 发现 研究 调查 结果 影响 包括 继续 决定 参加 举行 召开 接受
+""".split()
+
+_ZH_LEXICON = frozenset(_ZH_WORDS)
+_ZH_LEXICON_MAXLEN = max(len(w) for w in _ZH_WORDS)
+
 _AR = """
 في من على إلى عن أن إن كان كانت هذا هذه ذلك تلك التي الذي الذين ما لا لم لن
 هو هي هم نحن أنا أنت و أو ثم بل لكن إذا كل بعض غير بين عند قد لقد منذ حتى
@@ -121,7 +144,7 @@ _LISTS = {
     "es": frozenset(_ES),
     "de": frozenset(_DE),
     "fr": frozenset(_FR),
-    "zh": frozenset(_ZH),
+    "zh": frozenset(_ZH) | frozenset(_ZH_WORDS),
     "ar": frozenset(_AR),
     "th": frozenset(_TH),
 }
@@ -180,15 +203,48 @@ class StopWords:
 
 
 class StopWordsChinese(StopWords):
-    """zh segmentation: per-character (stand-in for jieba cut_all,
-    text.py:102-114 — jieba unavailable; zh stopwords here are single
-    characters so counting is equivalent for the score threshold)."""
+    """zh segmentation: jieba full-mode (``cut_all=True``, text.py:110-114)
+    reimplemented over the bundled lexicon. jieba's ``__cut_all`` walks a
+    word DAG and, at each position, yields every multi-char dictionary
+    word starting there; a single character is yielded only when it is
+    the sole DAG edge AND not already covered by a previous word. The
+    dictionary here is the bundled multi-char stopword/function-word
+    lexicon (_ZH_WORDS) — smaller than jieba's, so unknown open-class
+    words fall back to per-character tokens exactly like the prior
+    stand-in; known function words now count once as words (matching
+    jieba) instead of per character."""
 
     def __init__(self, language="zh"):
         super().__init__("zh")
+        self._lexicon = _ZH_LEXICON
+        self._maxlen = _ZH_LEXICON_MAXLEN
 
     def candidate_words(self, stripped_input: str):
-        return [c for c in stripped_input if not c.isspace()]
+        out: list[str] = []
+        s = stripped_input
+        n = len(s)
+        lex = self._lexicon
+        maxlen = self._maxlen
+        old_j = -1
+        k = 0
+        while k < n:
+            c = s[k]
+            if c.isspace():
+                k += 1
+                continue
+            # DAG edges at k: all lexicon words s[k:k+ln], ln in 2..maxlen
+            found = False
+            for ln in range(2, min(maxlen, n - k) + 1):
+                w = s[k:k + ln]
+                if w in lex:
+                    out.append(w)
+                    old_j = k + ln - 1
+                    found = True
+            if not found and k > old_j:
+                out.append(c)
+                old_j = k
+            k += 1
+        return out
 
 
 class StopWordsArabic(StopWords):

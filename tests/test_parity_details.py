@@ -190,11 +190,23 @@ def test_korean_suffix_matching():
     assert ws.get_stopword_count() == 1   # 그는 ends with 는
 
 
-def test_chinese_char_segmentation():
+def test_chinese_full_mode_segmentation():
+    """jieba cut_all semantics over the bundled lexicon (text.py:110-114):
+    multi-char function words count once; chars covered by a word are not
+    re-emitted; chars outside any word fall back to singles; overlapping
+    dictionary words are ALL emitted (full mode)."""
     zh = stopwords.StopWordsChinese()
+    # 这里 is a lexicon word -> 我 的 书 在 这里 (5 tokens, not 6 chars)
     ws = zh.get_stopword_count("我的书在这里")
-    assert ws.get_word_count() == 6       # per-character tokens
-    assert ws.get_stopword_count() >= 2   # 我 的 在 are stopwords
+    assert ws.get_word_count() == 5
+    assert ws.get_stopword_count() >= 3   # 我 的 在 这里
+    # overlapping words both emitted, like jieba's cut_all
+    toks = zh.candidate_words("为什么没有人")
+    assert "为什么" in toks and "什么" in toks and "没有" in toks
+    assert "人" in toks          # uncovered char falls back to single
+    assert "为" not in toks      # covered by 为什么, never re-emitted
+    # pure open-class text (not in lexicon) degrades to per-character
+    assert zh.candidate_words("书桌椅") == ["书", "桌", "椅"]
 
 
 def test_arabic_keeps_punctuation():
