@@ -348,6 +348,18 @@ def _q_top_image(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing any word 8-gram
+    with the benchmark subset (doc_id % 37 == 0). Broadcast-small-side
+    membership; DuckDB string-gram join is the oracle."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import contamination_flags
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = contamination_flags(ds, n=8, bench_mod=37).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -537,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": _q_doc_gopher_quality,
         "doc_redact_pii": _q_doc_redact_pii,
         "top_image": _q_top_image,
+        "decontaminate": _q_decontaminate,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -700,6 +713,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN score > 0 THEN score ELSE 0.0 END, 2)
                        AS best_area
             FROM ranked WHERE rn = 1 ORDER BY doc_id
+        """,
+        "decontaminate": """
+            -- word 8-grams under the [^a-z0-9_]+ tokenization shared
+            -- with ngram_jaccard_pairs; benchmark = doc_id % 37 == 0
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9_]+'), x -> x <> '') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 8 THEN []
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, len(ws) - 7),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+                                   ||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]
+                                   ||' '||ws[i+6]||' '||ws[i+7]))
+                     END AS s
+              FROM toks
+            ), bg AS (
+              SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0
+            ), corp AS (
+              SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0
+            ), hits AS (
+              SELECT c.doc_id, count(*) AS n_hits
+              FROM corp c JOIN bg USING (g) GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT)
+                       AS n_contaminated_grams,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            WHERE t.doc_id % 37 <> 0 ORDER BY t.doc_id
         """,
         "minhash_pairs": """
             -- exact 5-word-shingle Jaccard >= 0.5: the LSH candidate pass

@@ -678,3 +678,54 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}))
     return rd.from_pandas(df.sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def contamination_flags(ds, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 8, bench_mod: int = 37):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with a benchmark set (here: doc_id % bench_mod == 0 stands in
+    for the eval suite). Scale shape: a benchmark is SMALL by definition
+    (an eval suite, not a corpus), so its distinct gram-hash set is the
+    classic broadcast small side — built once with a distributed
+    flat-map + per-batch unique, shipped via ``ray.put``, membership
+    tested with a vectorized ``np.isin`` inside ``map_batches``. The
+    corpus side streams; nothing corpus-sized touches the driver. If the
+    benchmark outgrew worker heap, the same pipeline downgrades to a
+    Bloom filter over the identical hash space."""
+    import ray
+    import ray.data as rd
+
+    def bench_gram_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist())
+        keep = ids % bench_mod == 0
+        parts = [_gram_hashes(t, n) for t, k in
+                 zip(batch[text_col].to_pylist(), keep) if k]
+        u = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+        return pa.table({"g": pa.array(u, pa.uint64())})
+
+    bench_tbl = ds.map_batches(bench_gram_rows, batch_format="pyarrow") \
+        .to_pandas()
+    bench = np.unique(bench_tbl["g"].to_numpy(dtype=np.uint64,
+                                              na_value=0))
+    bench_ref = ray.put(bench)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids, hits = [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            if did % bench_mod == 0:
+                continue          # benchmark rows are not corpus rows
+            grams = _gram_hashes(text, n)
+            ids.append(did)
+            hits.append(int(np.isin(grams, bset,
+                                    assume_unique=True).sum()))
+        hits_arr = np.asarray(hits, dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_contaminated_grams": pa.array(hits_arr, pa.int64()),
+            "contaminated": pa.array(hits_arr > 0, pa.bool_()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

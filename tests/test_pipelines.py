@@ -313,3 +313,23 @@ def test_top_image_selection_over_synth_dims():
         assert abs(calculate_area(url, (w, h)) - row["best_area"]) < 0.01
     # dims are pure functions of the url
     assert _synth_dims("http://x/y.jpg") == _synth_dims("http://x/y.jpg")
+
+
+def test_contamination_flags_planted(ray_session):
+    """A corpus doc that copies a benchmark doc's text is flagged; an
+    unrelated doc is not; benchmark rows don't appear in the output."""
+    import pyarrow as pa
+
+    bench_text = " ".join(f"tok{i}" for i in range(30))     # doc_id 0 (0%37)
+    copycat = "intro words here " + bench_text              # shares 8-grams
+    clean = " ".join(f"other{i}" for i in range(30))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([bench_text, copycat, clean], pa.string()),
+    }))
+    df = dedup.contamination_flags(ds, n=8, bench_mod=37).to_pandas() \
+        .set_index("doc_id")
+    assert list(df.index) == [1, 2]
+    assert bool(df.loc[1, "contaminated"])
+    assert df.loc[1, "n_contaminated_grams"] == 23   # 30-8+1 shared grams
+    assert not bool(df.loc[2, "contaminated"])
