@@ -47,10 +47,17 @@ def textrank_keywords(text: str, language: str = "en", count: int = 10,
                       window_size: int = 4) -> list[str]:
     """Top-``count`` TextRank keywords of one document."""
     stop = get_stopwords(language)
+    # analyze(self.text.lower(), ...) — the reference pre-lowers the
+    # whole document before segmentation (article.py:350)
+    text = (text or "").lower()
     sentences = []
-    for sent in split_sentences(text or ""):
+    for sent in split_sentences(text):
+        # candidate_pos=['NOUN','PROPN'] approximation without a tagger:
+        # exclude stopwords (is_stop), numerics (NUM pos), single chars,
+        # and -ly adverbs; open-class residue stands in for nouns
         words = [w for w in _WORD.findall(sent)
-                 if w.lower() not in stop and len(w) > 1]
+                 if w not in stop and len(w) > 1
+                 and not w.isnumeric() and not w.endswith("ly")]
         if words:
             sentences.append(words)
     if not sentences:
@@ -63,13 +70,14 @@ def textrank_keywords(text: str, language: str = "en", count: int = 10,
                 vocab[w] = len(vocab)
     n = len(vocab)
 
+    # get_matrix (named_entity_recognition.py:86-103): BINARY adjacency —
+    # each distinct ordered window pair contributes exactly 1 (the
+    # reference dedups token_pairs), self-pairs included
     g = np.zeros((n, n), dtype=np.float64)
     for sent in sentences:
         for i, w1 in enumerate(sent):
             for j in range(i + 1, min(i + window_size, len(sent))):
-                w2 = sent[j]
-                if w1 != w2:
-                    g[vocab[w1], vocab[w2]] += 1
+                g[vocab[w1], vocab[sent[j]]] = 1.0
     g = g + g.T - np.diag(g.diagonal())          # symmetrize (get_matrix)
     norm = g.sum(axis=0)
     g = np.divide(g, norm, where=norm != 0)

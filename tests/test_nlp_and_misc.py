@@ -140,3 +140,22 @@ def test_cli_html_file(tmp_path):
     assert art["title"] == "T Story Here"
     assert art["text"].startswith("One of the many things")
     assert art["keywords"]
+
+
+def test_textrank_cnn_keyword_parity():
+    """article_test.py:194-208 expects a 12-keyword set from the spaCy
+    NOUN/PROPN TextRank. The tagger-free approximation (binary window
+    adjacency, self-pairs, pre-lowered text, NUM/-ly exclusion —
+    named_entity_recognition.py:67-103 algebra) reaches >=10/12 on the
+    cnn fixture. Ratchet up, never down."""
+    from stimson_web_scraper_ray.functions.extract import extract_article
+    from stimson_web_scraper_ray.functions.nlp import textrank_keywords
+
+    html = open(
+        "/root/reference/tests/fixtures/html/cnn_article.html", "rb").read()
+    art = extract_article(html, url="http://cnn.com/x")
+    kws = textrank_keywords(art["text"], "en", 10)
+    expect = {"storm", "weather", "new", "york", "flight", "balloons",
+              "roads", "delays", "parade", "people", "winds", "snow"}
+    assert len(set(kws) & expect) >= 10
+    assert all(k == k.lower() for k in kws)   # analyze(text.lower())
