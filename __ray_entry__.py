@@ -360,6 +360,19 @@ def _q_decontaminate(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_train_set(sf_dir: str):
+    """Composite flagship: decontaminate → Gopher filter → exact dedup →
+    token count, one map pass + one hash groupby."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.compose import train_set
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = train_set(ds).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -550,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact_pii": _q_doc_redact_pii,
         "top_image": _q_top_image,
         "decontaminate": _q_decontaminate,
+        "train_set": _q_train_set,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -746,6 +760,92 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
             WHERE t.doc_id % 37 <> 0 ORDER BY t.doc_id
+        """,
+        "train_set": """
+            -- composite: corpus (non-benchmark) docs that pass the Gopher
+            -- rules, share no 8-gram with the benchmark, deduped by
+            -- md5(text) keeping min doc_id; n_tokens = \\s+ tokens
+            WITH corp AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+            ), toks8 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9_]+'), x -> x <> '') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 8 THEN []
+                          ELSE list_distinct(list_transform(
+                              generate_series(1, len(ws) - 7),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+                                   ||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]
+                                   ||' '||ws[i+6]||' '||ws[i+7]))
+                     END AS s
+              FROM toks8
+            ), bg AS (
+              SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0
+            ), cont AS (
+              SELECT DISTINCT c.doc_id
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh
+                    WHERE doc_id % 37 <> 0) c
+              JOIN bg USING (g)
+            ), gbase AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') AS lines,
+                     text
+              FROM corp
+            ), goph AS (
+              SELECT doc_id,
+                     len(ws) AS nw,
+                     CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                       round(CAST(list_aggregate(list_transform(ws,
+                           w -> length(w)), 'sum') AS DOUBLE) / len(ws), 4)
+                     END AS mwl,
+                     CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                       round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                             / len(lines), 4)
+                     END AS dlf,
+                     CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                       round((CAST(length(text) - length(replace(text, '#', ''))
+                              AS DOUBLE)
+                              + (length(text) - length(replace(text, '...', '')))
+                                / 3) / len(ws), 4)
+                     END AS swr,
+                     CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                       round(CAST(list_aggregate(list_transform(lines,
+                           l -> CASE WHEN l LIKE '-%' OR l LIKE '*%'
+                                THEN 1 ELSE 0 END), 'sum') AS DOUBLE)
+                           / len(lines), 4)
+                     END AS blf,
+                     CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+                       round(CAST(list_aggregate(list_transform(lines,
+                           l -> CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END),
+                           'sum') AS DOUBLE) / len(lines), 4)
+                     END AS elf
+              FROM gbase
+            ), surv AS (
+              SELECT c.doc_id, c.text
+              FROM corp c JOIN goph g USING (doc_id)
+              WHERE g.nw BETWEEN 50 AND 100000
+                AND g.mwl BETWEEN 3.0 AND 10.0
+                AND g.dlf <= 0.30 AND g.swr <= 0.10
+                AND g.blf <= 0.90 AND g.elf <= 0.30
+                AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+            ), ded AS (
+              SELECT md5(text) AS m, MIN(doc_id) AS doc_id
+              FROM surv GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN trim(s.text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(s.text),
+                                                          '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM ded d JOIN surv s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
         """,
         "minhash_pairs": """
             -- exact 5-word-shingle Jaccard >= 0.5: the LSH candidate pass

