@@ -373,6 +373,19 @@ def _q_train_set(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Deterministic weighted sampling (corpus mixing): downsample en to
+    30%, es to 60%, keep the rest — md5(doc_id)-hash membership, so the
+    DuckDB md5_number_lower oracle verifies exact row membership."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sampling import weighted_sample
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+    out = weighted_sample(ds, {"en": 0.3, "es": 0.6})
+    df = out.to_pandas()[["doc_id", "lang"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -564,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_image": _q_top_image,
         "decontaminate": _q_decontaminate,
         "train_set": _q_train_set,
+        "corpus_mix": _q_corpus_mix,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -760,6 +774,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
             WHERE t.doc_id % 37 <> 0 ORDER BY t.doc_id
+        """,
+        "corpus_mix": """
+            -- hash-membership sampling: md5_number_lower of the decimal
+            -- id string, mod 10000, under per-lang thresholds
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000
+                  < CASE lang WHEN 'en' THEN 3000
+                              WHEN 'es' THEN 6000
+                              ELSE 10000 END
+            ORDER BY doc_id
         """,
         "train_set": """
             -- composite: corpus (non-benchmark) docs that pass the Gopher

@@ -362,3 +362,29 @@ def test_train_set_composite(ray_session, sf_dir):
     assert (out.sort_values("doc_id")["n_tokens"].values ==
             [len(t.split()) for t in surv_texts.loc[
                 out.sort_values("doc_id")["doc_id"]]]).all()
+
+
+def test_weighted_sample_deterministic_and_rated(ray_session):
+    """Hash sampling: same input -> same rows; per-stratum keep rates
+    near their targets; rate 0 and 1 exact."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.sampling import weighted_sample
+
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(n)],
+                         pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    out1 = weighted_sample(ds, {"en": 0.25, "de": 1.0}).to_pandas()
+    out2 = weighted_sample(ds, {"en": 0.25, "de": 1.0}).to_pandas()
+    a = out1.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)                                 # deterministic
+    en = a[a["lang"] == "en"]
+    assert len(a[a["lang"] == "de"]) == n // 2         # rate 1.0 keeps all
+    assert abs(len(en) / (n // 2) - 0.25) < 0.05       # ~25% of en
+    none = weighted_sample(ds, {"en": 0.0, "de": 0.0}).to_pandas()
+    assert len(none) == 0
