@@ -386,6 +386,18 @@ def _q_corpus_mix(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_unigram_nll(sf_dir: str):
+    """CCNet-style perplexity filter: fit a top-V unigram LM on the
+    corpus (distributed count, O(V) broadcast), then stream-score every
+    doc's mean negative log-likelihood; OOV floor alpha=0.5."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.lm import unigram_nll
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = unigram_nll(ds, top_v=20).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -578,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "train_set": _q_train_set,
         "corpus_mix": _q_corpus_mix,
+        "doc_unigram_nll": _q_unigram_nll,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -784,6 +797,28 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'es' THEN 6000
                               ELSE 10000 END
             ORDER BY doc_id
+        """,
+        "doc_unigram_nll": """
+            -- unigram LM scoring: top-20 vocab by (count desc, word asc),
+            -- probabilities over the FULL token total, OOV alpha = 0.5
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS word
+                FROM documents),
+            toks2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+            counts AS (SELECT word, COUNT(*) AS c FROM toks2 GROUP BY word),
+            tot AS (SELECT SUM(c) AS t FROM counts),
+            vocab AS (SELECT word, c FROM counts
+                      ORDER BY c DESC, word ASC LIMIT 20)
+            SELECT t2.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   AVG(-ln(coalesce(v.c, 0.5) / tot.t)) AS avg_nll
+            FROM toks2 t2
+            LEFT JOIN vocab v USING (word) CROSS JOIN tot
+            GROUP BY t2.doc_id ORDER BY t2.doc_id
         """,
         "train_set": """
             -- composite: corpus (non-benchmark) docs that pass the Gopher

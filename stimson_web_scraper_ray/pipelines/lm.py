@@ -1,0 +1,126 @@
+"""Unigram language-model quality scoring (CCNet-style perplexity filter).
+
+A standard pretraining-data curation step (Wenzek et al., CCNet) scores
+every document by how "ordinary" its text is under a language model and
+filters the tails. The scalable skeleton is what matters here:
+
+- pass 1 (fit): corpus unigram counts via per-batch partial aggregation
+  (combiner) -> small ``groupby(word).sum`` -> keep only the TOP-V vocab
+  (sort by count desc, word asc) so the broadcast is O(V), never
+  O(corpus vocab) -- at 100 TB the raw vocab is billions of keys, the
+  model is a fixed-size table.
+- pass 2 (score): broadcast the (word -> count, total) table once via
+  ``ray.put``, read per actor in ``__init__``, then one streaming
+  ``map_batches`` computes each doc's mean negative log-likelihood.
+  Out-of-vocab tokens get a floor pseudo-count (alpha) -- the OOV rate
+  itself is a useful quality signal and is emitted as a column.
+
+Tokenization is the ASCII scheme shared with the keyword oracle
+(`[^a-zA-Z0-9_ ]` stripped, lowered, space-split) so DuckDB can verify
+the scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_ASCII_STRIP_RE = re.compile(r"[^a-zA-Z0-9_ ]")
+_OOV_ALPHA = 0.5
+
+
+def ascii_words(text: str | None) -> list[str]:
+    """Exactly DuckDB's  string_split(lower(regexp_replace(text,
+    '[^a-zA-Z0-9_ ]', '', 'g')), ' ')  with empties dropped."""
+    if not text:
+        return []
+    return [w for w in _ASCII_STRIP_RE.sub("", text).lower().split(" ") if w]
+
+
+def partial_unigram_counts(batch: pa.Table, text_col: str = "text"
+                           ) -> pa.Table:
+    """Combiner: one (word, freq) row per distinct word per batch."""
+    counts: dict[str, int] = {}
+    for t in batch[text_col].to_pylist():
+        for w in ascii_words(t):
+            counts[w] = counts.get(w, 0) + 1
+    return pa.table({
+        "word": pa.array(list(counts.keys()), pa.string()),
+        "freq": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def fit_unigram_lm(ds, top_v: int = 20_000, text_col: str = "text"
+                   ) -> tuple[dict[str, int], int]:
+    """Distributed count + top-V cut. Returns (vocab counts, total tokens).
+
+    The total is over ALL tokens (so probabilities stay a distribution
+    even after the vocab cut); only the top-V counts are broadcast."""
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        lambda b: partial_unigram_counts(b, text_col),
+        batch_format="pyarrow",
+    ).groupby("word").aggregate(Sum("freq", alias_name="freq")).materialize()
+    total = int(agg.sum("freq"))
+    top = agg.sort(["freq", "word"], descending=[True, False]) \
+             .limit(top_v).to_pandas()
+    return dict(zip(top["word"], top["freq"].astype(int))), total
+
+
+class UnigramNLLScorer:
+    """Actor-pool stage: model table fetched once per actor, per-batch
+    scoring emits (doc_id, n_toks, n_oov, avg_nll)."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        vocab, total = ray.get(model_ref) \
+            if not isinstance(model_ref, tuple) else model_ref
+        self.id_col = id_col
+        self.text_col = text_col
+        self.total = float(total)
+        # one vectorized lookup table: word -> -ln(count/total)
+        self.nll = pd.Series(
+            {w: -np.log(c / self.total) for w, c in vocab.items()},
+            dtype=np.float64)
+        self.oov_nll = -np.log(_OOV_ALPHA / self.total)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_toks, n_oov, avg = [], [], [], []
+        for did, t in zip(batch[self.id_col].to_pylist(),
+                          batch[self.text_col].to_pylist()):
+            words = ascii_words(t)
+            if not words:
+                continue
+            scores = self.nll.reindex(words).to_numpy()
+            oov = np.isnan(scores)
+            scores[oov] = self.oov_nll
+            ids.append(did)
+            n_toks.append(len(words))
+            n_oov.append(int(oov.sum()))
+            avg.append(float(scores.mean()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_toks": pa.array(n_toks, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "avg_nll": pa.array(avg, pa.float64()),
+        })
+
+
+def unigram_nll(ds, top_v: int = 20_000, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Two-pass pipeline: fit on ds, then stream-score ds. Docs with no
+    ASCII tokens are dropped (no distribution to score them under)."""
+    import ray
+
+    model = fit_unigram_lm(ds, top_v=top_v, text_col=text_col)
+    mref = ray.put(model)
+    return ds.map_batches(
+        UnigramNLLScorer, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"model_ref": mref, "id_col": id_col,
+                               "text_col": text_col})

@@ -388,3 +388,31 @@ def test_weighted_sample_deterministic_and_rated(ray_session):
     assert abs(len(en) / (n // 2) - 0.25) < 0.05       # ~25% of en
     none = weighted_sample(ds, {"en": 0.0, "de": 0.0}).to_pandas()
     assert len(none) == 0
+
+
+def test_unigram_nll_model_and_scoring(ray_session):
+    """Fit/score parity with a hand-computed model: top-V cut, OOV floor,
+    mean NLL; docs with no ASCII tokens are dropped."""
+    import math
+
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.lm import unigram_nll
+
+    # corpus: 6x "aa", 3x "bb", 1x "cc"  (total 10 tokens)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["aa aa aa bb", "aa aa aa bb bb cc", "", "!!!"],
+                         pa.string()),
+    })
+    out = unigram_nll(rd.from_arrow(t), top_v=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]            # empty/no-token drop
+    # vocab = {aa:6, bb:3}; cc is OOV (alpha 0.5); total stays 10
+    nll = {"aa": -math.log(6 / 10), "bb": -math.log(3 / 10)}
+    oov = -math.log(0.5 / 10)
+    exp1 = (3 * nll["aa"] + nll["bb"]) / 4
+    exp2 = (3 * nll["aa"] + 2 * nll["bb"] + oov) / 6
+    assert out["n_toks"].tolist() == [4, 6]
+    assert out["n_oov"].tolist() == [0, 1]
+    assert np.allclose(out["avg_nll"], [exp1, exp2])
