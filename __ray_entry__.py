@@ -398,6 +398,17 @@ def _q_unigram_nll(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Sequence chunking: explode docs into 64-token windows (streaming
+    flat-map, no shuffle); oracle reconstructs every window in SQL."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.chunking import chunk_documents
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = chunk_documents(ds, seq_len=64).to_pandas()
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -591,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_set": _q_train_set,
         "corpus_mix": _q_corpus_mix,
         "doc_unigram_nll": _q_unigram_nll,
+        "doc_chunks": _q_doc_chunks,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -820,8 +832,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN vocab v USING (word) CROSS JOIN tot
             GROUP BY t2.doc_id ORDER BY t2.doc_id
         """,
+        "doc_chunks": """
+            -- 64-token windows: whitespace tokens of trimmed text,
+            -- 1-based list_slice, last window ragged
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE trim(text) <> ''),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+            g AS (SELECT doc_id, toks, n,
+                         unnest(generate_series(
+                             0, CAST(ceil(n / 64.0) - 1 AS BIGINT)))
+                             AS chunk_id
+                  FROM n)
+            SELECT doc_id, chunk_id,
+                   CAST(least(64, n - chunk_id * 64) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(list_slice(
+                       toks, chunk_id * 64 + 1,
+                       least(n, chunk_id * 64 + 64)), ' ') AS chunk_text
+            FROM g ORDER BY doc_id, chunk_id
+        """,
         "train_set": """
-            -- composite: corpus (non-benchmark) docs that pass the Gopher
+            -- composite: decontaminate -> Gopher filter -> exact dedup;
+            -- corpus (non-benchmark) docs that pass the Gopher
             -- rules, share no 8-gram with the benchmark, deduped by
             -- md5(text) keeping min doc_id; n_tokens = \\s+ tokens
             WITH corp AS (

@@ -416,3 +416,22 @@ def test_unigram_nll_model_and_scoring(ray_session):
     assert out["n_toks"].tolist() == [4, 6]
     assert out["n_oov"].tolist() == [0, 1]
     assert np.allclose(out["avg_nll"], [exp1, exp2])
+
+
+def test_chunk_documents_windows(ray_session):
+    """Window boundaries, ragged tail, empty-doc drop, text payload."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.chunking import chunk_documents
+
+    toks = [f"w{i}" for i in range(10)]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([" ".join(toks), "solo", "   "], pa.string()),
+    })
+    out = chunk_documents(rd.from_arrow(t), seq_len=4).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 1, 1, 2]      # 10 toks -> 3 windows
+    assert out["n_chunk_tokens"].tolist() == [4, 4, 2, 1]
+    assert out["chunk_text"].tolist() == [
+        "w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9", "solo"]
