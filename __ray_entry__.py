@@ -409,6 +409,18 @@ def _q_doc_chunks(sf_dir: str):
     return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF terms over a top-20 df vocabulary (sklearn
+    max_features semantics): one groupby(word) shuffle for the fit, O(V)
+    broadcast, row-local scoring and ranking."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.tfidf import tfidf_topk
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = tfidf_topk(ds, k=5, top_v=20).to_pandas()
+    return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -603,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _q_corpus_mix,
         "doc_unigram_nll": _q_unigram_nll,
         "doc_chunks": _q_doc_chunks,
+        "doc_tfidf_topk": _q_tfidf_topk,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -831,6 +844,31 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t2
             LEFT JOIN vocab v USING (word) CROSS JOIN tot
             GROUP BY t2.doc_id ORDER BY t2.doc_id
+        """,
+        "doc_tfidf_topk": """
+            -- top-20 df vocabulary, idf = ln(n_docs/df), per-doc top-5 by
+            -- (round(tfidf,6) desc, term asc)
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            vocab AS (SELECT term, df FROM dfreq
+                      ORDER BY df DESC, term ASC LIMIT 20),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(nd.n / v.df), 6) AS tfidf,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY round(tf.tf * ln(nd.n / v.df), 6) DESC,
+                                    tf.term ASC) AS rank
+                FROM tf JOIN vocab v USING (term) CROSS JOIN nd)
+            SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+            FROM scored WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         "doc_chunks": """
             -- 64-token windows: whitespace tokens of trimmed text,

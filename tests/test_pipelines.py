@@ -435,3 +435,33 @@ def test_chunk_documents_windows(ray_session):
     assert out["n_chunk_tokens"].tolist() == [4, 4, 2, 1]
     assert out["chunk_text"].tolist() == [
         "w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9", "solo"]
+
+
+def test_tfidf_topk_ranking(ray_session):
+    """df fit, idf math, vocab cut, and deterministic tie ordering."""
+    import math
+
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.tfidf import tfidf_topk
+
+    # 4 docs; "common" in all, "rare" in one, "mid" in two
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "common common rare mid",
+            "common mid",
+            "common",
+            "common",
+        ], pa.string()),
+    })
+    out = tfidf_topk(rd.from_arrow(t), k=2, top_v=10).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("rank")
+    # doc1: rare tf=1 idf=ln4 ; mid tf=1 idf=ln2 ; common tf=2 idf=0
+    assert d1["term"].tolist() == ["rare", "mid"]
+    assert np.allclose(d1["tfidf"], [math.log(4), math.log(2)], atol=1e-6)
+    # doc3/doc4: only "common", tfidf 0, still emitted (k>n_terms ok)
+    assert out[out["doc_id"] == 3]["term"].tolist() == ["common"]
+    # vocab cut: top_v=1 keeps only the highest-df word ("common")
+    cut = tfidf_topk(rd.from_arrow(t), k=2, top_v=1).to_pandas()
+    assert set(cut["term"]) == {"common"}
