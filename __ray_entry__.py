@@ -421,6 +421,34 @@ def _q_tfidf_topk(sf_dir: str):
     return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def _q_curation_rollup(sf_dir: str):
+    """Curation report: per (source, lang) doc counts, Gopher keep rate
+    and mean length — one map pass + one small two-key groupby, the
+    aggregate that tells you what a filter did to each corpus slice."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import add_gopher_filters
+
+    def _keep_int(b):
+        import pyarrow.compute as pc
+        return b.append_column(
+            "keep_i", pc.cast(b["gopher_keep"], "int64"))
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+    agg = ds.map_batches(add_gopher_filters, batch_format="pyarrow") \
+        .map_batches(_keep_int, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(
+            Count(alias_name="n_docs"),
+            Sum("keep_i", alias_name="n_keep"),
+            Mean("keep_i", alias_name="keep_rate"),
+            Mean("n_words_g", alias_name="mean_words"))
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_keep"] = df["n_keep"].astype("int64")
+    return df.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -616,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_nll": _q_unigram_nll,
         "doc_chunks": _q_doc_chunks,
         "doc_tfidf_topk": _q_tfidf_topk,
+        "curation_rollup": _q_curation_rollup,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -650,41 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        "doc_token_counts": """
-            SELECT doc_id,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
-                        END AS BIGINT) AS n_tokens
-            FROM documents ORDER BY doc_id
-        """,
-        "doc_quality": """
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars_q,
-                   round(CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE)
-                         / length(text), 4) AS punct_ratio
-            FROM documents ORDER BY doc_id
-        """,
-        "dedup_exact": """
-            SELECT md5(text) AS text_md5,
-                   MIN(doc_id) AS keep_doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_dups
-            FROM documents GROUP BY md5(text) ORDER BY text_md5
-        """,
-        "doc_fingerprints": """
-            -- fingerprint = md5 of whitespace-normalized text; the split/
-            -- filter/join mirrors Python's ' '.join(text.split())
-            SELECT doc_id,
-                   md5(array_to_string(list_filter(
-                       string_split_regex(text, '\\s+'), x -> x <> ''), ' '))
-                       AS fingerprint
-            FROM documents ORDER BY doc_id
-        """,
-        "doc_gopher_quality": """
-            -- Gopher heuristics: words = non-empty \\s+ tokens; lines =
-            -- non-empty trimmed lines; symbols = '#' + non-overlapping
-            -- '...' occurrences (mirrors str.count)
+# Gopher-rule metrics CTE shared by the per-doc quality query and the
+# curation rollup (ends in a `g` relation: doc_id + 6 metrics + keep flag).
+_GOPHER_SQL_CTE = """
             WITH base AS (
               SELECT doc_id, text,
                      list_filter(string_split_regex(text, '\\s+'),
@@ -722,15 +719,66 @@ def oracle_sql() -> dict[str, str]:
                            'sum') AS DOUBLE) / len(lines), 4)
                      END AS ellipsis_line_frac
               FROM base
+            ), g AS (
+              SELECT *,
+                     (n_words_g BETWEEN 50 AND 100000
+                      AND mean_word_len_g BETWEEN 3.0 AND 10.0
+                      AND dup_line_frac <= 0.30
+                      AND symbol_word_ratio <= 0.10
+                      AND bullet_line_frac <= 0.90
+                      AND ellipsis_line_frac <= 0.30) AS gopher_keep
+              FROM m
             )
-            SELECT *,
-                   (n_words_g BETWEEN 50 AND 100000
-                    AND mean_word_len_g BETWEEN 3.0 AND 10.0
-                    AND dup_line_frac <= 0.30
-                    AND symbol_word_ratio <= 0.10
-                    AND bullet_line_frac <= 0.90
-                    AND ellipsis_line_frac <= 0.30) AS gopher_keep
-            FROM m ORDER BY doc_id
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_q,
+                   round(CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE)
+                         / length(text), 4) AS punct_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY text_md5
+        """,
+        "doc_fingerprints": """
+            -- fingerprint = md5 of whitespace-normalized text; the split/
+            -- filter/join mirrors Python's ' '.join(text.split())
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(
+                       string_split_regex(text, '\\s+'), x -> x <> ''), ' '))
+                       AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        # Gopher heuristics: words = non-empty \s+ tokens; lines =
+        # non-empty trimmed lines; symbols = '#' + non-overlapping
+        # '...' occurrences (mirrors str.count)
+        "doc_gopher_quality": _GOPHER_SQL_CTE + """
+            SELECT * FROM g ORDER BY doc_id
+        """,
+        "curation_rollup": _GOPHER_SQL_CTE + """
+            SELECT d.source, d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_keep,
+                   AVG(CASE WHEN g.gopher_keep THEN 1.0 ELSE 0.0 END)
+                       AS keep_rate,
+                   AVG(g.n_words_g) AS mean_words
+            FROM g JOIN documents d USING (doc_id)
+            GROUP BY d.source, d.lang ORDER BY d.source, d.lang
         """,
         "doc_redact_pii": """
             -- same RE2 patterns as pipelines/textstats.py (pyarrow compute
