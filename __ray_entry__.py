@@ -449,6 +449,24 @@ def _q_curation_rollup(sf_dir: str):
     return df.sort_values(["source", "lang"]).reset_index(drop=True)
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Per-lang exact token-count quantiles (p50/p90/p99) via the
+    distributed value-histogram — no per-group sort, one exchange."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        add_token_counts,
+        grouped_quantiles,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(add_token_counts, batch_format="pyarrow") \
+        .select_columns(["lang", "n_tokens"])
+    df = grouped_quantiles(ds, "lang", "n_tokens")
+    for c in ["n_rows", "q50", "q90", "q99"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -645,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
+        "token_quantiles": _q_token_quantiles,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -892,6 +911,22 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t2
             LEFT JOIN vocab v USING (word) CROSS JOIN tot
             GROUP BY t2.doc_id ORDER BY t2.doc_id
+        """,
+        "token_quantiles": """
+            -- tokens = \\s+ split of trimmed text (doc_token_counts scheme)
+            WITH t AS (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(
+                                trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS q50,
+                   CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS q90,
+                   CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS q99
+            FROM t GROUP BY lang ORDER BY lang
         """,
         "doc_tfidf_topk": """
             -- top-20 df vocabulary, idf = ln(n_docs/df), per-doc top-5 by

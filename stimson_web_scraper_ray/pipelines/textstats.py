@@ -345,3 +345,36 @@ def corpus_top_keywords(ds, k: int = 10, stop_lang: str | None = "en"):
         batch_format="pyarrow")
     agg = partials.groupby("word").aggregate(Sum("freq", alias_name="freq"))
     return agg.sort(["freq", "word"], descending=[True, True]).limit(k)
+
+
+def grouped_quantiles(ds, group_col: str, value_col: str,
+                      qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Exact per-group quantiles of a bounded-domain integer column via a
+    distributed value histogram: ``groupby((group, value)).count`` — the
+    only exchange — then a cumulative walk over the histogram, which is
+    O(|groups| x |distinct values|) regardless of corpus row count (the
+    scale-right alternative to a full per-group sort). Picks the
+    ceil(q*n)-th smallest, DuckDB ``quantile_disc`` semantics.
+
+    Returns a pandas frame: group_col, n_rows, q50/q90/... columns.
+    """
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([group_col, value_col]) \
+        .aggregate(Count(alias_name="freq")).to_pandas()
+    out = []
+    for g, part in hist.groupby(group_col, sort=True):
+        part = part.sort_values(value_col)
+        freq = part["freq"].to_numpy()
+        vals = part[value_col].to_numpy()
+        cum = freq.cumsum()
+        n = int(cum[-1])
+        row = {group_col: g, "n_rows": n}
+        for q in qs:
+            k = max(1, math.ceil(q * n))
+            row[f"q{int(q * 100)}"] = int(vals[np.searchsorted(cum, k)])
+        out.append(row)
+    return pd.DataFrame(out)

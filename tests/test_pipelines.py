@@ -465,3 +465,24 @@ def test_tfidf_topk_ranking(ray_session):
     # vocab cut: top_v=1 keeps only the highest-df word ("common")
     cut = tfidf_topk(rd.from_arrow(t), k=2, top_v=1).to_pandas()
     assert set(cut["term"]) == {"common"}
+
+
+def test_grouped_quantiles_disc_semantics(ray_session):
+    """quantile_disc rule (ceil(q*n)-th smallest) on a known histogram."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.textstats import grouped_quantiles
+
+    vals = list(range(1, 11)) + [5, 5, 5]          # group b: skewed
+    t = pa.table({
+        "g": pa.array(["a"] * 10 + ["b"] * 3, pa.string()),
+        "v": pa.array(list(range(1, 11)) + [7, 7, 9], pa.int64()),
+    })
+    del vals
+    out = grouped_quantiles(rd.from_arrow(t), "g", "v") \
+        .set_index("g")
+    # group a = 1..10: p50 -> 5th = 5, p90 -> 9th = 9, p99 -> 10th = 10
+    assert out.loc["a", ["q50", "q90", "q99"]].tolist() == [5, 9, 10]
+    # group b = [7,7,9]: p50 -> ceil(1.5)=2nd = 7, p90/p99 -> 3rd = 9
+    assert out.loc["b", ["q50", "q90", "q99"]].tolist() == [7, 9, 9]
+    assert out["n_rows"].tolist() == [10, 3]
