@@ -467,6 +467,27 @@ def _q_token_quantiles(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def _q_segment_revenue(sf_dir: str):
+    """Two fact-scaled tables joined without a broadcast: orders ⋈
+    customer through the bucketed hash join (one exchange, per-part
+    vectorized merge), then a tiny segment rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    agg = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_price"))
+    df = agg.to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["total_price"] = df["total_price"].round(2)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -664,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles,
+        "segment_revenue": _q_segment_revenue,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -911,6 +933,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t2
             LEFT JOIN vocab v USING (word) CROSS JOIN tot
             GROUP BY t2.doc_id ORDER BY t2.doc_id
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   round(SUM(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "token_quantiles": """
             -- tokens = \\s+ split of trimmed text (doc_token_counts scheme)

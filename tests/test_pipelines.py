@@ -486,3 +486,29 @@ def test_grouped_quantiles_disc_semantics(ray_session):
     # group b = [7,7,9]: p50 -> ceil(1.5)=2nd = 7, p90/p99 -> 3rd = 9
     assert out.loc["b", ["q50", "q90", "q99"]].tolist() == [7, 9, 9]
     assert out["n_rows"].tolist() == [10, 3]
+
+
+def test_hash_join_inner_left_and_collisions(ray_session):
+    """Bucketed hash join: inner/left semantics, string keys, and the
+    non-key collision guard."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+
+    l = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "y", "y", "z"], pa.string()),
+        "lv": pa.array([1, 2, 3, 4], pa.int64())}))
+    r = rd.from_arrow(pa.table({
+        "k2": pa.array(["y", "z", "w"], pa.string()),
+        "rv": pa.array([20, 30, 40], pa.int64())}))
+    inner = hash_join(l, r, on="k", right_on="k2", n_parts=8) \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert inner["k"].tolist() == ["y", "y", "z"]
+    assert inner["rv"].astype(int).tolist() == [20, 20, 30]
+    left = hash_join(l, r, on="k", right_on="k2", n_parts=8, how="left") \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert len(left) == 4 and left["rv"].isna().sum() == 1
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(l, rd.from_arrow(pa.table({
+            "k2": pa.array(["y"]), "lv": pa.array([9], pa.int64())})),
+            on="k", right_on="k2")
