@@ -488,6 +488,19 @@ def _q_segment_revenue(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _q_rolling_user_counts(sf_dir: str):
+    """Sliding 1h window per user (RANGE-frame semantics): one salted
+    exchange on user_id, two-pointer vectorized windows per part."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        rolling_user_counts,
+    )
+
+    df = rolling_user_counts(sf_dir, window_minutes=60).to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    df["n_window"] = df["n_window"].astype("int64")
+    return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -686,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles,
         "segment_revenue": _q_segment_revenue,
+        "rolling_user_counts": _q_rolling_user_counts,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -933,6 +947,19 @@ def oracle_sql() -> dict[str, str]:
             FROM toks2 t2
             LEFT JOIN vocab v USING (word) CROSS JOIN tot
             GROUP BY t2.doc_id ORDER BY t2.doc_id
+        """,
+        "rolling_user_counts": """
+            -- distinct (user, ts) rows so the RANGE frame's peer-group
+            -- rule and the engine's pre-aggregation agree under ties
+            WITH e AS (
+                SELECT user_id, ts, COUNT(*) AS n FROM events
+                GROUP BY user_id, ts)
+            SELECT user_id, ts,
+                   CAST(SUM(n) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_window
+            FROM e ORDER BY user_id, ts
         """,
         "segment_revenue": """
             SELECT c_mktsegment,

@@ -336,3 +336,49 @@ def range_join_value_bands(sf_dir: str):
         .reset_index(drop=True)
     df["n_events"] = df["n_events"].astype("int64")
     return df
+
+
+def rolling_user_counts(sf_dir: str, window_minutes: int = 60):
+    """Sliding event-time window: per (user, ts), how many of the user's
+    events fall in [ts - window, ts] — SQL's RANGE INTERVAL frame.
+
+    Scale shape: pre-aggregate events to (user, ts, n) inside
+    map_batches (RANGE frames treat same-ts rows as one peer group, so
+    this is semantics-preserving, not just a combiner), then ONE
+    salted-partition exchange on user_id; inside each part a per-user
+    cumsum + searchsorted two-pointer computes every window in O(rows).
+    No per-user Python dispatch, nothing driver-side."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    win = np.timedelta64(window_minutes * 60, "s")
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({"user_id": t["user_id"], "ts": t["ts"]}) \
+            .group_by(["user_id", "ts"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["user_id", "ts", "n"])
+
+    def part_windows(df: pd.DataFrame) -> pd.DataFrame:
+        # batches may split a (user, ts) pair: re-sum, then window
+        df = df.groupby(["user_id", "ts"], sort=True)["n"].sum() \
+            .reset_index()
+        ts = df["ts"].to_numpy(dtype="datetime64[us]")
+        n = df["n"].to_numpy(dtype=np.int64)
+        users = df["user_id"].to_numpy()
+        cum = n.cumsum()
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.r_[starts, len(users)]
+        out = np.empty(len(users), dtype=np.int64)
+        for i in range(len(starts)):
+            a, b = bounds[i], bounds[i + 1]
+            lo = a + np.searchsorted(ts[a:b], ts[a:b] - win, side="left")
+            base = np.where(lo > a, cum[np.maximum(lo - 1, a)], 0)
+            base[lo == a] = cum[a] - n[a]
+            out[a:b] = cum[a:b] - base
+        return pd.DataFrame({"user_id": users, "ts": df["ts"],
+                             "n_window": out})
+
+    return salted_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        part_windows,
+        combine_key=lambda t: t["user_id"].to_numpy().astype(np.int64))

@@ -512,3 +512,38 @@ def test_hash_join_inner_left_and_collisions(ray_session):
         hash_join(l, rd.from_arrow(pa.table({
             "k2": pa.array(["y"]), "lv": pa.array([9], pa.int64())})),
             on="k", right_on="k2")
+
+
+def test_rolling_window_tie_and_boundary(ray_session, tmp_path):
+    """RANGE-frame parity: same-ts peers count together; a row exactly
+    window-width earlier is INCLUDED (closed boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        rolling_user_counts,
+    )
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00",      # u1
+        "2024-01-01 11:00:00",      # u1: exactly 1h later -> includes 10:00
+        "2024-01-01 11:00:00",      # u1: peer of previous (same ts)
+        "2024-01-01 12:00:01",      # u1: window (11:00:01, 12:00:01] -> only self
+        "2024-01-01 10:30:00",      # u2
+    ])
+    t = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a"] * 5, pa.string()),
+        "value": pa.array([0.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = rolling_user_counts(str(d)).to_pandas() \
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    # rows collapse to distinct (user, ts): u1@10:00 ->1, u1@11:00 ->3
+    # (both peers + the 10:00 row at the closed boundary), u1@12:00:01 ->1
+    assert out["n_window"].tolist() == [1, 3, 1, 1]
