@@ -488,6 +488,26 @@ def _q_segment_revenue(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _q_customer_top_orders(sf_dir: str):
+    """Per-customer order leaderboard (row_number() OVER (PARTITION BY
+    o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2) on the
+    grouped_topk primitive: one salted exchange keyed on o_custkey, then
+    a vectorized per-part sort + cumcount — no global sort, no
+    per-customer dispatch, nothing on the driver but the winners."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.shuffle import grouped_topk
+
+    orders = read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"])
+    top = grouped_topk(
+        orders, ["o_custkey"], "o_totalprice", k=2,
+        combine_key=lambda t: t["o_custkey"].to_numpy().astype("int64"),
+        tie_cols=["o_orderkey"], rank_col="rn")
+    df = top.to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+
+
 def _q_rolling_user_counts(sf_dir: str):
     """Sliding 1h window per user (RANGE-frame semantics): one salted
     exchange on user_id, two-pointer vectorized windows per part."""
@@ -699,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles,
         "segment_revenue": _q_segment_revenue,
+        "customer_top_orders": _q_customer_top_orders,
         "rolling_user_counts": _q_rolling_user_counts,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
@@ -967,6 +988,18 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "customer_top_orders": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice, rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                         AS rn
+              FROM orders)
+            WHERE rn <= 2 ORDER BY o_custkey, rn
         """,
         "token_quantiles": """
             -- tokens = \\s+ split of trimmed text (doc_token_counts scheme)
