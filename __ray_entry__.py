@@ -488,6 +488,38 @@ def _q_segment_revenue(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _q_customers_no_events(sf_dir: str):
+    """NOT EXISTS decorrelation as a distributed anti-join: customers
+    with zero event activity. One exchange; the events side ships only
+    its key column (pruned inside hash_join for semi/anti)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    events = read(sf_dir, "events", ["user_id"])
+    out = hash_join(cust, events, on="c_custkey", right_on="user_id",
+                    how="anti")
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_active_segment_counts(sf_dir: str):
+    """EXISTS as a semi-join: customers with ≥1 event, rolled up per
+    market segment."""
+    from ray.data.aggregate import Count
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    events = read(sf_dir, "events", ["user_id"])
+    active = hash_join(cust, events, on="c_custkey", right_on="user_id",
+                       how="semi")
+    df = active.groupby("c_mktsegment") \
+        .aggregate(Count(alias_name="n_active")).to_pandas()
+    df["n_active"] = df["n_active"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def _q_customer_top_orders(sf_dir: str):
     """Per-customer order leaderboard (row_number() OVER (PARTITION BY
     o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2) on the
@@ -720,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "segment_revenue": _q_segment_revenue,
         "customer_top_orders": _q_customer_top_orders,
+        "customers_no_events": _q_customers_no_events,
+        "active_segment_counts": _q_active_segment_counts,
         "rolling_user_counts": _q_rolling_user_counts,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
@@ -987,6 +1021,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "customers_no_events": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events ev
+                              WHERE ev.user_id = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "active_segment_counts": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events ev
+                          WHERE ev.user_id = c.c_custkey)
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "customer_top_orders": """

@@ -53,11 +53,18 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
               how: str = "inner", n_parts: int = 64):
     """Join two Datasets on an equi-key. ``right_on`` renames the right
     key to ``on`` first (output carries ``on`` once). Non-key column
-    names must be disjoint. ``how``: inner | left."""
-    if how not in ("inner", "left"):
+    names must be disjoint. ``how``: inner | left | semi | anti —
+    semi/anti return left rows with/without a right match (left columns
+    only), the shape of EXISTS / NOT EXISTS decorrelation; the right
+    side contributes only its distinct keys to each part, so a hot right
+    key costs one set entry, not a row explosion."""
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if right_on and right_on != on:
         right = right.rename_columns({right_on: on})
+    if how in ("semi", "anti"):
+        # only the right KEYS matter — prune before the exchange
+        right = right.select_columns([on])
 
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
@@ -90,6 +97,9 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
 
     def merge_part(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df[_SIDE] == 0][lcols]
+        if how in ("semi", "anti"):
+            hit = l[on].isin(df.loc[df[_SIDE] == 1, on].unique())
+            return l[hit if how == "semi" else ~hit]
         r = df[df[_SIDE] == 1][[on] + rkeep]
         return l.merge(r, on=on, how=how)
 

@@ -514,6 +514,57 @@ def test_hash_join_inner_left_and_collisions(ray_session):
             on="k", right_on="k2")
 
 
+def test_hash_join_semi_anti(ray_session):
+    """Semi/anti: left rows with/without a right match, left columns
+    only, duplicate right keys don't multiply rows; all-match anti is
+    empty; no-match semi is empty."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+
+    l = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3], pa.int64()),
+        "lv": pa.array([10, 20, 21, 30], pa.int64())}))
+    r = rd.from_arrow(pa.table({
+        "k2": pa.array([2, 2, 9], pa.int64()),
+        "rv": pa.array([5, 6, 7], pa.int64())}))
+    semi = hash_join(l, r, on="k", right_on="k2", n_parts=4, how="semi") \
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    assert semi.columns.tolist() == ["k", "lv"]
+    assert semi["lv"].tolist() == [20, 21]
+    anti = hash_join(l, r, on="k", right_on="k2", n_parts=4, how="anti") \
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    assert anti["lv"].tolist() == [10, 30]
+    # boundary shapes
+    all_r = rd.from_arrow(pa.table({"k2": pa.array([1, 2, 3], pa.int64())}))
+    assert hash_join(l, all_r, on="k", right_on="k2", n_parts=4,
+                     how="anti").count() == 0
+    none_r = rd.from_arrow(pa.table({"k2": pa.array([99], pa.int64())}))
+    assert hash_join(l, none_r, on="k", right_on="k2", n_parts=4,
+                     how="semi").count() == 0
+
+
+def test_grouped_topk_rank_and_ties(ray_session):
+    """grouped_topk == row_number() semantics: rank is 1-based within
+    group, ties broken by tie_cols asc, k bound respected."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.shuffle import grouped_topk
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array([5.0, 5.0, 3.0, 9.0, 1.0]),
+        "id": pa.array([7, 3, 1, 4, 5], pa.int64())})
+    out = grouped_topk(
+        rd.from_arrow(t), ["g"], "v", k=2,
+        combine_key=lambda b: b["g"].to_numpy().astype("int64"),
+        tie_cols=["id"], rank_col="rn", n_parts=4) \
+        .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True)
+    # group 1: v=5 tie -> id 3 first, then id 7; v=3 row cut by k=2
+    assert out[["g", "id", "rn"]].values.tolist() == [
+        [1, 3, 1], [1, 7, 2], [2, 4, 1], [2, 5, 2]]
+
+
 def test_rolling_window_tie_and_boundary(ray_session, tmp_path):
     """RANGE-frame parity: same-ts peers count together; a row exactly
     window-width earlier is INCLUDED (closed boundary)."""
