@@ -336,6 +336,18 @@ def _q_doc_redact_pii(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_doc_dedup_lines(sf_dir: str):
+    """C4-style within-doc duplicate-line removal (keep first, preserve
+    order) — pure map, no exchange."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import dedup_doc_lines
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(dedup_doc_lines, batch_format="pyarrow").to_pandas()
+    return df[["doc_id", "clean_text", "n_removed"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_image(sf_dir: str):
     """largest_image_url selection algebra (image_extractor.py:183-224)
     over deterministic synthesized candidate dims (md5-derived, so the
@@ -741,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_quality": _q_simhash_quality,
         "doc_gopher_quality": _q_doc_gopher_quality,
         "doc_redact_pii": _q_doc_redact_pii,
+        "doc_dedup_lines": _q_doc_dedup_lines,
         "top_image": _q_top_image,
         "decontaminate": _q_decontaminate,
         "train_set": _q_train_set,
@@ -775,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
         "event_props_sum_k": lambda sf: _mk("parse_event_props")(sf),
         "asof_error_click": lambda sf: _mk("asof_error_click")(sf),
+        "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf),
         "range_join_value_bands": lambda sf: _mk("range_join_value_bands")(sf),
         # scalar extractors / nlp tier
         "doc_emails": _q_doc_emails,
@@ -901,6 +915,21 @@ def oracle_sql() -> dict[str, str]:
                        AS clean_text
             FROM documents ORDER BY doc_id
         """,
+        "doc_dedup_lines": """
+            -- keep-first line dedup: a line survives iff its 1-based
+            -- first position equals its own index (mirrors dict.fromkeys)
+            WITH l AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines
+              FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_filter(lines,
+                       (x, i) -> list_position(lines, x) = i), chr(10))
+                       AS clean_text,
+                   CAST(len(lines) - len(list_filter(lines,
+                       (x, i) -> list_position(lines, x) = i)) AS BIGINT)
+                       AS n_removed
+            FROM l ORDER BY doc_id
+        """,
         "top_image": """
             -- calculate_area gates (image_extractor.py:199-224) over
             -- md5-derived synthetic dims; first-in-page-order wins ties
@@ -1022,6 +1051,13 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "user_event_deltas": """
+            SELECT event_id, user_id, ts,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                       AS DOUBLE) AS gap_us
+            FROM events ORDER BY user_id, ts, event_id
         """,
         "customers_no_events": """
             SELECT c_custkey, c_name, c_mktsegment

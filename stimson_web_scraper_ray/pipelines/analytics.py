@@ -198,6 +198,29 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     return df
 
 
+def user_event_deltas(sf_dir: str):
+    """Per-user lag window (SQL ``lag(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``): microsecond gap since the user's previous
+    event, NULL/NaN for the first. One salted exchange on user_id, then
+    a vectorized per-part sort + grouped shift — no global sort and no
+    per-user dispatch; at cluster scale a user's history lives in one
+    part so the window never crosses tasks."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts"].shift(1)
+        gap = (df["ts"] - prev) / np.timedelta64(1, "us")
+        return df.assign(gap_us=gap.astype("float64"))
+
+    out = salted_partition_apply(
+        ds, part_fn, lambda t: t["user_id"].to_numpy(), n_parts=64)
+    return out.to_pandas().sort_values(["user_id", "ts", "event_id"]) \
+        .reset_index(drop=True)
+
+
 def event_type_distinct_users(sf_dir: str):
     """Distinct aggregation: unique users per event type (D-class).
     Per-batch drop_duplicates partial, then ONE salted-partition exchange

@@ -318,6 +318,23 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("clean_text", col)
 
 
+def dedup_doc_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4-style within-document repetition removal: keep the FIRST
+    occurrence of each exact line, preserving order (C4 §2.1 drops
+    repeated boilerplate lines; the cross-doc variant is `dedup_exact`
+    on a line table). Per-doc work is dict.fromkeys (C-speed ordered
+    dedup) — embarrassingly parallel, no exchange at all."""
+    texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+    clean, removed = [], np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        lines = (t or "").split("\n")
+        kept = list(dict.fromkeys(lines))
+        clean.append("\n".join(kept))
+        removed[i] = len(lines) - len(kept)
+    return batch.append_column("clean_text", pa.array(clean, pa.string())) \
+        .append_column("n_removed", pa.array(removed))
+
+
 def partial_word_counts(batch: pa.Table, text_col: str = "text",
                         stop_lang: str | None = "en") -> pa.Table:
     """Per-batch partial aggregation for the corpus keyword top-k: one
