@@ -565,6 +565,31 @@ def _q_rolling_user_counts(sf_dir: str):
     return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
 
 
+def _q_corpus_bigrams(sf_dir: str):
+    """Co-occurrence counts: corpus top-20 adjacent word pairs — flat-map
+    to pairs with per-batch partial counts, one small groupby."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import corpus_top_bigrams
+
+    ds = read(sf_dir, "documents", ["text"])
+    df = corpus_top_bigrams(ds, k=20).to_pandas()
+    df["freq"] = df["freq"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def _q_lang_stratified_sample(sf_dir: str):
+    """Deterministic per-language sample (row_number over an md5
+    permutation ≤ k) on the grouped_topk primitive."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sampling import stratified_sample
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+    df = stratified_sample(ds, k=20).to_pandas()
+    df["rn"] = df["rn"].astype("int64")
+    return df[["lang", "doc_id", "rn"]].sort_values(["lang", "rn"]) \
+        .reset_index(drop=True)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -768,6 +793,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_events": _q_customers_no_events,
         "active_segment_counts": _q_active_segment_counts,
         "rolling_user_counts": _q_rolling_user_counts,
+        "shipping_priority": lambda sf: _mk("shipping_priority")(sf),
+        "customer_order_stats": lambda sf: _mk("customer_order_stats")(sf),
+        "customer_running_revenue":
+            lambda sf: _mk("customer_running_revenue")(sf),
+        "revenue_rollup": lambda sf: _mk("revenue_rollup")(sf),
+        "corpus_bigrams": _q_corpus_bigrams,
+        "lang_stratified_sample": _q_lang_stratified_sample,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -1051,6 +1083,80 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "shipping_priority": """
+            -- TPC-H Q3 shape; ORDER BY the UNROUNDED revenue so the
+            -- top-10 membership matches the engine's pre-round sort
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+              AND l_shipdate  > TIMESTAMP '1998-07-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC,
+                     l_orderkey
+            LIMIT 10
+        """,
+        "customer_order_stats": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+                   ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name, c_mktsegment
+            ORDER BY c_custkey
+        """,
+        "customer_running_revenue": """
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), 2)
+                       AS running_total
+            FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+        """,
+        "revenue_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY r_name, n_name
+        """,
+        "corpus_bigrams": """
+            -- same tokenization as keywords_top10 (lower, strip
+            -- non-word, split), filter empty/numeric BEFORE pairing,
+            -- then adjacent pairs
+            WITH toks AS (
+              SELECT string_split(lower(regexp_replace(
+                         text, '[^a-zA-Z0-9_ ]', '', 'g')), ' ') AS w
+              FROM documents),
+            flt AS (
+              SELECT list_filter(w, x -> x <> ''
+                         AND NOT regexp_matches(x, '^[0-9]+$')) AS w
+              FROM toks),
+            big AS (
+              SELECT unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS bigram
+              FROM flt WHERE len(w) >= 2)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq FROM big
+            GROUP BY bigram ORDER BY freq DESC, bigram DESC LIMIT 20
+        """,
+        "lang_stratified_sample": """
+            SELECT lang, doc_id, rn FROM (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS BIGINT) AS rn
+              FROM documents) t
+            WHERE rn <= 20 ORDER BY lang, rn
         """,
         "user_event_deltas": """
             SELECT event_id, user_id, ts,

@@ -405,3 +405,211 @@ def rolling_user_counts(sf_dir: str, window_minutes: int = 60):
         ds.map_batches(partial, batch_format="pyarrow"),
         part_windows,
         combine_key=lambda t: t["user_id"].to_numpy().astype(np.int64))
+
+
+def customer_order_stats(sf_dir: str):
+    """LEFT OUTER join + aggregate with null-fill: every customer with
+    their order count and total spend, zeros for customers who never
+    ordered (COUNT(o)/COALESCE(SUM),0 over a LEFT JOIN).
+
+    Scale shape: orders are FIRST reduced to one row per custkey (arrow
+    per-batch combine + one salted exchange), so the outer join's right
+    side is |customers| rows, not |orders|; then hash_join(how='left')
+    co-partitions both sides in a second exchange. Null-fill is a
+    vectorized fillna on the joined stream."""
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({"o_custkey": t["o_custkey"],
+                        "o_totalprice": t["o_totalprice"]}) \
+            .group_by("o_custkey") \
+            .aggregate([("o_totalprice", "count"), ("o_totalprice", "sum")])
+        return agg.rename_columns(["o_custkey", "n_orders", "total_spent"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", sort=False) \
+            .agg(n_orders=("n_orders", "sum"),
+                 total_spent=("total_spent", "sum")).reset_index()
+
+    per_cust = salted_partition_apply(
+        orders.map_batches(partial, batch_format="pyarrow"), final,
+        combine_key=lambda t: t["o_custkey"].to_numpy())
+
+    # per_cust rode pandas blocks out of the salted exchange; hash_join
+    # introspects an ARROW schema, so normalize the block format first
+    per_cust = per_cust.map_batches(
+        lambda t: pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_spent": pc.cast(t["total_spent"], pa.float64())}),
+        batch_format="pyarrow")
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    j = hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                  how="left")
+    df = j.to_pandas()
+    df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+    df["total_spent"] = df["total_spent"].fillna(0.0).round(2)
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customer_running_revenue(sf_dir: str):
+    """Cumulative window: SQL ``sum(o_totalprice) OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey)``. One salted exchange on
+    custkey, then a per-part mergesort + grouped cumsum — the running sum
+    never crosses tasks because a customer's orders land in one part."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        run = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        return df.assign(running_total=run.round(2))
+
+    out = salted_partition_apply(
+        ds, part_fn, combine_key=lambda t: t["o_custkey"].to_numpy())
+    return out.to_pandas() \
+        .sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+
+def shipping_priority(sf_dir: str, cutoff: str = "1998-07-01",
+                      segment: str = "BUILDING", k: int = 10):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date filters,
+    revenue per order, global top-k. Three fact-scaled inputs, TWO
+    exchanges total:
+
+      1. semi hash_join(orders_filtered, building_customers) — the
+         customer side ships keys only (pruned inside hash_join);
+      2. a FUSED join+aggregate+top-k: union(lineitem revenue partials,
+         surviving order rows) partitioned by orderkey — inside each part
+         the revenue sum, the orders merge and a LOCAL top-k all happen
+         vectorized, so the driver merges n_parts × k candidate rows,
+         never a full per-order table, and there is no third exchange for
+         the aggregate.
+
+    Date/segment filters are applied at the scan (arrow compute on the
+    streamed batches) before anything is shuffled."""
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    cut = pa.scalar(pd.Timestamp(cutoff).to_pydatetime(),
+                    type=pa.timestamp("us"))
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+            .select(["c_custkey"]), batch_format="pyarrow")
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate",
+                   "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
+                     batch_format="pyarrow")
+    surviving = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                          how="semi") \
+        .map_batches(lambda t: pa.table({
+            # semi-join output rode pandas blocks: re-cast so the union
+            # schema matches the arrow side exactly (ns→us timestamps)
+            "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "o_orderpriority": pc.cast(t["o_orderpriority"], pa.string()),
+            "rev": pa.nulls(len(t), pa.float64()),
+            "side": pa.array(np.full(len(t), 1, np.int8))}),
+            batch_format="pyarrow")
+
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        agg = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}) \
+            .group_by("l_orderkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"])
+        n = len(agg)
+        return pa.table({
+            "l_orderkey": agg["l_orderkey"],
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "rev": agg["rev"],
+            "side": pa.array(np.full(n, 0, np.int8))})
+
+    both = line.map_batches(partial_rev, batch_format="pyarrow") \
+        .union(surviving)
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == 0]
+        o = df[df["side"] == 1]
+        agg = l.groupby("l_orderkey", sort=False)["rev"].sum() \
+            .reset_index().rename(columns={"rev": "revenue"})
+        m = agg.merge(o[["l_orderkey", "o_orderdate", "o_orderpriority"]],
+                      on="l_orderkey", how="inner")
+        return m.sort_values(["revenue", "l_orderkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    df = salted_partition_apply(
+        both, part_topk,
+        combine_key=lambda t: t["l_orderkey"].to_numpy()).to_pandas() \
+        .sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                     kind="mergesort").head(k).reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(2)
+    return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation): order revenue per nation, with
+    region subtotals and a grand total ('ALL' sentinel rows, COALESCE
+    form). Scale shape: one bucketed hash_join orders ⋈ customer, the
+    25-row nation⋈region dim broadcast onto the joined stream, a single
+    distributed (region, nation) aggregate — the rollup levels are then
+    derived by re-aggregating the ≤|nations| result rows, never the
+    facts."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .join import hash_join
+
+    nation = read(sf_dir, "nation").to_pandas()
+    region = read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "n_name",
+                                                "r_name"]]
+    dref = ray.put(dim.set_index("n_nationkey"))
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dref)
+        return batch.join(d, on="c_nationkey", how="inner")[
+            ["r_name", "n_name", "o_totalprice"]]
+
+    base = j.map_batches(attach, batch_format="pandas") \
+        .groupby(["r_name", "n_name"]) \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price")) \
+        .to_pandas()
+
+    per_region = base.groupby("r_name", as_index=False) \
+        .agg(n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+    per_region["n_name"] = "ALL"
+    grand = pd.DataFrame({
+        "r_name": ["ALL"], "n_name": ["ALL"],
+        "n_orders": [base["n_orders"].sum()],
+        "total_price": [base["total_price"].sum()]})
+    df = pd.concat([base, per_region, grand], ignore_index=True)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["total_price"] = df["total_price"].round(2)
+    return df[["r_name", "n_name", "n_orders", "total_price"]] \
+        .sort_values(["r_name", "n_name"]).reset_index(drop=True)

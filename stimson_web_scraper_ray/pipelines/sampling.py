@@ -53,3 +53,37 @@ def weighted_sample(ds, rates: dict[str, float], default_rate: float = 1.0,
         lambda b: weighted_sample_batch(b, rates, default_rate,
                                         id_col, strat_col),
         batch_format="pyarrow")
+
+
+def stratified_sample(ds, k: int, id_col: str = "doc_id",
+                      strat_col: str = "lang"):
+    """Deterministic per-stratum sample of exactly min(k, |stratum|)
+    rows: order within each stratum by md5(str(id)) — a fixed pseudo-
+    random permutation any engine can reproduce (SQL: ``row_number()
+    OVER (PARTITION BY stratum ORDER BY md5(CAST(id AS VARCHAR)), id)
+    <= k``) — and keep the first k. Runs on the grouped_topk primitive:
+    one salted exchange keyed on the stratum, vectorized per-part
+    selection, no per-stratum dispatch and no global sort."""
+    import hashlib
+
+    from .shuffle import grouped_topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in t[id_col].to_pylist()]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    def strat_key(t: pa.Table) -> np.ndarray:
+        import hashlib as _h
+
+        vals = t[strat_col].to_pylist()
+        return np.fromiter(
+            (int.from_bytes(_h.md5(str(v).encode()).digest()[:8], "little")
+             for v in vals), dtype=np.uint64, count=len(vals)) \
+            .view(np.int64)
+
+    picked = grouped_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        [strat_col], "h", k, combine_key=strat_key,
+        descending=False, tie_cols=[id_col], rank_col="rn")
+    return picked.drop_columns(["h"])

@@ -395,3 +395,33 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
             row[f"q{int(q * 100)}"] = int(vals[np.searchsorted(cum, k)])
         out.append(row)
     return pd.DataFrame(out)
+
+
+def partial_bigram_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial bigram counts — combiner for the corpus bigram
+    top-k: tokenize with the same split_words algebra as the keyword
+    pipeline, drop empty/numeric tokens, pair ADJACENT survivors. One
+    (bigram, freq) row per distinct pair per batch keeps the global
+    groupby input sub-linear in corpus tokens."""
+    counts: dict[str, int] = {}
+    for t in batch[text_col].to_pylist():
+        ws = [w for w in split_words(t or "")
+              if w and not w.isnumeric()]
+        for a, b in zip(ws, ws[1:]):
+            key = a + " " + b
+            counts[key] = counts.get(key, 0) + 1
+    return pa.table({
+        "bigram": pa.array(list(counts.keys()), pa.string()),
+        "freq": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def corpus_top_bigrams(ds, k: int = 20):
+    """flat_map(adjacent word pairs) → partial counts → groupby(bigram)
+    .sum → top-k (freq desc, bigram desc) — the co-occurrence analogue of
+    corpus_top_keywords; same single small shuffle."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial_bigram_counts, batch_format="pyarrow")
+    agg = partials.groupby("bigram").aggregate(Sum("freq", alias_name="freq"))
+    return agg.sort(["freq", "bigram"], descending=[True, True]).limit(k)
