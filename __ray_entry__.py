@@ -565,6 +565,30 @@ def _q_rolling_user_counts(sf_dir: str):
     return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
 
 
+def _q_embedding_neardup_quality(sf_dir: str):
+    """Embedding near-dup quality vs the EXACT blocked all-pairs cosine
+    truth set (broadcast matmul — exhaustive, not LSH): recall and
+    precision of the RH-LSH bucketed path at the same threshold. One
+    summary row (rows-only; the truth side is itself engine-computed)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        embedding_neardup_pairs,
+        exact_cosine_pairs,
+    )
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    truth = exact_cosine_pairs(ds, threshold=0.4)
+    pred = embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
+    t = set(zip(truth["a"].astype(int), truth["b"].astype(int)))
+    p = set(zip(pred["a"].astype(int), pred["b"].astype(int))) \
+        if len(pred) else set()
+    common = len(t & p)
+    return pd.DataFrame([{
+        "n_truth": len(t), "n_pred": len(p), "n_common": common,
+        "recall": round(common / max(1, len(t)), 4),
+        "precision": round(common / max(1, len(p)), 4)}])
+
+
 def _q_corpus_bigrams(sf_dir: str):
     """Co-occurrence counts: corpus top-20 adjacent word pairs — flat-map
     to pairs with per-batch partial counts, one small groupby."""
@@ -800,6 +824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": lambda sf: _mk("revenue_rollup")(sf),
         "corpus_bigrams": _q_corpus_bigrams,
         "lang_stratified_sample": _q_lang_stratified_sample,
+        "local_supplier_volume":
+            lambda sf: _mk("local_supplier_volume")(sf),
+        "embedding_neardup_quality": _q_embedding_neardup_quality,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -1083,6 +1110,21 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "local_supplier_volume": """
+            -- TPC-H Q5 shape: supplier must sit in the customer's nation
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name ORDER BY n_name
         """,
         "shipping_priority": """
             -- TPC-H Q3 shape; ORDER BY the UNROUNDED revenue so the

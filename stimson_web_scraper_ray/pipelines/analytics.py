@@ -613,3 +613,78 @@ def revenue_rollup(sf_dir: str):
     df["total_price"] = df["total_price"].round(2)
     return df[["r_name", "n_name", "n_orders", "total_price"]] \
         .sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1998-01-01"):
+    """TPC-H Q5 shape: revenue per nation from orders in a date range
+    whose supplier sits in the CUSTOMER's nation, region-filtered — a
+    six-table join. Scale shape: nation⋈region and supplier are true
+    dimensions (broadcast once via ray.put); the two fact-fact edges are
+    bucketed hash joins — orders(filtered)⋈customer on custkey, then
+    lineitem⋈that on orderkey — so the chain is exactly two exchanges.
+    The s_nationkey = c_nationkey correlation and the per-nation revenue
+    partials are row-local arrow/numpy work on the streamed join output;
+    only the ≤|nations| aggregate rows reach the driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    lo = pa.scalar(pd.Timestamp(date_from).to_pydatetime(),
+                   type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_to).to_pydatetime(),
+                   type=pa.timestamp("us"))
+
+    nation = read(sf_dir, "nation").to_pandas()
+    reg = read(sf_dir, "region").to_pandas()
+    dim = nation.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[dim["r_name"] == region]
+    nkey_to_name = dict(zip(dim["n_nationkey"].astype(int),
+                            dim["n_name"]))
+    supp = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_to_nkey = dict(zip(supp["s_suppkey"].astype(int),
+                            supp["s_nationkey"].astype(int)))
+    nref = ray.put(nkey_to_name)
+    sref = ray.put(supp_to_nkey)
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                     "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi)))
+            .select(["o_orderkey", "o_custkey"]), batch_format="pyarrow")
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    region_keys = pa.array(list(nkey_to_name), pa.int32())
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"],
+                                    value_set=region_keys)),
+        batch_format="pyarrow")
+
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey") \
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
+            batch_format="pyarrow")
+
+    line = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    lo_j = hash_join(line, oc, on="l_orderkey", right_on="o_orderkey")
+
+    def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
+        s2n = ray.get(sref)
+        n2name = ray.get(nref)
+        snk = df["l_suppkey"].map(s2n)
+        keep = snk == df["c_nationkey"]
+        d = df[keep]
+        rev = d["l_extendedprice"] * (1.0 - d["l_discount"])
+        out = pd.DataFrame({
+            "n_name": d["c_nationkey"].map(n2name), "rev": rev})
+        return out.groupby("n_name", as_index=False)["rev"].sum()
+
+    agg = lo_j.map_batches(partial_rev, batch_format="pandas") \
+        .groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("n_name").reset_index(drop=True)

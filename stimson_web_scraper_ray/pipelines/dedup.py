@@ -506,13 +506,29 @@ class HyperplaneBucketer:
 
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            n_tables: int = 4, n_planes: int = 4):
+                            n_tables: int | None = None, n_planes: int = 4,
+                            target_recall: float = 0.9):
     """Near-dup by embedding cosine ≥ threshold: multi-table random-
-    hyperplane LSH (n_tables independent tables of n_planes sign bits —
-    recall at cos 0.95 ≈ 1-(1-0.9^4)^4 ≈ 0.99) → per-bucket exact cosine →
-    dedup pairs. Shuffle key is (table, bucket); each vector emits
-    n_tables rows."""
+    hyperplane LSH (n_tables independent tables of n_planes sign bits) →
+    per-bucket exact cosine → dedup pairs. Shuffle key is (table,
+    bucket); each vector emits n_tables rows.
+
+    ``n_tables=None`` sizes the table count from RH-LSH theory so a pair
+    AT the threshold reaches ``target_recall``: a pair with cos=t
+    collides in one table with p1 = (1 - acos(t)/π)^n_planes, so
+    n_tables = ceil(ln(1-target) / ln(1-p1)). At cos 0.95 that keeps the
+    old 4 tables (p1≈0.66); at a loose cos 0.4 it grows to ~13 — recall
+    there was ~0.5 with the fixed default (measured by the
+    embedding_neardup_quality truth-set query)."""
+    import math
+
     import pandas as pd
+
+    if n_tables is None:
+        p1 = (1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi) \
+            ** n_planes
+        n_tables = max(1, min(32, math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - p1))))
 
     def bucket_cosine_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(id_col).sort_values(id_col).head(500)
@@ -729,3 +745,45 @@ def contamination_flags(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "pd.DataFrame":
+    """EXACT all-pairs cosine ≥ threshold, blocked: the full normalized
+    (id-sorted) corpus matrix is broadcast once via ray.put; each
+    streamed batch does one batch×corpus matmul and emits its
+    above-threshold pairs with a < b. Per-task work is
+    O(batch × corpus) — the honest exhaustive baseline the LSH bucketed
+    path is measured against. At corpus sizes where the broadcast side
+    no longer fits a worker, the same algebra tiles the right matrix
+    (block-partitioned ray.put refs); the test-scale truth set here
+    needs only the single-tile form."""
+    import pandas as pd
+    import ray
+
+    full = ds.to_pandas().sort_values(id_col)
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    m = np.array(full[vec_col].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    mref = ray.put((ids_all, m))
+
+    def batch_pairs(t: "pa.Table") -> "pa.Table":
+        rids, rm = ray.get(mref)
+        bids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        bm = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = (bm / bn) @ rm.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = bids[ii], rids[jj]
+        keep = a < b
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cosine": pa.array(np.round(sims[ii, jj][keep], 4),
+                               pa.float64())})
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow").to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)

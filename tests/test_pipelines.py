@@ -88,6 +88,19 @@ def test_embedding_neardup_planted(ray_session):
         assert row["cosine"] >= 0.98
 
 
+def test_embedding_neardup_recall_vs_exact(ray_session, sf_dir):
+    # auto-tuned table count must hold the theory-derived recall target
+    # against the EXACT blocked all-pairs truth at a loose threshold
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    truth = dedup.exact_cosine_pairs(ds, threshold=0.4)
+    pred = dedup.embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
+    t = set(map(tuple, truth[["a", "b"]].values))
+    p = set(map(tuple, pred[["a", "b"]].values))
+    assert len(p - t) == 0                       # exact verify: no false pos
+    assert len(t & p) / max(1, len(t)) >= 0.85   # ~0.9 target minus noise
+
+
 def test_brute_force_topk_matches_numpy(ray_session, sf_dir):
     import pyarrow.parquet as pq
 
