@@ -565,6 +565,18 @@ def _q_rolling_user_counts(sf_dir: str):
     return df.sort_values(["user_id", "ts"]).reset_index(drop=True)
 
 
+def _q_dedup_spans_global(sf_dir: str):
+    """C4-style GLOBAL span dedup: only the corpus-first occurrence of
+    each 8-word chunk survives; docs rebuilt from kept chunks. Two
+    key-functional exchanges (chunk hash, then doc_id), text never
+    touches the driver."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import dedup_spans_global
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_spans_global(ds, span_words=8)
+
+
 def _q_embedding_neardup_quality(sf_dir: str):
     """Embedding near-dup quality vs the EXACT blocked all-pairs cosine
     truth set (broadcast matmul — exhaustive, not LSH): recall and
@@ -826,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stratified_sample": _q_lang_stratified_sample,
         "local_supplier_volume":
             lambda sf: _mk("local_supplier_volume")(sf),
+        "dedup_spans_global": _q_dedup_spans_global,
         "embedding_neardup_quality": _q_embedding_neardup_quality,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
@@ -1110,6 +1123,34 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "dedup_spans_global": """
+            -- global keep-first dedup of fixed 8-word chunks (C4 §2.1
+            -- span dedup, word-chunk unit); winner = min (doc_id, idx)
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ch AS (
+              SELECT doc_id, b AS idx,
+                     array_to_string(w[b*8+1 : b*8+8], ' ') AS chunk
+              FROM w, unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT)))
+                       AS t(b)),
+            k AS (
+              SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, idx) AS rnk
+              FROM ch),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM k WHERE rnk = 1 GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, CAST(ceil(len(w)/8.0) AS BIGINT) AS n_chunks
+              FROM w)
+            SELECT tot.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+                   n_chunks - COALESCE(n_kept, 0) AS n_removed
+            FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+            ORDER BY tot.doc_id
         """,
         "local_supplier_volume": """
             -- TPC-H Q5 shape: supplier must sit in the customer's nation

@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .shuffle import salted_partition_apply as _salted_partition_apply
 from .textstats import hash64 as fnv1a_64
@@ -787,3 +788,93 @@ def exact_cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
 
     return ds.map_batches(batch_pairs, batch_format="pyarrow").to_pandas() \
         .sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dedup_spans_global(ds, span_words: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """C4-style GLOBAL span dedup (C4 §2.1 deduplicates three-sentence
+    spans corpus-wide; the unit here is a fixed ``span_words``-word
+    chunk): only the globally FIRST occurrence of each exact chunk —
+    ordered by (doc_id, chunk index) — survives; every later copy in any
+    document is removed, and documents are rebuilt from their kept
+    chunks.
+
+    Two exchanges, both key-functional:
+      1. chunk rows (hash-partitioned on the chunk; the chunk STRING
+         rides along so hash collisions only co-locate, never merge) →
+         per-part winner = min (doc_id, idx) per chunk → emit kept
+         (doc_id, idx) pairs ONLY — the second exchange carries ints,
+         not text. At C4 scale you'd drop the string and trust the
+         64-bit hash (their design); carrying it keeps this oracle-exact.
+      2. kept pairs ∪ original docs, partitioned on doc_id → rebuild
+         each doc from its kept chunk indices (chunks recomputed from
+         the text, never shipped).
+
+    Returns pandas (doc_id, clean_text, n_removed) sorted by doc_id.
+    """
+    import math
+
+    import ray.data as rd  # noqa: F401
+
+    def explode(t: pa.Table) -> pa.Table:
+        dids, idxs, hs, chunks = [], [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ws = (txt or "").split(" ")
+            n = math.ceil(len(ws) / span_words)
+            for b in range(n):
+                ch = " ".join(ws[b * span_words:(b + 1) * span_words])
+                dids.append(did)
+                idxs.append(b)
+                hs.append(fnv1a_64(ch.encode("utf-8")))
+                chunks.append(ch)
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "idx": pa.array(idxs, pa.int64()),
+            "h": pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
+            "chunk": pa.array(chunks, pa.string())})
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "idx"], kind="mergesort")
+        kept = df.drop_duplicates("chunk", keep="first")
+        return kept[["doc_id", "idx"]]
+
+    kept = _salted_partition_apply(
+        ds.map_batches(explode, batch_format="pyarrow"), keep_first,
+        combine_key=lambda t: t["h"].to_numpy()) \
+        .map_batches(lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "idx": pc.cast(t["idx"], pa.int64()),
+            "text": pa.nulls(len(t), pa.string()),
+            "side": pa.array(np.zeros(len(t), np.int8))}),
+            batch_format="pyarrow")
+
+    docs = ds.map_batches(lambda t: pa.table({
+        "doc_id": pc.cast(t[id_col], pa.int64()),
+        "idx": pa.nulls(len(t), pa.int64()),
+        "text": pc.cast(t[text_col], pa.string()),
+        "side": pa.array(np.ones(len(t), np.int8))}),
+        batch_format="pyarrow")
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        kept_idx: dict[int, list[int]] = {}
+        for did, idx in zip(df.loc[df["side"] == 0, "doc_id"],
+                            df.loc[df["side"] == 0, "idx"]):
+            kept_idx.setdefault(int(did), []).append(int(idx))
+        d = df[df["side"] == 1]
+        out_id, out_text, out_rm = [], [], []
+        for did, txt in zip(d["doc_id"], d["text"]):
+            ws = (txt or "").split(" ")
+            n = math.ceil(len(ws) / span_words)
+            ks = sorted(kept_idx.get(int(did), []))
+            out_id.append(int(did))
+            out_text.append(" ".join(
+                " ".join(ws[b * span_words:(b + 1) * span_words])
+                for b in ks))
+            out_rm.append(n - len(ks))
+        return pd.DataFrame({"doc_id": out_id, "clean_text": out_text,
+                             "n_removed": np.array(out_rm, np.int64)})
+
+    out = _salted_partition_apply(
+        kept.union(docs), rebuild,
+        combine_key=lambda t: t["doc_id"].to_numpy())
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
