@@ -479,6 +479,24 @@ def _q_token_quantiles(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def _q_token_quantiles_cont(sf_dir: str):
+    """percentile_cont semantics (linear interpolation at q·(n-1)) from
+    the SAME distributed histogram — no extra exchange vs the disc
+    variant."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        add_token_counts,
+        grouped_quantiles,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(add_token_counts, batch_format="pyarrow") \
+        .select_columns(["lang", "n_tokens"])
+    df = grouped_quantiles(ds, "lang", "n_tokens", method="cont")
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
 def _q_segment_revenue(sf_dir: str):
     """Two fact-scaled tables joined without a broadcast: orders ⋈
     customer through the bucketed hash join (one exchange, per-part
@@ -824,6 +842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles,
+        "token_quantiles_cont": _q_token_quantiles_cont,
+        "user_top_event_type": lambda sf: _mk("user_top_event_type")(sf),
+        "value_histogram": lambda sf: _mk("value_histogram")(sf),
         "segment_revenue": _q_segment_revenue,
         "customer_top_orders": _q_customer_top_orders,
         "customers_no_events": _q_customers_no_events,
@@ -860,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
         "event_props_sum_k": lambda sf: _mk("parse_event_props")(sf),
         "asof_error_click": lambda sf: _mk("asof_error_click")(sf),
+        "asof_next_click": lambda sf: _mk("asof_next_click")(sf),
         "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf),
         "range_join_value_bands": lambda sf: _mk("range_join_value_bands")(sf),
         # scalar extractors / nlp tier
@@ -1240,6 +1262,55 @@ def oracle_sql() -> dict[str, str]:
                          AS BIGINT) AS rn
               FROM documents) t
             WHERE rn <= 20 ORDER BY lang, rn
+        """,
+        "token_quantiles_cont": """
+            WITH t AS (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(
+                                trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(quantile_cont(n_tokens, 0.5), 6) AS q50,
+                   ROUND(quantile_cont(n_tokens, 0.9), 6) AS q90,
+                   ROUND(quantile_cont(n_tokens, 0.99), 6) AS q99
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "user_top_event_type": """
+            SELECT user_id, top_event_type, n FROM (
+              SELECT user_id, event_type AS top_event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type) t
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "value_histogram": """
+            SELECT ROUND(floor(value / 10) * 10, 6) AS bin_lo,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "asof_next_click": """
+            -- forward as-of: earliest click at-or-after each error;
+            -- ties broken to the SMALLEST click event_id explicitly
+            WITH err AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error'),
+            clk AS (
+              SELECT event_id AS click_event_id, user_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'),
+            j AS (
+              SELECT e.event_id, e.user_id, e.ts AS err_ts,
+                     c.click_event_id, c.click_ts,
+                     row_number() OVER (
+                         PARTITION BY e.event_id
+                         ORDER BY c.click_ts, c.click_event_id) AS rn
+              FROM err e JOIN clk c
+                ON c.user_id = e.user_id AND c.click_ts >= e.ts)
+            SELECT event_id, user_id, err_ts, click_event_id, click_ts
+            FROM j WHERE rn = 1 ORDER BY event_id
         """,
         "user_event_deltas": """
             SELECT event_id, user_id, ts,

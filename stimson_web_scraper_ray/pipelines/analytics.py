@@ -278,53 +278,73 @@ def parse_event_props(sf_dir: str):
     return df
 
 
-def asof_error_click(sf_dir: str):
-    """As-of join — an operator Ray Data lacks natively, composed as
-    ``groupby(key).map_groups`` with a per-group time sort + vectorized
-    backward searchsorted (the composition form the driver brief names for
-    as-of/range joins). Semantics: for each 'error' event, the most recent
-    'click' of the SAME user at or before the error's timestamp (inner —
-    errors with no prior click drop out). Partitioning assumption: both
-    sides co-partition on the join key (one groupby shuffle); within a
-    group the time sort is local. Tie-break is deterministic: among clicks
-    sharing the max ts <= err ts, the one with the largest event_id wins
-    (clicks sorted by (ts, event_id), backward search takes the last) —
-    and the DuckDB oracle selects the same row explicitly instead of the
-    underspecified ASOF JOIN row choice (advisor finding)."""
+def _asof_error_click_impl(sf_dir: str, direction: str):
+    """Shared body for the as-of join pair — an operator Ray Data lacks
+    natively, composed as ONE salted-partition exchange on the join key +
+    a per-part vectorized ``pd.merge_asof`` (no per-user Python dispatch;
+    the round-1 form paid groupby(user).map_groups per-distinct-group
+    overhead). Partitioning assumption: both sides co-partition on
+    user_id, so every user's history is local to one part and the time
+    search never crosses tasks.
+
+    backward: for each 'error', the most recent 'click' of the same user
+    at or before the error ts; among clicks sharing that ts the LARGEST
+    event_id wins (clicks pre-sorted by (ts, event_id); merge_asof
+    backward takes the last duplicate).
+    forward: the earliest click at or after; ties → SMALLEST event_id
+    (merge_asof forward takes the first duplicate). Both oracles select
+    the same row explicitly instead of the underspecified SQL ASOF JOIN
+    row choice (advisor finding)."""
+    from .shuffle import salted_partition_apply
+
     ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        errors = g[g["event_type"] == "error"].sort_values(
-            "ts", kind="mergesort")
-        clicks = g[g["event_type"] == "click"].sort_values(
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        errors = df[df["event_type"] == "error"].sort_values(
             ["ts", "event_id"], kind="mergesort")
-        if errors.empty or clicks.empty:
-            return pd.DataFrame({
-                "event_id": pd.Series(dtype="int64"),
-                "user_id": pd.Series(dtype="int64"),
-                "err_ts": pd.Series(dtype="datetime64[us]"),
-                "click_event_id": pd.Series(dtype="int64"),
-                "click_ts": pd.Series(dtype="datetime64[us]"),
-            })
-        idx = np.searchsorted(clicks["ts"].to_numpy(),
-                              errors["ts"].to_numpy(), side="right") - 1
-        keep = idx >= 0
-        errors = errors[keep]
-        matched = clicks.iloc[idx[keep]]
-        return pd.DataFrame({
-            "event_id": errors["event_id"].to_numpy(),
-            "user_id": errors["user_id"].to_numpy(),
-            "err_ts": errors["ts"].to_numpy(),
-            "click_event_id": matched["event_id"].to_numpy(),
-            "click_ts": matched["ts"].to_numpy(),
+        clicks = df[df["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "err_ts": pd.Series(dtype="datetime64[us]"),
+            "click_event_id": pd.Series(dtype="int64"),
+            "click_ts": pd.Series(dtype="datetime64[us]"),
         })
+        if errors.empty or clicks.empty:
+            return empty
+        m = pd.merge_asof(
+            errors.rename(columns={"ts": "err_ts"})[
+                ["event_id", "user_id", "err_ts"]],
+            clicks.rename(columns={"event_id": "click_event_id",
+                                   "ts": "click_ts"})[
+                ["click_event_id", "user_id", "click_ts"]],
+            left_on="err_ts", right_on="click_ts", by="user_id",
+            direction=direction, allow_exact_matches=True)
+        m = m.dropna(subset=["click_event_id"])
+        if m.empty:
+            return empty
+        m["click_event_id"] = m["click_event_id"].astype("int64")
+        return m[["event_id", "user_id", "err_ts",
+                  "click_event_id", "click_ts"]]
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = salted_partition_apply(
+        ds, part_fn, combine_key=lambda t: t["user_id"].to_numpy())
     df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
     df["event_id"] = df["event_id"].astype("int64")
     df["user_id"] = df["user_id"].astype("int64")
     df["click_event_id"] = df["click_event_id"].astype("int64")
     return df
+
+
+def asof_error_click(sf_dir: str):
+    """Backward as-of join (see _asof_error_click_impl)."""
+    return _asof_error_click_impl(sf_dir, "backward")
+
+
+def asof_next_click(sf_dir: str):
+    """Forward as-of join: earliest click at-or-after each error."""
+    return _asof_error_click_impl(sf_dir, "forward")
 
 
 VALUE_BANDS = [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 1e9, "high")]
@@ -688,3 +708,60 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     df = agg.to_pandas()
     df["revenue"] = df["revenue"].round(2)
     return df.sort_values("n_name").reset_index(drop=True)
+
+
+def user_top_event_type(sf_dir: str):
+    """Per-group MODE (SQL: row_number over count(*) desc = 1): each
+    user's most frequent event type, ties to the lexicographically
+    smallest type. Per-batch arrow (user, type) partial counts — the
+    combiner — then ONE salted exchange on user_id and a vectorized
+    per-part argmax; no per-user dispatch."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"]}) \
+            .group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["user_id", "event_type", "n"])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["user_id", "event_type"], sort=False)["n"].sum() \
+            .reset_index()
+        c = c.sort_values(["n", "event_type"], ascending=[False, True],
+                          kind="mergesort")
+        top = c.groupby("user_id", sort=False).head(1)
+        return top.rename(columns={"event_type": "top_event_type"})
+
+    out = salted_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), part_fn,
+        combine_key=lambda t: t["user_id"].to_numpy())
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def value_histogram(sf_dir: str, width: float = 10.0):
+    """Fixed-width numeric histogram of the event value column
+    (floor(value/width)·width bins): per-batch arrow binning + partial
+    counts, one tiny groupby — the generic binned-aggregation shape."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["value"])
+
+    def bin_batch(t: pa.Table) -> pa.Table:
+        lo = pc.multiply(pc.floor(pc.divide(t["value"],
+                                            pa.scalar(width))),
+                         pa.scalar(width))
+        return pa.table({"bin_lo": lo}).group_by("bin_lo") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["bin_lo", "n_events"])
+
+    df = ds.map_batches(bin_batch, batch_format="pyarrow") \
+        .groupby("bin_lo").aggregate(Sum("n_events", alias_name="n_events")) \
+        .to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["bin_lo"] = df["bin_lo"].round(6)
+    return df.sort_values("bin_lo").reset_index(drop=True)

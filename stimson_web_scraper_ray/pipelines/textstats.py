@@ -365,7 +365,8 @@ def corpus_top_keywords(ds, k: int = 10, stop_lang: str | None = "en"):
 
 
 def grouped_quantiles(ds, group_col: str, value_col: str,
-                      qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+                      qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                      method: str = "disc"):
     """Exact per-group quantiles of a bounded-domain integer column via a
     distributed value histogram: ``groupby((group, value)).count`` — the
     only exchange — then a cumulative walk over the histogram, which is
@@ -374,11 +375,20 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     ceil(q*n)-th smallest, DuckDB ``quantile_disc`` semantics.
 
     Returns a pandas frame: group_col, n_rows, q50/q90/... columns.
+
+    ``method="cont"`` switches to INTERPOLATED quantiles (SQL
+    ``quantile_cont`` / percentile_cont: position q·(n-1) zero-based,
+    linear interpolation between the straddling order statistics) —
+    still exact from the same histogram, no extra exchange; the q
+    columns become float64.
     """
     import math
 
     import pandas as pd
     from ray.data.aggregate import Count
+
+    def val_at_rank(vals, cum, r):      # r is 1-based
+        return vals[np.searchsorted(cum, r)]
 
     hist = ds.groupby([group_col, value_col]) \
         .aggregate(Count(alias_name="freq")).to_pandas()
@@ -391,8 +401,16 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
         n = int(cum[-1])
         row = {group_col: g, "n_rows": n}
         for q in qs:
-            k = max(1, math.ceil(q * n))
-            row[f"q{int(q * 100)}"] = int(vals[np.searchsorted(cum, k)])
+            if method == "cont":
+                pos = q * (n - 1)
+                lo_r, frac = int(math.floor(pos)) + 1, pos - math.floor(pos)
+                v1 = float(val_at_rank(vals, cum, lo_r))
+                v2 = float(val_at_rank(vals, cum, min(lo_r + 1, n))) \
+                    if frac > 0 else v1
+                row[f"q{int(q * 100)}"] = round(v1 + frac * (v2 - v1), 6)
+            else:
+                k = max(1, math.ceil(q * n))
+                row[f"q{int(q * 100)}"] = int(val_at_rank(vals, cum, k))
         out.append(row)
     return pd.DataFrame(out)
 
