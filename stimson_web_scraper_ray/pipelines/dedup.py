@@ -191,19 +191,6 @@ def lsh_band_rows(batch: pa.Table, n_bands: int = 16,
     })
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """bucket → candidate pairs (a<b). Buckets are tiny by construction;
-    cap quadratic blowup at 50 ids per bucket (log-worthy at scale)."""
-    ids = sorted(group["doc_id"].tolist())[:50]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                         "b": pd.Series(b, dtype="int64")})
-
-
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     sa, sb = set(shingle_hashes(text_a, k).tolist()), set(
         shingle_hashes(text_b, k).tolist())
@@ -431,34 +418,6 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
     return rd.from_pandas(out.sort_values(["a", "b"]).reset_index(drop=True))
 
 
-# --- n-gram jaccard (direct, for small candidate sets) ----------------------
-
-
-def ngram_jaccard_matrix(ds, id_col: str = "doc_id", k: int = 3,
-                         threshold: float = 0.5):
-    """All-pairs n-gram Jaccard via LSH-free banding on rarest shingle —
-    here implemented as: shingle rows → groupby(shingle) → pairs → verify.
-    Intended for filtered candidate subsets, not the full corpus."""
-    import pandas as pd
-
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids, sh_out, id_out = batch[id_col].to_pylist(), [], []
-        for did, t in zip(ids, batch["text"].to_pylist()):
-            for s in set(shingle_hashes(t, k).tolist()):
-                sh_out.append(s)
-                id_out.append(did)
-        return pa.table({"shingle": pa.array(sh_out, pa.uint64()),
-                         "doc_id": pa.array(id_out, pa.int64())})
-
-    pairs = ds.map_batches(shingle_rows, batch_format="pyarrow") \
-        .groupby("shingle").map_groups(_bucket_pairs, batch_format="pandas")
-    pairs_df = pairs.to_pandas()
-    if pairs_df.empty:
-        return pairs_df
-    counts = pairs_df.groupby(["a", "b"]).size().rename("common").reset_index()
-    return counts
-
-
 # --- embedding cosine near-dup ----------------------------------------------
 
 
@@ -531,31 +490,50 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
         n_tables = max(1, min(32, math.ceil(
             math.log(1.0 - target_recall) / math.log(1.0 - p1))))
 
-    def bucket_cosine_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col).head(500)
-        ids = g[id_col].to_numpy()
-        vecs = np.array(g[vec_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1
-        cos = (vecs / norms) @ (vecs / norms).T
-        a, b, c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if cos[i, j] >= threshold:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-                    c.append(round(float(cos[i, j]), 4))
-        return pd.DataFrame({"a": a, "b": b, "cosine": c})
+    def part_cosine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # all buckets of this part, one numpy pass per bucket: upper-
+        # triangle mask + nonzero instead of a python double loop
+        outs = []
+        for _, group in df.groupby(["table_id", "bucket"], sort=False):
+            g = group.drop_duplicates(id_col).sort_values(id_col).head(500)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            vecs = np.array(g[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1
+            cos = (vecs / norms) @ (vecs / norms).T
+            hit = np.triu(cos >= threshold, k=1)
+            ii, jj = np.nonzero(hit)
+            if len(ii):
+                outs.append(pd.DataFrame({
+                    "a": ids[ii].astype("int64"),
+                    "b": ids[jj].astype("int64"),
+                    "cosine": np.round(cos[ii, jj], 4)}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    def bucket_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t["bucket"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t["table_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64))
+        return k.view(np.int64)
 
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    pairs = ds.map_batches(
+    bucketed = ds.map_batches(
         HyperplaneBucketer, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
-                               "n_tables": n_tables, "n_planes": n_planes}) \
-        .groupby(["table_id", "bucket"]).map_groups(bucket_cosine_pairs,
-                                                    batch_format="pandas")
+                               "n_tables": n_tables, "n_planes": n_planes})
+    # salted-partition exchange on (table, bucket) — one coarse shuffle,
+    # vectorized per-part work, no per-bucket reduce dispatch
+    pairs = _salted_partition_apply(bucketed, part_cosine_pairs, bucket_key)
     # cross-table (a, b) dedup as a pure aggregate (cosine identical per
     # copy); only the deduped pair table reaches the driver
     df = pairs.groupby(["a", "b"]).aggregate(
