@@ -123,7 +123,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
     names = ["doc_token_counts", "dedup_exact", "keywords_top10",
              "pricing_summary", "top_revenue_orders", "events_tumbling_1h",
              "sessionize_events", "ann_topk", "minhash_pairs",
-             "simhash_pairs"]
+             "simhash_pairs", "shipping_priority", "local_supplier_volume",
+             "dedup_spans_global"]
     qs = entry_mod.queries()
     out = {}
     for name in names:
