@@ -706,6 +706,59 @@ def _q_multimodal_decode(sf_dir: str):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def _q_multimodal_resize(sf_dir: str):
+    """Resize stage over the synthetic media table (fake codec, real
+    vectorized nearest-neighbor resample + binary output plumbing)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        ImageResize,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=128))
+    df = ds.map_batches(ImageResize, batch_format="pyarrow", batch_size=32,
+                        concurrency=(1, 4),
+                        fn_constructor_kwargs={"fake": True}).to_pandas()
+    df["payload_len"] = df["payload"].map(len)
+    return df[["media_id", "width", "height", "payload_len"]] \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def _q_audio_features(sf_dir: str):
+    """Audio feature stage (fake codec): duration / RMS / zero-crossing
+    columns from binary payloads."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        AudioFeatures,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=128))
+    df = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4),
+                        fn_constructor_kwargs={"fake": True}).to_pandas()
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
+def _q_media_similar(sf_dir: str):
+    """Multimodal → similarity composition: decoded channel-mean features
+    through the broadcast brute-force cosine top-k."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        media_similarity,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=128))
+    df = media_similarity(ds, query_media_id=0, k=10)
+    df["media_id"] = df["media_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df[["rank", "media_id", "cos_sim"]].reset_index(drop=True)
+
+
 def _q_crawl_flagship(sf_dir: str):
     import ray.data as rd
 
@@ -894,6 +947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": _q_crawl_metrics,
         "url_algebra": _q_url_algebra,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_resize": _q_multimodal_resize,
+        "audio_features": _q_audio_features,
+        "media_similar": _q_media_similar,
     }
 
 

@@ -170,3 +170,93 @@ def top_image_table(ds, id_col: str = "doc_id"):
     """Dataset wiring: one map_batches, no shuffle, no driver rows."""
     return ds.map_batches(lambda b: top_image_batch(b, id_col),
                           batch_format="pyarrow")
+
+
+class ImageResize:
+    """Actor-pool resize stage: payload → fixed (out_h, out_w) thumbnail
+    payload + dims. The resampler is real (vectorized nearest-neighbor
+    index math over the decoded array); only the codec behind it is the
+    deterministic fake (no image libs in this container — fake=False
+    raises, mirroring ImageDecodeFeatures). Output is again a binary
+    column, so resize stages chain/write like any other media stage."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8, fake: bool = False):
+        self.out_w = out_w
+        self.out_h = out_h
+        if not fake:
+            raise NotImplementedError(
+                "no image codec in this environment; use fake=True")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        out_p = []
+        for p in batch["payload"].to_pylist():
+            img = _fake_decode_image(p)
+            h, w = img.shape[0], img.shape[1]
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            out_p.append(img[yi][:, xi].tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(["image/fake"] * len(ids), pa.string()),
+            "payload": pa.array(out_p, pa.binary()),
+            "width": pa.array([self.out_w] * len(ids), pa.int32()),
+            "height": pa.array([self.out_h] * len(ids), pa.int32()),
+        })
+
+
+class AudioFeatures:
+    """Actor-pool audio stage: payload → duration / RMS / zero-crossing
+    features. Fake codec renders a deterministic waveform from the
+    payload hash (no audio libs here); the feature math (vectorized rms,
+    sign-change count) is the real kernel a librosa-backed decoder would
+    feed."""
+
+    SR = 16_000
+
+    def __init__(self, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "no audio codec in this environment; use fake=True")
+
+    @staticmethod
+    def _fake_decode(payload: bytes) -> np.ndarray:
+        h = hashlib.blake2b(payload or b"", digest_size=16).digest()
+        n = 1000 + struct.unpack("<I", h[0:4])[0] % 15_000
+        rng = np.random.default_rng(struct.unpack("<Q", h[8:16])[0])
+        return (rng.random(n) * 2.0 - 1.0).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        dur, rms, zcr = [], [], []
+        for p in batch["payload"].to_pylist():
+            w = self._fake_decode(p)
+            dur.append(round(len(w) / self.SR, 6))
+            rms.append(round(float(np.sqrt(np.mean(w * w))), 6))
+            zcr.append(int(np.count_nonzero(np.diff(np.sign(w)))))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "duration_s": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zero_crossings": pa.array(zcr, pa.int64()),
+        })
+
+
+def media_similarity(ds, query_media_id: int = 0, k: int = 10,
+                     fake: bool = True):
+    """Multimodal → similarity composition: decode+feature stage feeds
+    the brute-force cosine top-k operator on the channel_mean feature
+    column — the same broadcast-query / per-batch-partial-top-k shape as
+    text-embedding ANN, demonstrating that media features are ordinary
+    vector columns to the engine."""
+    import pyarrow.compute as pc
+
+    from .similarity import brute_force_topk
+
+    feats = decode_pipeline(ds, fake=fake)
+    q = feats.map_batches(
+        lambda t: t.filter(pc.equal(t["media_id"], query_media_id)),
+        batch_format="pyarrow").to_pandas()
+    qvec = np.array(q["channel_mean"].tolist(), dtype=np.float64)
+    return brute_force_topk(feats, qvec, k=k, id_col="media_id",
+                            vec_col="channel_mean")

@@ -180,6 +180,41 @@ def test_multimodal_decode_plumbing(ray_session):
         df2.sort_values("media_id")["width"].tolist()
 
 
+def test_multimodal_resize_and_audio(ray_session):
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        AudioFeatures,
+        ImageResize,
+    )
+
+    ds = rd.from_arrow(synth_media_table(n=24))
+    r = ds.map_batches(ImageResize, batch_format="pyarrow", batch_size=8,
+                       concurrency=(1, 2),
+                       fn_constructor_kwargs={"fake": True}).to_pandas()
+    assert len(r) == 24
+    assert (r["width"] == 8).all() and (r["height"] == 8).all()
+    assert r["payload"].map(len).eq(8 * 8 * 3).all()   # fixed thumbnail size
+
+    a = ds.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+                       concurrency=(1, 2),
+                       fn_constructor_kwargs={"fake": True}).to_pandas()
+    assert len(a) == 24
+    assert (a["duration_s"] > 0).all() and (a["rms"] > 0).all()
+    a2 = ds.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+                        concurrency=(1, 2),
+                        fn_constructor_kwargs={"fake": True}).to_pandas()
+    assert a.sort_values("media_id")["rms"].tolist() == \
+        a2.sort_values("media_id")["rms"].tolist()      # deterministic
+
+
+def test_media_similarity_self_match(ray_session):
+    from stimson_web_scraper_ray.pipelines.multimodal import media_similarity
+
+    ds = rd.from_arrow(synth_media_table(n=32))
+    df = media_similarity(ds, query_media_id=0, k=5)
+    assert df.iloc[0]["media_id"] == 0                  # self-match first
+    assert abs(df.iloc[0]["cos_sim"] - 1.0) < 1e-9
+
+
 def test_multimodal_real_codec_raises():
     from stimson_web_scraper_ray.pipelines.multimodal import ImageDecodeFeatures
 
