@@ -904,9 +904,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_segment_counts": _q_active_segment_counts,
         "rolling_user_counts": _q_rolling_user_counts,
         "shipping_priority": lambda sf: _mk("shipping_priority")(sf),
-        "customer_order_stats": lambda sf: _mk("customer_order_stats")(sf),
+        # per-row-result operators return DATASETS (fact-scaled outputs
+        # stream in production); materialize here for the oracle compare
+        "customer_order_stats":
+            lambda sf: _mk("customer_order_stats")(sf).to_pandas()
+            .sort_values("c_custkey").reset_index(drop=True),
         "customer_running_revenue":
-            lambda sf: _mk("customer_running_revenue")(sf),
+            lambda sf: _mk("customer_running_revenue")(sf).to_pandas()
+            .sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+            .reset_index(drop=True),
         "revenue_rollup": lambda sf: _mk("revenue_rollup")(sf),
         "corpus_bigrams": _q_corpus_bigrams,
         "lang_stratified_sample": _q_lang_stratified_sample,
@@ -929,13 +935,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": lambda sf: _mk("top_revenue_orders")(sf),
         "customer_nation_rollup": lambda sf: _mk("customer_nation_rollup")(sf),
         "events_tumbling_1h": lambda sf: _mk("events_tumbling_window")(sf),
-        "sessionize_events": lambda sf: _mk("sessionize_events")(sf)[
-            ["user_id", "session_start", "n_events"]],
+        "sessionize_events": lambda sf: _mk("sessionize_events")(sf)
+            .select_columns(["user_id", "session_start", "n_events"]),
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
         "event_props_sum_k": lambda sf: _mk("parse_event_props")(sf),
-        "asof_error_click": lambda sf: _mk("asof_error_click")(sf),
-        "asof_next_click": lambda sf: _mk("asof_next_click")(sf),
-        "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf),
+        "asof_error_click": lambda sf: _mk("asof_error_click")(sf)
+            .to_pandas().sort_values("event_id").reset_index(drop=True),
+        "asof_next_click": lambda sf: _mk("asof_next_click")(sf)
+            .to_pandas().sort_values("event_id").reset_index(drop=True),
+        "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf)
+            .to_pandas().sort_values(["user_id", "ts", "event_id"])
+            .reset_index(drop=True),
         "range_join_value_bands": lambda sf: _mk("range_join_value_bands")(sf),
         # scalar extractors / nlp tier
         "doc_emails": _q_doc_emails,

@@ -5,8 +5,11 @@ semantics.
 
 Conventions for oracle parity: every computed column is explicitly named
 (identical names in oracle_sql), money aggregates are rounded to 2
-decimals, counts are int64, result sets are small (aggregates / top-k) so
-``to_pandas`` materialization is safe.
+decimals, counts are int64. Operators with SMALL results (aggregates /
+top-k) return pandas; operators whose output is fact-scaled (per-order
+windows, per-customer stats, as-of matches, sessions) return the
+DATASET — production consumers stream it (write_parquet / iter_batches)
+and only the oracle-comparison wrappers in ``__ray_entry__`` materialize.
 """
 
 from __future__ import annotations
@@ -216,12 +219,11 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
             n_events=("ts", "size"))
         return agg.reset_index(drop=True)
 
-    out = salted_partition_apply(
+    # returns the DATASET: sessions are fact-scaled, so production
+    # consumers stream them (write_parquet / iter_batches); only the
+    # oracle-comparison wrapper materializes
+    return salted_partition_apply(
         ds, part_fn, combine_key=lambda t: t["user_id"].to_numpy())
-    df = out.to_pandas().sort_values(["user_id", "session_start"]) \
-        .reset_index(drop=True)
-    df["n_events"] = df["n_events"].astype("int64")
-    return df
 
 
 def user_event_deltas(sf_dir: str):
@@ -241,10 +243,10 @@ def user_event_deltas(sf_dir: str):
         gap = (df["ts"] - prev) / np.timedelta64(1, "us")
         return df.assign(gap_us=gap.astype("float64"))
 
-    out = salted_partition_apply(
+    # Dataset return — O(events) rows; stream in production, the oracle
+    # wrapper materializes
+    return salted_partition_apply(
         ds, part_fn, lambda t: t["user_id"].to_numpy(), n_parts=64)
-    return out.to_pandas().sort_values(["user_id", "ts", "event_id"]) \
-        .reset_index(drop=True)
 
 
 def event_type_distinct_users(sf_dir: str):
@@ -354,13 +356,10 @@ def _asof_error_click_impl(sf_dir: str, direction: str):
         return m[["event_id", "user_id", "err_ts",
                   "click_event_id", "click_ts"]]
 
-    out = salted_partition_apply(
+    # Dataset return — O(errors) rows; dtypes are already exact inside
+    # part_fn, the oracle wrapper materializes
+    return salted_partition_apply(
         ds, part_fn, combine_key=lambda t: t["user_id"].to_numpy())
-    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
-    df["event_id"] = df["event_id"].astype("int64")
-    df["user_id"] = df["user_id"].astype("int64")
-    df["click_event_id"] = df["click_event_id"].astype("int64")
-    return df
 
 
 def asof_error_click(sf_dir: str):
@@ -496,10 +495,15 @@ def customer_order_stats(sf_dir: str):
     cust = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     j = hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
                   how="left")
-    df = j.to_pandas()
-    df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
-    df["total_spent"] = df["total_spent"].fillna(0.0).round(2)
-    return df.sort_values("c_custkey").reset_index(drop=True)
+
+    def null_fill(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+        df["total_spent"] = df["total_spent"].fillna(0.0).round(2)
+        return df
+
+    # null-fill is row-local → stays on the stream; Dataset return
+    # (O(customers) rows — production consumers write, not collect)
+    return j.map_batches(null_fill, batch_format="pandas")
 
 
 def customer_running_revenue(sf_dir: str):
@@ -518,11 +522,9 @@ def customer_running_revenue(sf_dir: str):
         run = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
         return df.assign(running_total=run.round(2))
 
-    out = salted_partition_apply(
+    # Dataset return — O(orders) rows; the oracle wrapper materializes
+    return salted_partition_apply(
         ds, part_fn, combine_key=lambda t: t["o_custkey"].to_numpy())
-    return out.to_pandas() \
-        .sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
-        .reset_index(drop=True)
 
 
 def shipping_priority(sf_dir: str, cutoff: str = "1998-07-01",

@@ -852,7 +852,8 @@ def dedup_spans_global(ds, span_words: int = 8, id_col: str = "doc_id",
         return pd.DataFrame({"doc_id": out_id, "clean_text": out_text,
                              "n_removed": np.array(out_rm, np.int64)})
 
-    out = _salted_partition_apply(
+    # Dataset return — O(docs) rewritten rows; production consumers
+    # write_parquet, the oracle wrapper materializes
+    return _salted_partition_apply(
         kept.union(docs), rebuild,
         combine_key=lambda t: t["doc_id"].to_numpy())
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
