@@ -215,6 +215,39 @@ def test_media_similarity_self_match(ray_session):
     assert abs(df.iloc[0]["cos_sim"] - 1.0) < 1e-9
 
 
+def test_write_partitioned_parquet_resume(ray_session, sf_dir, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.sources.sinks import (
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "parts")
+
+    def src():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+
+    skipped, written = write_partitioned_parquet(src(), out, "lang")
+    assert skipped == 0 and written >= 2
+
+    # simulate a crash: one partition loses its marker → must be
+    # rewritten; all marked partitions must be pruned from the stream
+    victim = sorted(glob.glob(out + "/lang=*"))[0]
+    os.remove(os.path.join(victim, "_SUCCESS"))
+    skipped2, written2 = write_partitioned_parquet(src(), out, "lang")
+    assert written2 == 1 and skipped2 == written - 1
+
+    # the final layout round-trips the full table exactly once
+    got = pq.read_table(out).to_pandas()
+    orig = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == sorted(orig["doc_id"].tolist())
+
+
 def test_multimodal_real_codec_raises():
     from stimson_web_scraper_ray.pipelines.multimodal import ImageDecodeFeatures
 
