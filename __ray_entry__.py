@@ -644,6 +644,16 @@ def _q_lang_stratified_sample(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_epoch_order(sf_dir: str):
+    """Reproducible epoch shuffle: first 100 positions of the md5(seed:id)
+    global order — Ray native distributed sort + limit."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sampling import epoch_order
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    return epoch_order(ds, seed=7, k=100)
+
+
 def _q_doc_keywords_nlp(sf_dir: str):
     """Per-document TextRank/frequency keywords (nlp tier, rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
@@ -916,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": lambda sf: _mk("revenue_rollup")(sf),
         "corpus_bigrams": _q_corpus_bigrams,
         "lang_stratified_sample": _q_lang_stratified_sample,
+        "epoch_order": _q_epoch_order,
         "local_supplier_volume":
             lambda sf: _mk("local_supplier_volume")(sf),
         "dedup_spans_global": _q_dedup_spans_global,
@@ -1318,6 +1329,15 @@ def oracle_sql() -> dict[str, str]:
               FROM flt WHERE len(w) >= 2)
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq FROM big
             GROUP BY bigram ORDER BY freq DESC, bigram DESC LIMIT 20
+        """,
+        "epoch_order": """
+            SELECT pos, doc_id FROM (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS BIGINT) AS pos
+              FROM documents) t
+            WHERE pos <= 100 ORDER BY pos
         """,
         "lang_stratified_sample": """
             SELECT lang, doc_id, rn FROM (

@@ -87,3 +87,22 @@ def stratified_sample(ds, k: int, id_col: str = "doc_id",
         [strat_col], "h", k, combine_key=strat_key,
         descending=False, tie_cols=[id_col], rank_col="rn")
     return picked.drop_columns(["h"])
+
+
+def epoch_order(ds, seed: int = 7, k: int = 100, id_col: str = "doc_id"):
+    """Deterministic epoch shuffle: global order = rank under
+    md5(seed:id) — a reproducible pseudo-random permutation (the
+    at-scale substitute for random_shuffle when resumability matters: a
+    re-run or a mid-epoch restart recomputes the SAME order from the
+    seed, no RNG state). Exercises the engine's native distributed
+    range-partitioned sort; only the first ``k`` positions are
+    materialized."""
+    def add_h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+              for i in t[id_col].to_pylist()]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    out = ds.map_batches(add_h, batch_format="pyarrow") \
+        .sort(["h", id_col]).limit(k).to_pandas()
+    out["pos"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["pos", id_col]]
