@@ -100,6 +100,39 @@ def _q_keywords_top10(sf_dir: str):
     return df
 
 
+def _q_heavy_hitter_words(sf_dir: str):
+    """Sketch-path corpus top-k: per-batch candidate top-k' + exact
+    recount of candidates only (pipelines/sketch.py docstring for the
+    exactness proof) — shares keywords_top10's oracle form at k=20."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sketch import heavy_hitter_words
+
+    ds = read(sf_dir, "documents", ["text"])
+    return heavy_hitter_words(ds, k=20, k_prime=256)
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct users per event type (p=12 → ~1.6% s.e.):
+    the approximate form of event_distinct_users whose exchange volume
+    is constant per block instead of one row per distinct pair. Output
+    carries exact, approx and rel_err so the sketch's accuracy is
+    self-reported (approximate by design → no value-exact oracle)."""
+    import pandas as pd
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        event_type_distinct_users, read)
+    from stimson_web_scraper_ray.pipelines.sketch import (
+        hll_distinct_per_group)
+
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+    approx = hll_distinct_per_group(ds, "event_type", "user_id", p=12)
+    exact = event_type_distinct_users(sf_dir)
+    df = pd.merge(exact, approx, on="event_type", how="outer")
+    df["rel_err"] = ((df["approx_distinct"] - df["n_users"]).abs()
+                     / df["n_users"]).round(4)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_doc_langid(sf_dir: str):
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.textstats import add_langid
@@ -889,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "lang_counts": _q_lang_counts,
         "keywords_top10": _q_keywords_top10,
+        "heavy_hitter_words": _q_heavy_hitter_words,
+        "approx_distinct_users": _q_approx_distinct_users,
         "doc_langid": _q_doc_langid,
         "langid_accuracy": _q_langid_accuracy,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1723,6 +1758,19 @@ def oracle_sql() -> dict[str, str]:
             FROM words
             WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
             GROUP BY word ORDER BY freq DESC, word DESC LIMIT 10
+        """,
+        "heavy_hitter_words": """
+            -- exact truth for the sketch path (two-pass candidate +
+            -- recount): same tokenization as keywords_top10, k=20
+            WITH words AS (
+                SELECT unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS word
+                FROM documents)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM words
+            WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+            GROUP BY word ORDER BY freq DESC, word DESC LIMIT 20
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

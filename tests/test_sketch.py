@@ -1,0 +1,78 @@
+"""Sketch operators: HLL accuracy/merge laws, heavy-hitter exactness."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from stimson_web_scraper_ray.pipelines import sketch
+
+
+def test_hll_accuracy_across_magnitudes():
+    rng = np.random.default_rng(7)
+    for true_n in (50, 1_000, 50_000):
+        keys = rng.choice(np.arange(true_n * 3, dtype=np.int64),
+                          size=true_n, replace=False)
+        # duplicates must not change the estimate
+        stream = np.concatenate([keys, keys[: true_n // 2]])
+        est = sketch.hll_estimate(sketch.hll_registers(stream, p=12))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_union():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1 << 40, size=3000).astype(np.int64)
+    b = rng.integers(0, 1 << 40, size=3000).astype(np.int64)
+    ra, rb = sketch.hll_registers(a), sketch.hll_registers(b)
+    merged = sketch.hll_merge(ra, rb)
+    direct = sketch.hll_registers(np.concatenate([a, b]))
+    assert np.array_equal(merged, direct)
+    # commutative + idempotent
+    assert np.array_equal(sketch.hll_merge(rb, ra), merged)
+    assert np.array_equal(sketch.hll_merge(merged, merged), merged)
+
+
+def test_hll_distinct_per_group(ray_session):
+    rng = np.random.default_rng(3)
+    rows = []
+    true = {"a": 2000, "b": 500, "c": 37}
+    for g, n in true.items():
+        users = rng.choice(np.arange(100_000, dtype=np.int64), size=n,
+                           replace=False)
+        rows += [{"g": g, "u": int(u)} for u in users]
+        rows += [{"g": g, "u": int(u)} for u in users[: n // 3]]  # dups
+    rng.shuffle(rows)
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8)
+    out = sketch.hll_distinct_per_group(ds, "g", "u", p=12)
+    got = dict(zip(out["g"], out["approx_distinct"]))
+    for g, n in true.items():
+        assert abs(got[g] - n) / n < 0.06, (g, n, got[g])
+
+
+def test_heavy_hitters_exact_on_zipf(ray_session):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    # zipf-ish frequencies → clear heavy hitters
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=80, p=probs))
+             for _ in range(300)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(6)
+    got = sketch.heavy_hitter_words(ds, k=10, k_prime=128)
+    # exact truth
+    from collections import Counter
+    c = Counter(w for t in texts for w in t.split())
+    truth = sorted(c.items(), key=lambda kv: (kv[1], kv[0]), reverse=True)[:10]
+    assert list(map(tuple, got.itertuples(index=False))) == truth
+
+
+def test_heavy_hitters_raises_when_not_provable(ray_session):
+    # flat distribution + tiny k': kth count < N/k' must raise, not
+    # silently return a maybe-wrong top-k
+    rng = np.random.default_rng(9)
+    vocab = [f"flat{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, size=100)) for _ in range(50)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+    with pytest.raises(ValueError, match="not provably exact"):
+        sketch.heavy_hitter_words(ds, k=10, k_prime=2)
