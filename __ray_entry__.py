@@ -454,6 +454,18 @@ def _q_doc_chunks(sf_dir: str):
     return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Cross-doc sequence packing: global token prefix-scan bucketed by
+    ctx_len=256 (distributed two-phase scan over contiguous id ranges);
+    oracle is a SQL window cumsum."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.chunking import pack_sequences
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = pack_sequences(ds, ctx_len=256).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Per-doc top-5 TF-IDF terms over a top-20 df vocabulary (sklearn
     max_features semantics): one groupby(word) shuffle for the fit, O(V)
@@ -937,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _q_corpus_mix,
         "doc_unigram_nll": _q_unigram_nll,
         "doc_chunks": _q_doc_chunks,
+        "pack_sequences": _q_pack_sequences,
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles,
@@ -1527,6 +1540,27 @@ def oracle_sql() -> dict[str, str]:
                        toks, chunk_id * 64 + 1,
                        least(n, chunk_id * 64 + 64)), ' ') AS chunk_text
             FROM g ORDER BY doc_id, chunk_id
+        """,
+        "pack_sequences": """
+            -- GPT-style packing: concat tokens in doc_id order, cut into
+            -- 256-token sequences; each doc's (seq, offset) at its first
+            -- token = exclusive prefix sum bucketed by 256
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+                            len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens AS cum_prev
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(cum_prev // 256 AS BIGINT) AS seq_id,
+                   CAST(cum_prev % 256 AS BIGINT) AS seq_offset
+            FROM c ORDER BY doc_id
         """,
         "train_set": """
             -- composite: decontaminate -> Gopher filter -> exact dedup;

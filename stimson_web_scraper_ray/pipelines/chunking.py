@@ -50,3 +50,66 @@ def chunk_documents(ds, seq_len: int = 64, id_col: str = "doc_id",
     return ds.map_batches(
         lambda b: chunk_batch(b, seq_len, id_col, text_col),
         batch_format="pyarrow")
+
+
+def pack_sequences(ds, ctx_len: int = 256, n_parts: int = 32,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-doc sequence packing (the half chunking defers): concatenate
+    every document's tokens in id order and split the stream into
+    ctx_len-token training sequences; each doc gets the (seq_id,
+    seq_offset) where its first token lands — i.e. a global exclusive
+    prefix sum of token counts, bucketed by ctx_len.
+
+    Distributed scan, no global sort: ids are bucketed into n_parts
+    CONTIGUOUS ranges (part = id // span — order-functional, unlike a
+    hash), phase 1 aggregates one token-count sum per range (n_parts
+    rows to the driver for the exclusive scan — constant, not O(docs)),
+    phase 2 cumsums inside each range and adds its broadcast offset.
+    The slim (id, n_tokens, part) table is materialized between phases
+    so the text column is read once: 20 bytes/doc in the object store,
+    spillable, never on the driver.
+
+    Returns a Dataset (doc_id, n_tokens, seq_id, seq_offset).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    max_id = ds.max(on=id_col)
+    span = max(1, (int(max_id) + n_parts) // n_parts)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n_tok = pa.array(
+            [len((t or "").split()) for t in batch[text_col].to_pylist()],
+            pa.int64())
+        part = pa.array((ids // span).astype("int64"), pa.int64())
+        return pa.table({id_col: batch[id_col], "n_tokens": n_tok,
+                         "part": part})
+
+    slim_ds = ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    sums = slim_ds.groupby("part") \
+        .aggregate(Sum("n_tokens", alias_name="part_tokens")).to_pandas() \
+        .sort_values("part")
+    offsets = dict(zip(
+        sums["part"],
+        np.concatenate([[0], np.cumsum(sums["part_tokens"].to_numpy())[:-1]])
+    ))
+    off_ref = ray.put(offsets)
+
+    def scan_part(df: pd.DataFrame) -> pd.DataFrame:
+        base = int(ray.get(off_ref)[int(df["part"].iloc[0])])
+        df = df.sort_values(id_col, kind="mergesort")
+        cum_prev = base + np.concatenate(
+            [[0], np.cumsum(df["n_tokens"].to_numpy())[:-1]])
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": df["n_tokens"].to_numpy(),
+            "seq_id": (cum_prev // ctx_len).astype("int64"),
+            "seq_offset": (cum_prev % ctx_len).astype("int64"),
+        })
+
+    return slim_ds.groupby("part").map_groups(
+        scan_part, batch_format="pandas")

@@ -518,6 +518,32 @@ def test_chunk_documents_windows(ray_session):
         "w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9", "solo"]
 
 
+def test_pack_sequences_prefix_scan(ray_session):
+    """Cross-doc packing == single-process exclusive cumsum at any
+    partitioning; empty docs occupy zero tokens but keep a row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.chunking import pack_sequences
+
+    rng = np.random.default_rng(13)
+    n = 200
+    texts = [" ".join("t" * 1 for _ in range(int(k)))
+             for k in rng.integers(0, 40, size=n)]
+    texts[7] = "   "                      # whitespace-only → 0 tokens
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    for parts in (1, 7):
+        out = pack_sequences(rd.from_arrow(t).repartition(parts),
+                             ctx_len=32, n_parts=5).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        n_tok = np.array([len(x.split()) for x in texts], dtype=np.int64)
+        cum_prev = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        assert out["n_tokens"].tolist() == n_tok.tolist()
+        assert out["seq_id"].tolist() == (cum_prev // 32).tolist()
+        assert out["seq_offset"].tolist() == (cum_prev % 32).tolist()
+
+
 def test_tfidf_topk_ranking(ray_session):
     """df fit, idf math, vocab cut, and deterministic tie ordering."""
     import math
