@@ -219,17 +219,19 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_minhash_dedup_groups(sf_dir: str):
-    """Full near-dup dedup: LSH pairs → connected components → one keeper
-    per duplicate cluster (rows-only)."""
+    """Full near-dup dedup: LSH pairs → distributed connected components
+    (min-label propagation + pointer jumping on hash-join exchanges; the
+    pair table never lands on the driver) → one keeper per cluster
+    (rows-only)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.dedup import (
         minhash_lsh_dedup,
-        resolve_duplicate_groups,
+        resolve_duplicate_groups_distributed,
     )
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
-    return resolve_duplicate_groups(pairs)
+    pairs = minhash_lsh_dedup(ds, threshold=0.5)
+    return resolve_duplicate_groups_distributed(pairs)
 
 
 def _q_simhash_pairs(sf_dir: str):

@@ -329,6 +329,123 @@ def resolve_duplicate_groups(pairs_df: pd.DataFrame,
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def resolve_duplicate_groups_distributed(pairs_ds, max_rounds: int = 30,
+                                         n_parts: int = 32):
+    """Distributed form of ``resolve_duplicate_groups`` — the 100-TB
+    path (at 10^10 docs a few percent duplicate rate makes the pair
+    table itself fact-scaled, too big for the driver).
+
+    Alternating **large-star / small-star** (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): the graph stays an
+    edge Dataset end to end; each half-round is ONE salted exchange
+    grouping directed edges by source node, with a vectorized per-part
+    rewrite — no label table, no joins:
+
+      large-star(u): m = min(N(u) + {u}); rewire every nbr v > u to m
+      small-star(u): m = min(N<=(u) + {u}); rewire every nbr v <= u
+                     (and u itself) to m
+
+    Both preserve connectivity, never increase the edge count beyond
+    O(nodes + pairs), and converge in O(log n) rounds to per-component
+    stars rooted at the minimum id. Convergence is detected by an
+    unchanged (count, hash-sum) signature of the canonical edge set —
+    one aggregate, no driver materialization.
+
+    Output matches the pandas resolver exactly: (doc_id, keep_doc_id)
+    with keep = min reachable id, one row per node of the pair graph.
+    """
+    from ray.data.aggregate import Sum
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        u = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pyarrow") \
+        .materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "keep_doc_id": pd.Series(dtype="int64")})
+
+    def bidir(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "nbr": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    def high_to_low(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.maximum(u, v), pa.int64()),
+                         "nbr": pa.array(np.minimum(u, v), pa.int64())})
+
+    def large_star_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        g = df.groupby("node", sort=False)["nbr"].min()
+        m = pd.Series(np.minimum(g.to_numpy(), g.index.to_numpy()),
+                      index=g.index)
+        mm = df["node"].map(m).to_numpy()
+        keep = df["nbr"].to_numpy() > df["node"].to_numpy()
+        out = pd.DataFrame({"u": df["nbr"].to_numpy()[keep],
+                            "v": mm[keep]})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    def small_star_part(df: pd.DataFrame) -> pd.DataFrame:
+        # incoming rows are (node=max, nbr=min) directed high→low, so
+        # every row is already nbr <= node
+        df = df.drop_duplicates()
+        m = df.groupby("node", sort=False)["nbr"].min()
+        mm = df["node"].map(m).to_numpy()
+        a = pd.DataFrame({"u": df["nbr"].to_numpy(), "v": mm})
+        b = pd.DataFrame({"u": m.index.to_numpy(), "v": m.to_numpy()})
+        out = pd.concat([a, b], ignore_index=True)
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    def signature(ds) -> tuple[int, int]:
+        def sig(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            from .sketch import splitmix64
+            h = splitmix64(u * np.uint64(0x100000001B3) + v)
+            # per-row hash SUM → permutation/batching invariant
+            s = int(np.sum(h, dtype=np.uint64)) if len(h) else 0
+            if s >= 1 << 63:             # two's-complement wrap to int64
+                s -= 1 << 64
+            return pa.table({
+                "h": pa.array([s], pa.int64()),
+                "n": pa.array([len(h)], pa.int64())})
+        agg = ds.map_batches(sig, batch_format="pyarrow") \
+            .aggregate(Sum("h", alias_name="h"), Sum("n", alias_name="n"))
+        return (agg["h"], agg["n"])
+
+    node_key = lambda t: t["node"].to_numpy(zero_copy_only=False)  # noqa: E731
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _salted_partition_apply(
+            edges.map_batches(bidir, batch_format="pyarrow"),
+            large_star_part, node_key, n_parts=n_parts).materialize()
+        edges = _salted_partition_apply(
+            edges.map_batches(high_to_low, batch_format="pyarrow"),
+            small_star_part, node_key, n_parts=n_parts).materialize()
+        cur_sig = signature(edges)
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+
+    # converged: per-component stars (v, root); roots appear only as v
+    star = edges.to_pandas().astype({"u": "int64", "v": "int64"})
+    roots = np.setdiff1d(star["v"].unique(), star["u"].unique())
+    out = pd.concat([
+        star.rename(columns={"u": "doc_id", "v": "keep_doc_id"}),
+        pd.DataFrame({"doc_id": roots, "keep_doc_id": roots}),
+    ], ignore_index=True).drop_duplicates()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "keep_doc_id": "int64"})
+
+
 # --- simhash ----------------------------------------------------------------
 
 

@@ -66,15 +66,17 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
         # only the right KEYS matter — prune before the exchange
         right = right.select_columns([on])
 
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
-    lcols = [f.name for f in lschema]
-    rcols = [f.name for f in rschema]
+    # Schema wrapper (.names/.types) is uniform across Arrow and pandas
+    # blocks — keeps joins chainable over map_groups outputs
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
     overlap = (set(lcols) & set(rcols)) - {on}
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
-    out_fields = ([(n, lschema.field(n).type) for n in lcols]
-                  + [(n, rschema.field(n).type) for n in rcols if n != on])
+    out_fields = ([(n, ltypes[n]) for n in lcols]
+                  + [(n, rtypes[n]) for n in rcols if n != on])
 
     def pad(side_flag: int):
         def fn(t: pa.Table) -> pa.Table:

@@ -621,6 +621,26 @@ def test_hash_join_inner_left_and_collisions(ray_session):
             on="k", right_on="k2")
 
 
+def test_hash_join_chains_over_pandas_blocks(ray_session):
+    """A join's output (pandas blocks from map_groups) feeds a second
+    join — the schema handling must accept both block types."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                "av": pa.array([10, 20, 30], pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([2, 3], pa.int64()),
+                                "bv": pa.array([200, 300], pa.int64())}))
+    c = rd.from_arrow(pa.table({"k": pa.array([3], pa.int64()),
+                                "cv": pa.array([3000], pa.int64())}))
+    ab = hash_join(a, b, on="k", n_parts=4)
+    abc = hash_join(ab, c, on="k", n_parts=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert abc["k"].tolist() == [3]
+    assert abc["av"].tolist() == [30] and abc["cv"].tolist() == [3000]
+
+
 def test_hash_join_semi_anti(ray_session):
     """Semi/anti: left rows with/without a right match, left columns
     only, duplicate right keys don't multiply rows; all-match anti is

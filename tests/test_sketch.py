@@ -67,6 +67,43 @@ def test_heavy_hitters_exact_on_zipf(ray_session):
     assert list(map(tuple, got.itertuples(index=False))) == truth
 
 
+def test_distributed_cc_matches_pandas(ray_session):
+    """resolve_duplicate_groups_distributed == the pandas resolver on
+    chains (deep diameter → exercises pointer jumping), stars, random
+    unions, and the empty graph, at several partitionings."""
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        resolve_duplicate_groups,
+        resolve_duplicate_groups_distributed,
+    )
+
+    rng = np.random.default_rng(21)
+    graphs = {
+        "chain": [(i + 1, i) for i in range(40)],
+        "star": [(100, 100 + i) for i in range(1, 15)],
+        "two_comps": [(1, 2), (2, 3), (10, 11), (12, 11), (3, 1)],
+        "random": [tuple(sorted(rng.integers(0, 60, size=2).tolist()))
+                   for _ in range(80)],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        df = pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+        want = resolve_duplicate_groups(df)
+        for parts in (1, 5):
+            ds = rd.from_pandas(df).repartition(parts)
+            got = resolve_duplicate_groups_distributed(ds, n_parts=8)
+            pd.testing.assert_frame_equal(got, want), name
+
+
+def test_distributed_cc_empty(ray_session):
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        resolve_duplicate_groups_distributed)
+
+    ds = rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                      "b": pd.Series(dtype="int64")}))
+    out = resolve_duplicate_groups_distributed(ds)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "keep_doc_id"]
+
+
 def test_heavy_hitters_raises_when_not_provable(ray_session):
     # flat distribution + tiny k': kth count < N/k' must raise, not
     # silently return a maybe-wrong top-k
