@@ -456,6 +456,17 @@ def _q_doc_chunks(sf_dir: str):
     return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _q_profile_events(sf_dir: str):
+    """Column profiler over the events table: exact per-column
+    row/null/distinct counts (two passes, one pair exchange); the
+    approx=True HLL form is the 100-TB path."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.profile import profile_table
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return profile_table(read(sf_dir, "events", cols), cols)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Cross-doc sequence packing: global token prefix-scan bucketed by
     ctx_len=256 (distributed two-phase scan over contiguous id ranges);
@@ -952,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_nll": _q_unigram_nll,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
+        "profile_events": _q_profile_events,
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles,
@@ -1563,6 +1575,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_prev // 256 AS BIGINT) AS seq_id,
                    CAST(cum_prev % 256 AS BIGINT) AS seq_offset
             FROM c ORDER BY doc_id
+        """,
+        "profile_events": """
+            -- exact per-column profile; one UNION ALL branch per column
+            WITH p AS (
+                SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+                       COUNT(*) - COUNT(event_id) AS n_nulls,
+                       COUNT(DISTINCT event_id) AS n_distinct FROM events
+                UNION ALL
+                SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                       COUNT(DISTINCT ts) FROM events
+                UNION ALL
+                SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                       COUNT(DISTINCT user_id) FROM events
+                UNION ALL
+                SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                       COUNT(DISTINCT event_type) FROM events
+                UNION ALL
+                SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                       COUNT(DISTINCT value) FROM events
+                UNION ALL
+                SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                       COUNT(DISTINCT props) FROM events)
+            SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_nulls AS BIGINT) AS n_nulls,
+                   CAST(n_distinct AS BIGINT) AS n_distinct
+            FROM p ORDER BY col
         """,
         "train_set": """
             -- composite: decontaminate -> Gopher filter -> exact dedup;

@@ -104,6 +104,31 @@ def test_distributed_cc_empty(ray_session):
     assert len(out) == 0 and list(out.columns) == ["doc_id", "keep_doc_id"]
 
 
+def test_profile_table_exact(ray_session):
+    """Nulls, -0.0/0.0 equivalence, NaN canonicalization, strings,
+    timestamps — exact distinct parity with pandas truth."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.profile import profile_table
+
+    ts = pd.to_datetime(["2026-01-01", "2026-01-01", "2026-01-02", None])
+    t = pa.table({
+        "i": pa.array([1, 1, 2, None], pa.int64()),
+        "f": pa.array([0.0, -0.0, float("nan"), float("nan")],
+                      pa.float64()),
+        "s": pa.array(["a", "b", "b", None], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = profile_table(rd.from_arrow(t).repartition(2),
+                        ["i", "f", "s", "ts"], n_parts=4)
+    got = {r["col"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for _, r in out.iterrows()}
+    assert got["i"] == (4, 1, 2)
+    assert got["f"] == (4, 0, 2)      # {0.0, nan}: -0.0==0.0, one NaN
+    assert got["s"] == (4, 1, 2)
+    assert got["ts"] == (4, 1, 2)
+
+
 def test_heavy_hitters_raises_when_not_provable(ray_session):
     # flat distribution + tiny k': kth count < N/k' must raise, not
     # silently return a maybe-wrong top-k
