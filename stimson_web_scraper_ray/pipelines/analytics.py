@@ -528,7 +528,8 @@ def customer_running_revenue(sf_dir: str):
 
 
 def shipping_priority(sf_dir: str, cutoff: str = "1998-07-01",
-                      segment: str = "BUILDING", k: int = 10):
+                      segment: str = "BUILDING", k: int = 10,
+                      broadcast_limit: int = 2_000_000):
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date filters,
     revenue per order, global top-k. Three fact-scaled inputs, TWO
     exchanges total:
@@ -543,8 +544,15 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-07-01",
          the aggregate.
 
     Date/segment filters are applied at the scan (arrow compute on the
-    streamed batches) before anything is shuffled."""
-    from .join import hash_join
+    streamed batches) before anything is shuffled. The customer
+    semi-join rides ``adaptive_join`` (broadcast key set under the
+    limit, bucketed exchange above), and when the surviving order set
+    is broadcastable its keys also PRE-FILTER the lineitem partials, so
+    the one remaining exchange carries only matching orders' revenue
+    rows."""
+    import ray
+
+    from .join import adaptive_join
     from .shuffle import salted_partition_apply
 
     cut = pa.scalar(pd.Timestamp(cutoff).to_pydatetime(),
@@ -560,17 +568,25 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-07-01",
                    "o_orderpriority"]) \
         .map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
                      batch_format="pyarrow")
-    surviving = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                          how="semi") \
-        .map_batches(lambda t: pa.table({
-            # semi-join output rode pandas blocks: re-cast so the union
-            # schema matches the arrow side exactly (ns→us timestamps)
-            "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-            "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
-            "o_orderpriority": pc.cast(t["o_orderpriority"], pa.string()),
-            "rev": pa.nulls(len(t), pa.float64()),
-            "side": pa.array(np.full(len(t), 1, np.int8))}),
-            batch_format="pyarrow")
+    surviving = adaptive_join(orders, cust, on="o_custkey",
+                              right_on="c_custkey", how="semi",
+                              broadcast_limit=broadcast_limit) \
+        .materialize()
+    # broadcast the surviving orders' attrs when small (the usual case:
+    # one segment x date filter); the lineitem partials are then
+    # key-filtered BEFORE the exchange, which carries only matching
+    # orders' revenue rows
+    surv_small = surviving.count() <= broadcast_limit
+    if surv_small:
+        sdf = surviving.to_pandas()
+        attrs_ref = ray.put(dict(zip(
+            sdf["o_orderkey"].astype("int64"),
+            zip(sdf["o_orderdate"], sdf["o_orderpriority"]))))
+        key_set = pa.array(sdf["o_orderkey"].astype("int64"),
+                           pa.int64())
+    else:
+        attrs_ref = None
+        key_set = None
 
     line = read(sf_dir, "lineitem",
                 ["l_orderkey", "l_shipdate", "l_extendedprice",
@@ -578,6 +594,9 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-07-01",
 
     def partial_rev(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], cut))
+        if key_set is not None:
+            t = t.filter(pc.is_in(pc.cast(t["l_orderkey"], pa.int64()),
+                                  value_set=key_set))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         agg = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}) \
@@ -591,16 +610,35 @@ def shipping_priority(sf_dir: str, cutoff: str = "1998-07-01",
             "rev": agg["rev"],
             "side": pa.array(np.full(n, 0, np.int8))})
 
-    both = line.map_batches(partial_rev, batch_format="pyarrow") \
-        .union(surviving)
+    both = line.map_batches(partial_rev, batch_format="pyarrow")
+    if not surv_small:
+        both = both.union(surviving.map_batches(lambda t: pa.table({
+            # the union side rides arrow: re-cast so schemas match
+            # exactly (ns→us timestamps from pandas blocks)
+            "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "o_orderpriority": pc.cast(t["o_orderpriority"], pa.string()),
+            "rev": pa.nulls(len(t), pa.float64()),
+            "side": pa.array(np.full(len(t), 1, np.int8))}),
+            batch_format="pyarrow"))
 
     def part_topk(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["side"] == 0]
-        o = df[df["side"] == 1]
         agg = l.groupby("l_orderkey", sort=False)["rev"].sum() \
             .reset_index().rename(columns={"rev": "revenue"})
-        m = agg.merge(o[["l_orderkey", "o_orderdate", "o_orderpriority"]],
-                      on="l_orderkey", how="inner")
+        if attrs_ref is not None:
+            amap = ray.get(attrs_ref)
+            hit = agg["l_orderkey"].map(amap)
+            m = agg.assign(
+                o_orderdate=[p[0] if isinstance(p, tuple) else pd.NaT
+                             for p in hit],
+                o_orderpriority=[p[1] if isinstance(p, tuple) else None
+                                 for p in hit])
+        else:
+            o = df[df["side"] == 1]
+            m = agg.merge(o[["l_orderkey", "o_orderdate",
+                             "o_orderpriority"]],
+                          on="l_orderkey", how="inner")
         return m.sort_values(["revenue", "l_orderkey"],
                              ascending=[False, True],
                              kind="mergesort").head(k)
@@ -670,15 +708,18 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     whose supplier sits in the CUSTOMER's nation, region-filtered — a
     six-table join. Scale shape: nation⋈region and supplier are true
     dimensions (broadcast once via ray.put); the two fact-fact edges are
-    bucketed hash joins — orders(filtered)⋈customer on custkey, then
-    lineitem⋈that on orderkey — so the chain is exactly two exchanges.
-    The s_nationkey = c_nationkey correlation and the per-nation revenue
+    ``adaptive_join``s — orders(filtered)⋈customer on custkey, then
+    lineitem⋈that on orderkey. Both small sides are heavily filtered, so
+    at sane selectivities they broadcast and the lineitem table streams
+    with ZERO exchange; past the broadcast limit each edge degrades to
+    the bucketed hash join (two exchanges, the previous shape). The
+    s_nationkey = c_nationkey correlation and the per-nation revenue
     partials are row-local arrow/numpy work on the streamed join output;
     only the ≤|nations| aggregate rows reach the driver."""
     import ray
     from ray.data.aggregate import Sum
 
-    from .join import hash_join
+    from .join import adaptive_join
 
     lo = pa.scalar(pd.Timestamp(date_from).to_pydatetime(),
                    type=pa.timestamp("us"))
@@ -710,7 +751,13 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                     value_set=region_keys)),
         batch_format="pyarrow")
 
-    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey") \
+    # both join edges ride the runtime broadcast-vs-exchange switch:
+    # region-filtered customers and (date x region)-filtered orders are
+    # far below the broadcast limit at any sane selectivity, so the
+    # lineitem fact table is never exchanged at all; past the limit the
+    # same call degrades to the bucketed hash_join
+    oc = adaptive_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey") \
         .map_batches(lambda t: pa.table({
             "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
             "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
@@ -718,7 +765,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     line = read(sf_dir, "lineitem",
                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    lo_j = hash_join(line, oc, on="l_orderkey", right_on="o_orderkey")
+    lo_j = adaptive_join(line, oc, on="l_orderkey", right_on="o_orderkey")
 
     def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
         s2n = ray.get(sref)

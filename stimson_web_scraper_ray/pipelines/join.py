@@ -109,3 +109,52 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
         both, merge_part,
         combine_key=lambda t: _key_to_int64(t, on),
         n_parts=n_parts)
+
+
+def adaptive_join(big, small, on: str, *, right_on: str | None = None,
+                  how: str = "inner", broadcast_limit: int = 2_000_000,
+                  n_parts: int = 64):
+    """Join where ``small`` is EXPECTED (not guaranteed) to be little —
+    e.g. a heavily filtered fact table. Counts it first (one execution
+    of its lineage, cached by materialize): under ``broadcast_limit``
+    rows it ships once via ``ray.put`` and the big side is joined
+    row-local inside ``map_batches`` with ZERO exchange of the big side;
+    over the limit it falls back to the bucketed ``hash_join``. This is
+    the engine's runtime broadcast-vs-exchange switch — the data-
+    dependent analogue of the static dimension-table broadcasts.
+
+    ``how``: inner | left | semi | anti (same semantics as hash_join).
+    Output column set matches hash_join; row order differs (big side's
+    block order is preserved on the broadcast path).
+    """
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    small_mat = small.materialize()
+    if small_mat.count() > broadcast_limit:
+        return hash_join(big, small_mat, on, right_on=right_on, how=how,
+                         n_parts=n_parts)
+
+    sdf = small_mat.to_pandas()
+    if right_on and right_on != on:
+        sdf = sdf.rename(columns={right_on: on})
+    overlap = (set(big.schema().names) & set(sdf.columns)) - {on}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    if how in ("semi", "anti"):
+        keys = frozenset(sdf[on])
+        kref = ray.put(keys)
+
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            hit = df[on].isin(ray.get(kref))
+            return df[hit if how == "semi" else ~hit]
+
+        return big.map_batches(filt, batch_format="pandas")
+
+    sref = ray.put(sdf)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(sref), on=on, how=how)
+
+    return big.map_batches(merge, batch_format="pandas")

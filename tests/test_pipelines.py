@@ -641,6 +641,44 @@ def test_hash_join_chains_over_pandas_blocks(ray_session):
     assert abc["av"].tolist() == [30] and abc["cv"].tolist() == [3000]
 
 
+def test_adaptive_join_both_paths(ray_session):
+    """adaptive_join: broadcast path == hash_join fallback for every
+    `how`, and the Q3 pipeline's exchange fallback == its broadcast
+    path."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.join import adaptive_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 4], pa.int64()),
+        "bv": pa.array([10, 20, 21, 30, 40], pa.int64())}))
+    small = rd.from_arrow(pa.table({
+        "k2": pa.array([2, 3, 9], pa.int64()),
+        "sv": pa.array([200, 300, 900], pa.int64())}))
+    for how in ("inner", "left", "semi", "anti"):
+        fast = adaptive_join(big, small, on="k", right_on="k2", how=how,
+                             broadcast_limit=100).to_pandas()
+        slow = adaptive_join(big, small, on="k", right_on="k2", how=how,
+                             broadcast_limit=0, n_parts=4).to_pandas()
+        cols = sorted(fast.columns)
+        fast = fast[cols].sort_values(cols).reset_index(drop=True)
+        slow = slow[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False), how
+
+
+def test_shipping_priority_fallback_path(ray_session, sf_dir):
+    """Q3's exchange fallback (surviving orders 'too big' to broadcast)
+    produces the same top-k as the broadcast fast path."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        shipping_priority)
+
+    fast = shipping_priority(sf_dir)
+    slow = shipping_priority(sf_dir, broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_hash_join_semi_anti(ray_session):
     """Semi/anti: left rows with/without a right match, left columns
     only, duplicate right keys don't multiply rows; all-match anti is
