@@ -456,6 +456,20 @@ def _q_doc_chunks(sf_dir: str):
     return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _q_doc_classifier_score(sf_dir: str):
+    """Model-inference stage: logistic quality classifier over Gopher
+    metrics as an actor pool (weights load once per actor); score is
+    deterministic so the whole path is DuckDB-verified."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        QualityClassifier)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(QualityClassifier, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_profile_events(sf_dir: str):
     """Column profiler over the events table: exact per-column
     row/null/distinct counts (two passes, one pair exchange); the
@@ -964,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "profile_events": _q_profile_events,
+        "doc_classifier_score": _q_doc_classifier_score,
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles,
@@ -1123,6 +1138,20 @@ def oracle_sql() -> dict[str, str]:
         # Gopher heuristics: words = non-empty \s+ tokens; lines =
         # non-empty trimmed lines; symbols = '#' + non-overlapping
         # '...' occurrences (mirrors str.count)
+        "doc_classifier_score": _GOPHER_SQL_CTE + """
+            -- logistic model over the 4dp-rounded Gopher metrics; the
+            -- weights mirror QualityClassifier.WEIGHTS exactly
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(
+                       -1.0
+                       + 0.45 * ln(1 + n_words_g)
+                       + 0.12 * mean_word_len_g
+                       - 4.0  * dup_line_frac
+                       - 8.0  * symbol_word_ratio
+                       - 1.5  * bullet_line_frac
+                       - 2.0  * ellipsis_line_frac))), 4) AS clf_score
+            FROM g ORDER BY doc_id
+        """,
         "doc_gopher_quality": _GOPHER_SQL_CTE + """
             SELECT * FROM g ORDER BY doc_id
         """,

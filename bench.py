@@ -124,7 +124,9 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "pricing_summary", "top_revenue_orders", "events_tumbling_1h",
              "sessionize_events", "ann_topk", "minhash_pairs",
              "simhash_pairs", "shipping_priority", "local_supplier_volume",
-             "dedup_spans_global"]
+             "dedup_spans_global", "heavy_hitter_words", "pack_sequences",
+             "profile_events", "doc_classifier_score",
+             "minhash_dedup_groups"]
     qs = entry_mod.queries()
     out = {}
     for name in names:

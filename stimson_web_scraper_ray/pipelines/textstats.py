@@ -295,6 +295,50 @@ def add_gopher_filters(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("gopher_keep", pa.array(keep, pa.bool_()))
 
 
+class QualityClassifier:
+    """Batched model-inference stage: a logistic quality model over the
+    (oracle-pinned, 4dp-rounded) Gopher shape metrics. The actor-pool
+    pattern for any learned scorer — weights load ONCE per actor in
+    ``__init__`` (stand-in for a fasttext/linear checkpoint read),
+    ``__call__`` is one vectorized dot + sigmoid per Arrow batch.
+
+    Deterministic fixed weights keep the score SQL-expressible, so the
+    whole inference path is verified value-exact against a DuckDB
+    oracle — swap WEIGHTS for a trained vector and nothing else moves.
+    """
+
+    WEIGHTS = {
+        "bias": -1.0,
+        "log_words": 0.45,          # x ln(1 + n_words_g)
+        "mean_word_len_g": 0.12,
+        "dup_line_frac": -4.0,
+        "symbol_word_ratio": -8.0,
+        "bullet_line_frac": -1.5,
+        "ellipsis_line_frac": -2.0,
+    }
+
+    def __init__(self, weights: dict | None = None):
+        w = dict(self.WEIGHTS if weights is None else weights)
+        self.bias = w.pop("bias")
+        self.w_logw = w.pop("log_words")
+        self.feat_w = list(w.items())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "n_words_g" not in batch.column_names:
+            batch = add_gopher_filters(batch)
+        z = np.full(batch.num_rows, self.bias, dtype=np.float64)
+        z += self.w_logw * np.log1p(
+            batch["n_words_g"].to_numpy(zero_copy_only=False))
+        for name, w in self.feat_w:
+            z += w * batch[name].to_numpy(zero_copy_only=False)
+        p = 1.0 / (1.0 + np.exp(-z))
+        p = np.floor(p * 10000.0 + 0.5) / 10000.0    # 4dp half-away
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clf_score": pa.array(p, pa.float64()),
+        })
+
+
 # --- PII redaction --------------------------------------------------------
 #
 # RE2-compatible patterns (no backtracking-only constructs) so the SAME
