@@ -445,6 +445,25 @@ def _q_unigram_nll(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc summed
+    log-ratio of a target unigram LM (the lang='en' slice) vs the raw
+    corpus LM, top-20 vocab each, alpha=0.5 OOV floor on both sides."""
+    import pyarrow.compute as _pc
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.lm import dsir_weights
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t["lang"], "en"))
+        .select(["doc_id", "text"]), batch_format="pyarrow")
+    base = ds.map_batches(lambda t: t.select(["doc_id", "text"]),
+                          batch_format="pyarrow")
+    df = dsir_weights(base, target, top_v=20).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Sequence chunking: explode docs into 64-token windows (streaming
     flat-map, no shuffle); oracle reconstructs every window in SQL."""
@@ -975,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_set": _q_train_set,
         "corpus_mix": _q_corpus_mix,
         "doc_unigram_nll": _q_unigram_nll,
+        "dsir_weights": _q_dsir_weights,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "profile_events": _q_profile_events,
@@ -1138,6 +1158,35 @@ def oracle_sql() -> dict[str, str]:
         # Gopher heuristics: words = non-empty \s+ tokens; lines =
         # non-empty trimmed lines; symbols = '#' + non-overlapping
         # '...' occurrences (mirrors str.count)
+        "dsir_weights": """
+            -- DSIR log importance weight: SUM ln(p_target/p_raw) per
+            -- token; target = lang='en' slice, raw = full corpus,
+            -- top-20 vocab each, alpha=0.5 floor (doc_unigram_nll form)
+            WITH toks AS (
+                SELECT doc_id, lang, unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS word
+                FROM documents),
+            toks2 AS (SELECT doc_id, lang, word FROM toks WHERE word <> ''),
+            rc AS (SELECT word, COUNT(*) AS c FROM toks2 GROUP BY word),
+            rtot AS (SELECT SUM(c) AS t FROM rc),
+            rvocab AS (SELECT word, c FROM rc
+                       ORDER BY c DESC, word ASC LIMIT 20),
+            tc AS (SELECT word, COUNT(*) AS c FROM toks2
+                   WHERE lang = 'en' GROUP BY word),
+            ttot AS (SELECT SUM(c) AS t FROM tc),
+            tvocab AS (SELECT word, c FROM tc
+                       ORDER BY c DESC, word ASC LIMIT 20)
+            SELECT t2.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   SUM(ln(coalesce(tv.c, 0.5) / ttot.t)
+                       - ln(coalesce(rv.c, 0.5) / rtot.t)) AS log_weight
+            FROM toks2 t2
+            LEFT JOIN tvocab tv USING (word)
+            LEFT JOIN rvocab rv USING (word)
+            CROSS JOIN ttot CROSS JOIN rtot
+            GROUP BY t2.doc_id ORDER BY t2.doc_id
+        """,
         "doc_classifier_score": _GOPHER_SQL_CTE + """
             -- logistic model over the 4dp-rounded Gopher metrics; the
             -- weights mirror QualityClassifier.WEIGHTS exactly

@@ -124,3 +124,74 @@ def unigram_nll(ds, top_v: int = 20_000, id_col: str = "doc_id",
         UnigramNLLScorer, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"model_ref": mref, "id_col": id_col,
                                "text_col": text_col})
+
+
+# --- DSIR importance weighting ---------------------------------------------
+
+
+class DsirWeigher:
+    """Actor-pool stage for Data Selection via Importance Resampling
+    (Xie et al. 2023): per-doc log importance weight under a TARGET
+    unigram LM vs the RAW-corpus LM, sum over tokens of
+    ln(p_target(w)) - ln(p_raw(w)) with the same alpha OOV floor on both
+    sides. Both fixed-size model tables broadcast once per actor.
+
+    (DSIR hashes n-gram features to bound the vocab; the top-V cut here
+    bounds it the same way with exactly-verifiable unigrams.)"""
+
+    def __init__(self, target_ref, raw_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.id_col = id_col
+        self.text_col = text_col
+
+        def logp_series(model):
+            vocab, total = model
+            s = pd.Series(
+                {w: np.log(c / float(total)) for w, c in vocab.items()},
+                dtype=np.float64)
+            return s, float(np.log(_OOV_ALPHA / float(total)))
+
+        def fetch(ref):
+            return ray.get(ref) if not isinstance(ref, tuple) else ref
+
+        self.lp_t, self.oov_t = logp_series(fetch(target_ref))
+        self.lp_r, self.oov_r = logp_series(fetch(raw_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_toks, lw = [], [], []
+        for did, t in zip(batch[self.id_col].to_pylist(),
+                          batch[self.text_col].to_pylist()):
+            words = ascii_words(t)
+            if not words:
+                continue
+            a = self.lp_t.reindex(words).to_numpy()
+            a[np.isnan(a)] = self.oov_t
+            b = self.lp_r.reindex(words).to_numpy()
+            b[np.isnan(b)] = self.oov_r
+            ids.append(did)
+            n_toks.append(len(words))
+            lw.append(float(np.sum(a - b)))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_toks": pa.array(n_toks, pa.int64()),
+            "log_weight": pa.array(lw, pa.float64()),
+        })
+
+
+def dsir_weights(ds, target_ds, top_v: int = 20_000,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Three passes, all streaming: fit the target LM on ``target_ds``
+    (e.g. a source/lang slice of the corpus), fit the raw LM on ``ds``,
+    broadcast both O(V) tables, stream-score every doc. Docs with no
+    ASCII tokens are dropped (no features to weigh)."""
+    import ray
+
+    t_model = fit_unigram_lm(target_ds, top_v=top_v, text_col=text_col)
+    r_model = fit_unigram_lm(ds, top_v=top_v, text_col=text_col)
+    tref, rref = ray.put(t_model), ray.put(r_model)
+    return ds.map_batches(
+        DsirWeigher, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"target_ref": tref, "raw_ref": rref,
+                               "id_col": id_col, "text_col": text_col})
