@@ -119,6 +119,30 @@ def test_tables_tsv_sink(ray_session, tmp_path):
     assert "a\tb" in content
 
 
+def test_articles_json_sink_roundtrip(ray_session, tmp_path):
+    """S7: article JSON-lines sink writes rows ray.data can read back
+    identically (url/title/text survive, row count preserved)."""
+    import glob
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.sources.sinks import write_articles_json
+
+    rows = [{"url": f"http://x.co/{i}", "title": f"T{i}",
+             "text": f"body {i}", "status": 200} for i in range(5)]
+    out_dir = str(tmp_path / "json")
+    write_articles_json(rd.from_items(rows), out_dir)
+    files = glob.glob(out_dir + "/*.json")
+    assert files
+    back = rd.read_json(out_dir).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(back) == 5
+    assert back["title"].tolist() == [f"T{i}" for i in range(5)]
+    assert back["text"].tolist() == [f"body {i}" for i in range(5)]
+    # every line is standalone JSON (the Article.get_json contract)
+    line = open(files[0]).readline()
+    assert json.loads(line)["url"].startswith("http://x.co/")
+
+
 def test_cli_html_file(tmp_path):
     html_path = tmp_path / "page.html"
     html_path.write_text(
