@@ -884,6 +884,65 @@ def _q_crawl_flagship(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_url_parts(sf_dir: str):
+    """SQL-checkable slice of the URL algebra (M5-M7, M9): URLs are
+    synthesized deterministically from documents(doc_id, source) —
+    identically in this query and in oracle_sql — then parsed BACK through
+    the engine's urlparse-based projections (get_scheme/get_domain/get_path,
+    urls.py:266-289; url_to_filetype, urls.py:244-263; extract_domain,
+    urls.py:292-296; STRICT_DATE_REGEX, urls.py:24-26). The oracle
+    re-derives every part with DuckDB regexes over the same URL strings, so
+    a hash match certifies the parser projections, query/fragment/port
+    handling and the date-in-url predicate against an independent
+    implementation."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.functions.urlnorm import (
+        extract_domain,
+        get_domain,
+        get_path,
+        get_scheme,
+        url_has_date,
+        url_to_filetype,
+    )
+    from stimson_web_scraper_ray.pipelines.analytics import read
+
+    def synth_url(doc_id: int, source: str) -> str:
+        scheme = "https" if doc_id % 11 == 0 else "http"
+        port = ":8080" if doc_id % 13 == 0 else ""
+        if doc_id % 3 == 0:
+            path = f"/2024/0{1 + doc_id % 9}/story-{doc_id}"
+        else:
+            path = f"/articles/item{doc_id}"
+        ext = {0: ".html", 1: ".pdf"}.get(doc_id % 5, "")
+        query = "?utm=1&ref=rss" if doc_id % 4 == 0 else ""
+        frag = "#top" if doc_id % 17 == 0 else ""
+        return f"{scheme}://{source}.news{doc_id % 7}.com{port}{path}{ext}{query}{frag}"
+
+    def parts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls = [synth_url(i, s) for i, s in
+                zip(ids, batch["source"].to_pylist())]
+        doms = [extract_domain(u) for u in urls]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url": pa.array(urls, pa.string()),
+            "scheme": pa.array([get_scheme(u) for u in urls], pa.string()),
+            "host": pa.array([get_domain(u) for u in urls], pa.string()),
+            "path": pa.array([get_path(u) for u in urls], pa.string()),
+            "filetype": pa.array([url_to_filetype(u) for u in urls],
+                                 pa.string()),
+            "tld_domain": pa.array([d[0] for d in doms], pa.string()),
+            "subdomain": pa.array([d[1] for d in doms], pa.string()),
+            "has_date": pa.array([url_has_date(u) for u in urls],
+                                 pa.bool_()),
+        })
+
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+    df = ds.map_batches(parts, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_url_algebra(sf_dir: str):
     """URL ops (M1-M9) over the synthesized pages' outlink universe:
     prepare/valid/hash/host per url. Rows-only (urllib algebra is not
@@ -1059,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_emails": _q_doc_emails,
         "doc_keywords_nlp": _q_doc_keywords_nlp,
         "doc_entities": _q_doc_entities,
+        "url_parts": _q_url_parts,
         # crawl / url / multimodal (rows-only)
         "crawl_flagship": _q_crawl_flagship,
         "crawl_content_dedup": _q_crawl_content_dedup,
@@ -1987,6 +2047,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # URLs synthesized from documents EXACTLY as in _q_url_parts; every
+        # part re-derived with regexes (independent of urlparse). The
+        # STRICT_DATE_REGEX lookbehind (?<=\W) is RE2-incompatible, so the
+        # oracle consumes one [^0-9A-Za-z_] instead — equivalent anywhere
+        # but string start, which a URL (starts 'http') can never hit.
+        "url_parts": """
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 11 = 0 THEN 'https' ELSE 'http' END)
+                     || '://' || source || '.news'
+                     || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                     || (CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
+                     || (CASE WHEN doc_id % 3 = 0
+                         THEN '/2024/0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                              || '/story-' || CAST(doc_id AS VARCHAR)
+                         ELSE '/articles/item' || CAST(doc_id AS VARCHAR)
+                         END)
+                     || (CASE doc_id % 5 WHEN 0 THEN '.html'
+                         WHEN 1 THEN '.pdf' ELSE '' END)
+                     || (CASE WHEN doc_id % 4 = 0
+                         THEN '?utm=1&ref=rss' ELSE '' END)
+                     || (CASE WHEN doc_id % 17 = 0 THEN '#top' ELSE '' END)
+                     AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, url,
+                     regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                     regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host,
+                     regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1)
+                         AS path
+              FROM u
+            ),
+            q AS (
+              SELECT *, regexp_replace(host, ':[0-9]+$', '') AS host_np
+              FROM p
+            )
+            SELECT doc_id, url, scheme, host, path,
+                   nullif(lower(regexp_extract(path,
+                       '\\.([A-Za-z0-9]+)$', 1)), '') AS filetype,
+                   regexp_extract(host_np, '([^.]+)\\.[^.]+$', 1)
+                       AS tld_domain,
+                   regexp_replace(host_np, '\\.?[^.]+\\.[^.]+$', '')
+                       AS subdomain,
+                   regexp_matches(url,
+                       '[^0-9A-Za-z_][./_-]?(19|20)[0-9]{2}[./_-]?' ||
+                       '(([0-3]?[0-9][./_-])|([0-9A-Za-z_]{3,5}[./_-]))' ||
+                       '([0-3]?[0-9][./-]?)?') AS has_date
+            FROM q ORDER BY doc_id
         """,
         "doc_emails": """
             SELECT doc_id,
