@@ -884,6 +884,37 @@ def _q_crawl_flagship(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_event_hour_pivot(sf_dir: str):
+    """PIVOT (wide conditional aggregation): per-batch 24×T count grids,
+    tiny groupby — oracle is DuckDB ``count(*) FILTER``."""
+    from stimson_web_scraper_ray.pipelines.analytics import event_hour_pivot
+
+    df = event_hour_pivot(sf_dir)
+    return df[df["n_total"] > 0].reset_index(drop=True)
+
+
+def _q_order_rank_windows(sf_dir: str):
+    """Grouped ranking windows (rank/dense_rank/row_number/ntile) —
+    oracle is the DuckDB window functions over the same ordering."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        order_rank_windows,
+    )
+
+    df = order_rank_windows(sf_dir).to_pandas()
+    return df.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def _q_trade_pagerank(sf_dir: str):
+    """Distributed PageRank power iteration (3 rounds, d=0.85) over the
+    bidirectional customer↔supplier trade graph — the crawl-side
+    frontier-prioritization algebra (host-graph scoring) exercised on a
+    registered-table graph so every score is oracle-checked against a
+    chained-CTE SQL re-derivation."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_pagerank
+
+    return trade_pagerank(sf_dir)
+
+
 def _q_url_parts(sf_dir: str):
     """SQL-checkable slice of the URL algebra (M5-M7, M9): URLs are
     synthesized deterministically from documents(doc_id, source) —
@@ -1119,6 +1150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords_nlp": _q_doc_keywords_nlp,
         "doc_entities": _q_doc_entities,
         "url_parts": _q_url_parts,
+        "event_hour_pivot": _q_event_hour_pivot,
+        "order_rank_windows": _q_order_rank_windows,
+        "trade_pagerank": _q_trade_pagerank,
         # crawl / url / multimodal (rows-only)
         "crawl_flagship": _q_crawl_flagship,
         "crawl_content_dedup": _q_crawl_content_dedup,
@@ -2047,6 +2081,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "event_hour_pivot": """
+            SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')
+                       AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')
+                       AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')
+                       AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "order_rank_windows": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rank() OVER w1 AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+                   CAST(row_number() OVER w2 AS BIGINT) AS rn,
+                   CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w1 AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC),
+                   w2 AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, o_orderkey
+        """,
+        # fixed-iteration PageRank re-derived as chained CTEs (one
+        # join+groupby per iteration); same damping/init as graph.py
+        "trade_pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            edges AS (SELECT c AS src, s AS dst FROM pairs
+                      UNION ALL
+                      SELECT s AS src, c AS dst FROM pairs),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                    FROM edges GROUP BY src),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+            r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS score
+                   FROM deg),
+            r1 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * sum(r.score / deg.d) AS score
+                   FROM edges e
+                   JOIN r0 r ON e.src = r.node
+                   JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * sum(r.score / deg.d) AS score
+                   FROM edges e
+                   JOIN r1 r ON e.src = r.node
+                   JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * sum(r.score / deg.d) AS score
+                   FROM edges e
+                   JOIN r2 r ON e.src = r.node
+                   JOIN deg ON e.src = deg.src
+                   GROUP BY e.dst)
+            SELECT node AS node_id, round(score, 6) AS score
+            FROM r3 ORDER BY node
         """,
         # URLs synthesized from documents EXACTLY as in _q_url_parts; every
         # part re-derived with regexes (independent of urlparse). The

@@ -126,7 +126,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "simhash_pairs", "shipping_priority", "local_supplier_volume",
              "dedup_spans_global", "heavy_hitter_words", "pack_sequences",
              "profile_events", "doc_classifier_score",
-             "minhash_dedup_groups"]
+             "minhash_dedup_groups", "trade_pagerank",
+             "order_rank_windows"]
     qs = entry_mod.queries()
     out = {}
     for name in names:

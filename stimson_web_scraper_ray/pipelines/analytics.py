@@ -840,3 +840,89 @@ def value_histogram(sf_dir: str, width: float = 10.0):
     df["n_events"] = df["n_events"].astype("int64")
     df["bin_lo"] = df["bin_lo"].round(6)
     return df.sort_values("bin_lo").reset_index(drop=True)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_hour_pivot(sf_dir: str):
+    """PIVOT: event counts by hour-of-day × event_type as a WIDE table
+    (one n_<type> column per type) — SQL conditional aggregation
+    (``count(*) FILTER (WHERE event_type = ...)``). The pivot happens
+    entirely inside ``map_batches`` as a per-batch (24 × n_types)
+    partial-count grid (numpy bincount over hour·T+type codes), so the
+    exchange is ≤ 24·n_blocks pre-aggregated rows — never the events."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["ts", "event_type"])
+    tcode = {t: i for i, t in enumerate(EVENT_TYPES)}
+    T = len(EVENT_TYPES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.hour(t["ts"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = np.fromiter(
+            (tcode[v] for v in t["event_type"].to_pylist()),
+            dtype=np.int64, count=len(t))
+        grid = np.bincount(hour * T + codes, minlength=24 * T) \
+            .reshape(24, T)
+        cols = {"hour": pa.array(np.arange(24, dtype=np.int64))}
+        for i, name in enumerate(EVENT_TYPES):
+            cols[f"n_{name}"] = pa.array(grid[:, i])
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hour") \
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                     for t in EVENT_TYPES])
+    df = agg.to_pandas().sort_values("hour").reset_index(drop=True)
+    for t in EVENT_TYPES:
+        df[f"n_{t}"] = df[f"n_{t}"].astype("int64")
+    df["n_total"] = sum(df[f"n_{t}"] for t in EVENT_TYPES).astype("int64")
+    return df
+
+
+def order_rank_windows(sf_dir: str):
+    """Grouped ranking windows per customer over order value: SQL
+    ``rank() / dense_rank() / row_number() / ntile(4) OVER (PARTITION BY
+    o_custkey ORDER BY o_totalprice DESC[, o_orderkey])``. ONE salted
+    exchange on custkey, then fully vectorized pandas ranking across all
+    of a part's customers at once (no per-customer dispatch). ntile
+    reproduces SQL remainder semantics exactly: the first (n mod 4)
+    buckets of an n-row group get ceil(n/4) rows."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby("o_custkey", sort=False)
+        rn = g.cumcount().to_numpy() + 1
+        rnk = g["o_totalprice"].rank(method="min", ascending=False) \
+            .to_numpy().astype(np.int64)
+        drnk = g["o_totalprice"].rank(method="dense", ascending=False) \
+            .to_numpy().astype(np.int64)
+        n = g["o_orderkey"].transform("size").to_numpy()
+        idx = rn - 1
+        buckets = 4
+        big = n % buckets                     # first `big` tiles get +1
+        size_small = n // buckets
+        size_big = size_small + 1
+        cut = big * size_big                  # rows covered by big tiles
+        in_big = idx < cut
+        tile = np.where(
+            in_big,
+            idx // np.maximum(size_big, 1),
+            big + (idx - cut) // np.maximum(size_small, 1)) + 1
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_totalprice": df["o_totalprice"].to_numpy(),
+            "rnk": rnk, "drnk": drnk,
+            "rn": rn.astype(np.int64),
+            "quartile": tile.astype(np.int64)})
+
+    # fact-scaled output: return the Dataset; the oracle wrapper sorts
+    return salted_partition_apply(
+        ds, part_fn, combine_key=lambda t: t["o_custkey"].to_numpy())

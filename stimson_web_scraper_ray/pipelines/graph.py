@@ -1,0 +1,137 @@
+"""Link-graph analytics: distributed PageRank power iteration.
+
+Crawl context: PageRank over the host/outlink graph is the classic
+frontier-prioritization signal (the reference's `valid_url` policy,
+urls.py:106-241, gates WHICH links enter the frontier; a link-graph
+score decides WHICH to fetch first — SURVEY.md §2.6 O6). The engine's
+crawl harvests the (src_host, dst_host) edges anyway; this module turns
+them into scores with the same algebra at any scale.
+
+Scale shape: each iteration is one streamed pass over the edge Dataset
+(`map_batches` computing per-batch PARTIAL contribution sums via
+bincount) followed by one node-scaled `groupby(node).Sum` — the edges
+never leave the object store, nothing edge-scaled touches the driver.
+The rank/degree vectors are broadcast once per iteration via `ray.put`
+(node-scaled, the small side by graph-theory: |V| ≪ |E|). If the node
+table itself outgrew worker heap (10^9+ hosts), the identical algebra
+runs as a `hash_join(edges, ranks, on=src)` exchange per iteration —
+the broadcast is a size-triggered optimization, not a structural
+assumption.
+
+The oracle in `__ray_entry__.oracle_sql()["trade_pagerank"]` re-derives
+the same fixed-iteration scores with chained SQL CTEs (one join+groupby
+per iteration), so every float is checked against an independent
+implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
+    """Fixed-iteration PageRank over a directed edge Dataset
+    (src:int64, dst:int64). Assumes every node has ≥1 out-edge (true for
+    the bidirectional trade graph below; for general graphs add the
+    dangling-mass term before using). Returns pandas (node_id, score)
+    sorted by node_id — node-scaled, the quantity any consumer holds.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    edges_ds = edges_ds.materialize()  # iterated over `iters` times
+    deg_df = edges_ds.groupby("src").aggregate(
+        Count(alias_name="deg")).to_pandas()
+    nodes = np.sort(deg_df["src"].to_numpy().astype(np.int64))
+    order = np.argsort(deg_df["src"].to_numpy().astype(np.int64),
+                       kind="mergesort")
+    deg = deg_df["deg"].to_numpy().astype(np.float64)[order]
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    ranks = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+
+    for _ in range(iters):
+        over_deg = ranks / deg
+        ref = ray.put((nodes, over_deg))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, od = ray.get(ref)
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = od[np.searchsorted(nd, src)]
+            di = np.searchsorted(nd, dst)
+            sums = np.bincount(di, weights=w, minlength=len(nd))
+            hit = sums > 0
+            return pa.table({
+                "node_id": pa.array(nd[hit], pa.int64()),
+                "partial": pa.array(sums[hit], pa.float64())})
+
+        agg = edges_ds.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("node_id").aggregate(Sum("partial", alias_name="s")) \
+            .to_pandas()
+        new = np.full(n, base)
+        idx = np.searchsorted(nodes, agg["node_id"].to_numpy()
+                              .astype(np.int64))
+        new[idx] += damping * agg["s"].to_numpy()
+        ranks = new
+
+    return pd.DataFrame({"node_id": nodes, "score": ranks})
+
+
+def trade_edges(sf_dir: str):
+    """Bidirectional customer↔supplier trade graph from lineitem ⋈
+    orders: one edge pair per DISTINCT (custkey, suppkey) that ever
+    traded. Node ids disambiguate the two families (cust·2, supp·2+1).
+    The orders side ships through the runtime broadcast-vs-exchange
+    switch (`adaptive_join`); distinct-pair reduction is one salted
+    exchange on the pair hash."""
+    from .analytics import read
+    from .join import adaptive_join
+    from .shuffle import salted_partition_apply
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = adaptive_join(li, orders, on="l_orderkey",
+                           right_on="o_orderkey")
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"c": pa.array(c * 2, pa.int64()),
+                         "s": pa.array(s * 2 + 1, pa.int64())})
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["c", "s"])
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t["c"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t["s"].to_numpy().astype(np.uint64))
+        return k.view(np.int64)
+
+    pairs = salted_partition_apply(
+        joined.map_batches(pair_rows, batch_format="pyarrow"),
+        distinct_pairs, pair_key)
+
+    def bidir(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s]), pa.int64()),
+            "dst": pa.array(np.concatenate([s, c]), pa.int64())})
+
+    return pairs.map_batches(bidir, batch_format="pyarrow")
+
+
+def trade_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 3):
+    """PageRank scores over the trade graph; floats rounded to 6 for
+    oracle hash-stability (summation-order noise is ~1e-16)."""
+    df = pagerank(trade_edges(sf_dir), damping=damping, iters=iters)
+    df["score"] = df["score"].round(6)
+    return df.sort_values("node_id").reset_index(drop=True)

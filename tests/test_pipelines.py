@@ -763,3 +763,38 @@ def test_rolling_window_tie_and_boundary(ray_session, tmp_path):
     # rows collapse to distinct (user, ts): u1@10:00 ->1, u1@11:00 ->3
     # (both peers + the 10:00 row at the closed boundary), u1@12:00:01 ->1
     assert out["n_window"].tolist() == [1, 3, 1, 1]
+
+
+def test_pagerank_star_graph(ray_session):
+    """4-node undirected star (hub 0 — leaves 1,2,3): the hub must
+    out-rank the leaves, leaves are symmetric, and mass is conserved
+    (sum = 1 for a graph with no dangling nodes). Exact closed form
+    after any number of iterations: leaves stay equal; hub gets
+    0.15/4 + 0.85 * 3*leaf (every leaf's whole mass flows to the hub)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import pagerank
+
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    src = [a for a, b in pairs] + [b for a, b in pairs]
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())}))
+    df = pagerank(edges, damping=0.85, iters=3)
+    assert df["node_id"].tolist() == [0, 1, 2, 3]
+    scores = df["score"].to_numpy()
+    assert abs(scores.sum() - 1.0) < 1e-9
+    assert np.allclose(scores[1:], scores[1])        # leaf symmetry
+    assert scores[0] > scores[1]                     # hub dominates
+    # hand-rolled power iteration as the independent reference
+    r = np.full(4, 0.25)
+    deg = np.array([3.0, 1.0, 1.0, 1.0])
+    A = np.zeros((4, 4))
+    for a, b in pairs:
+        A[b, a] = 1
+        A[a, b] = 1
+    for _ in range(3):
+        r = 0.15 / 4 + 0.85 * (A @ (r / deg))
+    assert np.allclose(scores, r, atol=1e-12)
