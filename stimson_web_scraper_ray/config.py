@@ -45,6 +45,16 @@ class EngineConfig:
     # tested crawl==sim); flip on when candidates/round outgrow driver
     # memory (~10^6 rows).
     distributed_planning: bool = False
+    # indegree_priority scores each harvested candidate by how many
+    # distinct fetched pages linked to it this round (citation count —
+    # the classic crawl-ordering signal): priority = 1/(1+depth)
+    # + indegree_weight·log1p(n_discoverers). Costs candidate-row
+    # multiplicity through the harvest (workers stop batch-deduping so
+    # the count survives; dedup then happens in planning), which is the
+    # honest price of the signal. Parity-tested engine==sim on both
+    # planning paths.
+    indegree_priority: bool = False
+    indegree_weight: float = 0.1
     max_depth: int = 3
     per_host_budget: int = 64             # pages fetched per host per round
     round_budget: int = 100_000           # global pages per round

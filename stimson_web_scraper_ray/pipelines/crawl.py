@@ -169,19 +169,51 @@ def _build_frontier_distributed(cand_dir: str, deferred_ds, redirects_df,
             redirects_df, schema=FRONTIER_SCHEMA, preserve_index=False)))
     if _glob.glob(os.path.join(cand_dir, "*.parquet")):
         cand_ds = rd.read_parquet(cand_dir)
+        base = 1.0 / (1.0 + depth)
 
-        def mk_frontier(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table({
-                "url_canon": t["url_canon"].cast(pa.string()),
-                "url_hash": t["url_hash"].cast(pa.uint64()),
-                "host": t["host"].cast(pa.string()),
-                "depth": pa.array(np.full(n, depth, np.int32)),
-                "priority": pa.array(np.full(
-                    n, 1.0 / (1.0 + depth), np.float32)),
-            }, schema=FRONTIER_SCHEMA)
+        if cfg.indegree_priority:
+            # distributed citation count: one salted exchange on
+            # url_hash (rows of a hash are identical in canon/host, so
+            # first+size is deterministic), then priority from the count
+            def count_part(df: pd.DataFrame) -> pd.DataFrame:
+                return df.groupby("url_hash", sort=False).agg(
+                    url_canon=("url_canon", "first"),
+                    host=("host", "first"),
+                    n_disc=("url_canon", "size")).reset_index()
 
-        parts.append(cand_ds.map_batches(mk_frontier, batch_format="pyarrow"))
+            from .shuffle import salted_partition_apply as _spa
+
+            counted = _spa(cand_ds, count_part,
+                           lambda t: t["url_hash"].to_numpy()
+                           .view(np.int64))
+
+            def mk_frontier(t: pa.Table) -> pa.Table:
+                n_disc = t["n_disc"].to_numpy(zero_copy_only=False)
+                prio = (base + cfg.indegree_weight
+                        * np.log1p(n_disc)).astype(np.float32)
+                return pa.table({
+                    "url_canon": t["url_canon"].cast(pa.string()),
+                    "url_hash": t["url_hash"].cast(pa.uint64()),
+                    "host": t["host"].cast(pa.string()),
+                    "depth": pa.array(np.full(len(t), depth, np.int32)),
+                    "priority": pa.array(prio),
+                }, schema=FRONTIER_SCHEMA)
+
+            parts.append(counted.map_batches(mk_frontier,
+                                             batch_format="pyarrow"))
+        else:
+            def mk_frontier(t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                return pa.table({
+                    "url_canon": t["url_canon"].cast(pa.string()),
+                    "url_hash": t["url_hash"].cast(pa.uint64()),
+                    "host": t["host"].cast(pa.string()),
+                    "depth": pa.array(np.full(n, depth, np.int32)),
+                    "priority": pa.array(np.full(n, base, np.float32)),
+                }, schema=FRONTIER_SCHEMA)
+
+            parts.append(cand_ds.map_batches(mk_frontier,
+                                             batch_format="pyarrow"))
 
     fr = parts[0]
     for p in parts[1:]:
@@ -472,6 +504,12 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         cand_df = plan_df[plan_df["kind"] == "cand"][
             ["url_canon", "url_hash", "host"]]
         if not cand_df.empty:
+            if cfg.indegree_priority:
+                # citation count per candidate (workers preserve per-page
+                # multiplicity under this flag), then keep one row
+                cand_df = cand_df.assign(
+                    n_disc=cand_df.groupby("url_hash")["url_hash"]
+                    .transform("size"))
             cand_df = cand_df.drop_duplicates("url_hash")
 
         # redirect-shaped candidates: canonical-link rebuild (article.py:
@@ -549,12 +587,19 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         if redirects_df is not None:
             parts.append(redirects_df)
         if not cand_df.empty:
+            base = 1.0 / (1.0 + depth)
+            if cfg.indegree_priority:
+                prio = (base + cfg.indegree_weight
+                        * np.log1p(cand_df["n_disc"].to_numpy())) \
+                    .astype(np.float32)
+            else:
+                prio = np.full(len(cand_df), base, np.float32)
             parts.append(pd.DataFrame({
                 "url_canon": cand_df["url_canon"],
                 "url_hash": cand_df["url_hash"].astype("uint64"),
                 "host": cand_df["host"],
                 "depth": np.int32(depth),
-                "priority": np.float32(1.0 / (1.0 + depth)),
+                "priority": prio,
             }))
         frontier = pd.concat(parts, ignore_index=True)
         if not frontier.empty:

@@ -76,20 +76,35 @@ def simulate_crawl(pages_path: str, seeds: list[str],
                     if prepared:
                         redirects.append(prepared)
 
-        # normalize + validate + in-round dedup + anti-join vs seen
+        # normalize + validate + in-round dedup + anti-join vs seen;
+        # with indegree_priority the pre-dedup multiplicity (candidates
+        # is per-page-unique, so repeats = distinct citing pages) feeds
+        # the priority — identical formula to the engine's two planning
+        # paths (crawl.py)
         depth = rnd + 1
-        nxt_rows, batch_seen = [], set()
+        base = 1.0 / (1.0 + depth)
+        counts: dict[int, int] = {}
+        first_url: dict[int, str] = {}
         for u in candidates:
             if not valid_url(u):
                 continue
             h = canon_hash64(u)
-            if h in batch_seen or h in seen:
+            counts[h] = counts.get(h, 0) + 1
+            if h not in first_url:
+                first_url[h] = u
+        nxt_rows = []
+        for h, u in first_url.items():
+            if h in seen:
                 continue
-            batch_seen.add(h)
+            if cfg.indegree_priority:
+                prio = np.float32(base + cfg.indegree_weight
+                                  * np.log1p(counts[h]))
+            else:
+                prio = np.float32(base)
             nxt_rows.append({
                 "url_canon": u, "url_hash": np.uint64(h),
                 "host": get_domain(u) or "", "depth": np.int32(depth),
-                "priority": np.float32(1.0 / (1.0 + depth)),
+                "priority": prio,
             })
         nxt = pd.DataFrame(nxt_rows,
                            columns=["url_canon", "url_hash", "host",

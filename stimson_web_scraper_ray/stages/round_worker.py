@@ -102,12 +102,17 @@ class CrawlRoundWorker:
             cand = normalize_candidates(
                 pa.table({"url": pa.array(flat, pa.string())}))
             cand = cand.filter(cand["is_valid"])
-            seen_h, keep = set(), []
-            for i, h in enumerate(cand["url_hash"].to_pylist()):
-                if h not in seen_h:
-                    seen_h.add(h)
-                    keep.append(i)
-            cand = cand.take(pa.array(keep, pa.int64()))
+            if not self.cfg.indegree_priority:
+                seen_h, keep = set(), []
+                for i, h in enumerate(cand["url_hash"].to_pylist()):
+                    if h not in seen_h:
+                        seen_h.add(h)
+                        keep.append(i)
+                cand = cand.take(pa.array(keep, pa.int64()))
+            # else: keep per-page multiplicity (harvest_outlinks is
+            # already unique per page) — the citation count IS the
+            # priority signal, batch-dedup would destroy it and make
+            # counts parallelism-dependent
         else:
             cand = None
 

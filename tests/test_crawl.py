@@ -155,3 +155,59 @@ def test_distributed_planning_parity(ray_session, pages_path, seeds,
     seen_p = final_seen_hashes(res_p.checkpoint_dir, 2, cfg_p.seen_shards)
     seen_d = final_seen_hashes(res_d.checkpoint_dir, 2, cfg_d.seen_shards)
     assert np.array_equal(seen_p, seen_d)
+
+
+def test_indegree_priority_matches_simulator(ray_session, pages_path,
+                                             tmp_path_factory):
+    """Citation-count frontier priority (indegree_priority): the engine
+    must match the simulator round for round on BOTH planning paths, and
+    the signal must actually change the crawl vs the flag-off policy
+    (non-vacuous: some candidates are cited more than once)."""
+    seeds_l = seed_urls(pages_path)[:8]
+    base_kw = dict(per_host_budget=8, round_budget=60, seen_shards=4,
+                   extract_concurrency=2, fetch_concurrency=2)
+    cfg_on = EngineConfig(indegree_priority=True, **base_kw)
+    cfg_off = EngineConfig(**base_kw)
+
+    sim_on = simulate_crawl(pages_path, seeds_l, cfg_on, max_rounds=3)
+    sim_off = simulate_crawl(pages_path, seeds_l, cfg_off, max_rounds=3)
+    on_rounds = sim_on.groupby("round")["url"].apply(set).to_dict()
+    off_rounds = sim_off.groupby("round")["url"].apply(set).to_dict()
+    assert any(on_rounds[r] != off_rounds.get(r, set())
+               for r in on_rounds), "indegree signal changed nothing"
+
+    for dist in (False, True):
+        cfg = EngineConfig(indegree_priority=True,
+                           distributed_planning=dist, **base_kw)
+        out = str(tmp_path_factory.mktemp(f"crawl_indeg_{dist}"))
+        res = crawl(pages_path, seeds_l, cfg, out_dir=out, max_rounds=3)
+        engine_rounds = _round_urls(res.articles_path)
+        assert set(engine_rounds) == set(on_rounds)
+        for rnd in on_rounds:
+            assert engine_rounds[rnd] == on_rounds[rnd], \
+                f"dist={dist} round {rnd} differs"
+
+
+def test_indegree_priority_survives_resume(ray_session, pages_path,
+                                           tmp_path_factory):
+    """Count-based priorities ride the frontier checkpoint: killing after
+    round 0 and resuming must reproduce the uninterrupted indegree run
+    exactly (rounds and final seen set)."""
+    seeds_l = seed_urls(pages_path)[:8]
+    cfg = EngineConfig(indegree_priority=True, per_host_budget=8,
+                       round_budget=60, seen_shards=4,
+                       extract_concurrency=2, fetch_concurrency=2)
+    out_full = str(tmp_path_factory.mktemp("crawl_indeg_full"))
+    res_full = crawl(pages_path, seeds_l, cfg, out_dir=out_full,
+                     max_rounds=3)
+    out2 = str(tmp_path_factory.mktemp("crawl_indeg_resume"))
+    crawl(pages_path, seeds_l, cfg, out_dir=out2, max_rounds=1)
+    res2 = crawl(pages_path, seeds_l, cfg, out_dir=out2, max_rounds=3,
+                 resume=True)
+    assert _round_urls(res_full.articles_path) == \
+        _round_urls(res2.articles_path)
+    last = max(int(d.split("=")[-1]) for d in
+               glob.glob(os.path.join(res2.checkpoint_dir, "round=*")))
+    assert np.array_equal(
+        final_seen_hashes(res2.checkpoint_dir, last, cfg.seen_shards),
+        final_seen_hashes(res_full.checkpoint_dir, last, cfg.seen_shards))
