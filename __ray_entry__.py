@@ -884,6 +884,20 @@ def _q_crawl_flagship(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_hll_error_bounds(sf_dir: str):
+    """Oracle-GATED accuracy check for the HLL sketch: per event type,
+    the exact distinct-user count plus a within_bound flag (HLL p=12
+    standard error ≈ 1.04/√4096 = 1.6%; bound = 5% ≈ 3σ). The oracle
+    asserts TRUE for every row, so the driver's hash compare FAILS the
+    query if the sketch ever drifts outside its theoretical bound —
+    turning the approximate operator into a hard correctness gate."""
+    df = _q_approx_distinct_users(sf_dir)
+    out = df[["event_type", "n_users"]].copy()
+    out["n_users"] = out["n_users"].astype("int64")
+    out["within_bound"] = (df["rel_err"] <= 0.05).astype(bool)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_event_hour_pivot(sf_dir: str):
     """PIVOT (wide conditional aggregation): per-batch 24×T count grids,
     tiny groupby — oracle is DuckDB ``count(*) FILTER``."""
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords_nlp": _q_doc_keywords_nlp,
         "doc_entities": _q_doc_entities,
         "url_parts": _q_url_parts,
+        "hll_error_bounds": _q_hll_error_bounds,
         "event_hour_pivot": _q_event_hour_pivot,
         "order_rank_windows": _q_order_rank_windows,
         "trade_pagerank": _q_trade_pagerank,
@@ -2080,6 +2095,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # the oracle asserts the HLL bound holds; a sketch drifting past
+        # 5% makes the value-hash compare fail (see _q_hll_error_bounds)
+        "hll_error_bounds": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "event_hour_pivot": """
