@@ -827,16 +827,17 @@ def _q_multimodal_resize(sf_dir: str):
 
 
 def _q_audio_features(sf_dir: str):
-    """Audio feature stage (fake codec): duration / RMS / zero-crossing
-    columns from binary payloads."""
+    """Audio feature stage: duration / RMS / zero-crossing columns from
+    binary payloads — even media ids are REAL PCM-16 WAV clips decoded
+    by the stdlib RIFF parser, odd ids exercise the fake-codec path."""
     import ray.data as rd
 
     from stimson_web_scraper_ray.pipelines.multimodal import (
         AudioFeatures,
-        synth_media_table,
+        synth_audio_table,
     )
 
-    ds = rd.from_arrow(synth_media_table(n=128))
+    ds = rd.from_arrow(synth_audio_table(n=128))
     df = ds.map_batches(AudioFeatures, batch_format="pyarrow",
                         batch_size=32, concurrency=(1, 4),
                         fn_constructor_kwargs={"fake": True}).to_pandas()
@@ -986,6 +987,22 @@ def _q_url_parts(sf_dir: str):
     ds = read(sf_dir, "documents", ["doc_id", "source"])
     df = ds.map_batches(parts, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_web_train_set(sf_dir: str):
+    """END-TO-END web-corpus flagship: 2-round crawl (frontier,
+    politeness, seen shards, checkpoints) → extracted articles →
+    language-ID → Gopher filter → exact content dedup → token counts.
+    Rows-only (the crawl is not SQL-expressible); every constituent
+    stage is oracle-checked or sim-parity-tested on its own."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.compose import web_train_set
+
+    arts = rd.read_parquet(_crawl_for(sf_dir), columns=["url", "text"])
+    df = web_train_set(arts).to_pandas()
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df.sort_values("url").reset_index(drop=True)
 
 
 def _q_url_algebra(sf_dir: str):
@@ -1172,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_flagship": _q_crawl_flagship,
         "crawl_content_dedup": _q_crawl_content_dedup,
         "crawl_metrics": _q_crawl_metrics,
+        "web_train_set": _q_web_train_set,
         "url_algebra": _q_url_algebra,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_resize": _q_multimodal_resize,

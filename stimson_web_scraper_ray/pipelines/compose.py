@@ -71,3 +71,49 @@ def train_set(ds, id_col: str = "doc_id", text_col: str = "text",
         Min(id_col, alias_name=id_col),
         Min("n_tokens", alias_name="n_tokens"),
     ).drop_columns(["text_md5"])
+
+
+def web_train_set(articles_ds, url_col: str = "url",
+                  text_col: str = "text"):
+    """The graft's END-TO-END story in one pipeline: crawled+extracted
+    articles → language-ID → Gopher quality filter → exact content
+    dedup → token count. Same scale shape as ``train_set``: ONE
+    map_batches pass over the article text (langid trigram scores,
+    Gopher signals, md5, token count — text read once, never shuffled),
+    then a single ``groupby(text_md5)`` over int64/hash columns. Output
+    is one row per surviving distinct article: (url, lang_pred,
+    n_tokens), keeper = min url of each exact-dup group.
+
+    All duplicate copies agree on text-derived columns, so Min() per
+    column is deterministic and consistent."""
+    from ray.data.aggregate import Min
+
+    from .textstats import add_gopher_filters, add_langid
+
+    def signals(batch: pa.Table) -> pa.Table:
+        lang = add_langid(batch, text_col=text_col)["lang_pred"]
+        keep = add_gopher_filters(batch, text_col)["gopher_keep"] \
+            .to_pylist()
+        urls = batch[url_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_url, out_lang, out_md5, out_tok = [], [], [], []
+        for url, text, lp, k in zip(urls, texts, lang.to_pylist(), keep):
+            if not k or not text:
+                continue
+            out_url.append(url)
+            out_lang.append(lp)
+            out_md5.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            out_tok.append(len(text.split()))
+        return pa.table({
+            "text_md5": pa.array(out_md5, pa.string()),
+            "url": pa.array(out_url, pa.string()),
+            "lang_pred": pa.array(out_lang, pa.string()),
+            "n_tokens": pa.array(out_tok, pa.int64()),
+        })
+
+    return articles_ds.map_batches(signals, batch_format="pyarrow") \
+        .groupby("text_md5").aggregate(
+            Min("url", alias_name="url"),
+            Min("lang_pred", alias_name="lang_pred"),
+            Min("n_tokens", alias_name="n_tokens"),
+        ).drop_columns(["text_md5"])

@@ -2,11 +2,15 @@
 
 Image/audio/video payloads are ``binary`` columns with sidecar metadata
 (mime, width/height, duration). Decode / feature-extract / resize /
-frame-sample are actor-pool ``map_batches`` stages; the *decoders* are
-stubbed (image/audio libs are not in this container — each stub raises
-``NotImplementedError`` unless ``fake=True`` supplies the deterministic
-test codec), but the Ray-side plumbing — schema, small batch sizes for
-wide binary rows, actor signature, output layout — is real and tested.
+frame-sample are actor-pool ``map_batches`` stages. The image tier has
+one REAL codec — binary PPM / netpbm P6 (``encode_ppm``/``decode_ppm``,
+pure numpy, no image libs needed) — used end to end for decode,
+features and resize (resized output is an openable PPM). Compressed
+formats (jpeg/png) and audio/video codecs are absent from this
+container, so those rows use a deterministic fake codec behind
+``fake=True`` or raise ``NotImplementedError``; the Ray-side plumbing —
+schema, small batch sizes for wide binary rows, actor signature, output
+layout — is identical for real and fake rows and fully tested.
 
 At 100 TB: binary rows are MBs, so ``batch_size`` stays small (32 here vs
 4096 for text), blocks stay within ``target_max_block_size``, and outputs
@@ -39,29 +43,77 @@ def _fake_decode_image(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
 
 
+# --- real codec: PPM P6 (netpbm) — pure numpy, no image libs needed ---------
+
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6). A real, openable image format."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Handles '#' comments and any
+    whitespace between header tokens per the netpbm spec."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: magic, width, height, maxval — then ONE
+    # whitespace byte precedes the raster
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3 and pos < n:
+        c = payload[pos:pos + 1]
+        if c == b"#":                      # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < n and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos + 1)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_image(payload: bytes, mime: str, fake: bool) -> np.ndarray:
+    """Per-row decoder dispatch: PPM decodes for REAL (pure numpy);
+    other mimes fall back to the deterministic fake codec when
+    ``fake=True`` and raise otherwise (no jpeg/png libs here)."""
+    if mime == PPM_MIME:
+        return decode_ppm(payload)
+    if fake:
+        return _fake_decode_image(payload)
+    raise NotImplementedError(
+        f"no codec for {mime!r} in this environment; "
+        "use PPM payloads or fake=True")
+
+
 class ImageDecodeFeatures:
     """Actor-pool stage: binary payload → decoded dims + channel-mean
-    features. Decoder selection happens once per actor in __init__."""
+    features. PPM payloads decode for real (pure numpy); other mimes use
+    the deterministic fake codec when ``fake=True`` (no jpeg/png libs in
+    this container) and raise otherwise."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        if not fake:
-            try:
-                import PIL.Image  # noqa: F401 — not present in this env
-                self._real = True
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "no image codec available in this environment; "
-                    "construct with fake=True for the deterministic test codec"
-                ) from exc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
+        mimes = batch["mime"].to_pylist()
         widths = np.zeros(len(payloads), dtype=np.int32)
         heights = np.zeros(len(payloads), dtype=np.int32)
         means = []
-        for i, p in enumerate(payloads):
-            img = _fake_decode_image(p)
+        for i, (p, m) in enumerate(zip(payloads, mimes)):
+            img = _decode_image(p, m, self.fake)
             heights[i], widths[i] = img.shape[0], img.shape[1]
             means.append(np.round(img.reshape(-1, 3).mean(axis=0), 2).tolist())
         out = batch.select(["media_id", "mime"])
@@ -101,13 +153,26 @@ class FrameSampler:
 
 
 def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
-    """Deterministic media table for tests/benchmarks."""
+    """Deterministic media table for tests/benchmarks. Even ids carry
+    REAL binary-PPM images (decoded by the pure-numpy codec, no fake
+    involved); odd ids carry opaque bytes for the fake-codec path — so
+    one table exercises both decoder branches."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 4096)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads, mimes = [], []
+    for i in range(n):
+        if i % 2 == 0:
+            h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            mimes.append(PPM_MIME)
+        else:
+            payloads.append(rng.integers(
+                0, 256, size=int(rng.integers(64, 4096)),
+                dtype=np.uint8).tobytes())
+            mimes.append("image/fake")
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
-        "mime": pa.array(["image/fake"] * n, pa.string()),
+        "mime": pa.array(mimes, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
         "meta": pa.array(["{}"] * n, pa.string()),
     })
@@ -175,49 +240,89 @@ def top_image_table(ds, id_col: str = "doc_id"):
 class ImageResize:
     """Actor-pool resize stage: payload → fixed (out_h, out_w) thumbnail
     payload + dims. The resampler is real (vectorized nearest-neighbor
-    index math over the decoded array); only the codec behind it is the
-    deterministic fake (no image libs in this container — fake=False
-    raises, mirroring ImageDecodeFeatures). Output is again a binary
+    index math); PPM rows decode AND re-encode through the real codec —
+    the output thumbnail is an openable PPM — while other mimes use the
+    fake codec (fake=True) and emit raw RGB bytes. Output stays a binary
     column, so resize stages chain/write like any other media stage."""
 
     def __init__(self, out_w: int = 8, out_h: int = 8, fake: bool = False):
         self.out_w = out_w
         self.out_h = out_h
-        if not fake:
-            raise NotImplementedError(
-                "no image codec in this environment; use fake=True")
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
-        out_p = []
-        for p in batch["payload"].to_pylist():
-            img = _fake_decode_image(p)
+        out_p, out_m = [], []
+        for p, m in zip(batch["payload"].to_pylist(),
+                        batch["mime"].to_pylist()):
+            img = _decode_image(p, m, self.fake)
             h, w = img.shape[0], img.shape[1]
             yi = (np.arange(self.out_h) * h) // self.out_h
             xi = (np.arange(self.out_w) * w) // self.out_w
-            out_p.append(img[yi][:, xi].tobytes())
+            thumb = img[yi][:, xi]
+            if m == PPM_MIME:
+                out_p.append(encode_ppm(thumb))
+            else:
+                out_p.append(thumb.tobytes())
+            out_m.append(m)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
-            "mime": pa.array(["image/fake"] * len(ids), pa.string()),
+            "mime": pa.array(out_m, pa.string()),
             "payload": pa.array(out_p, pa.binary()),
             "width": pa.array([self.out_w] * len(ids), pa.int32()),
             "height": pa.array([self.out_h] * len(ids), pa.int32()),
         })
 
 
+# --- real codec: WAV / PCM-16 (RIFF) — pure stdlib `wave` -------------------
+
+WAV_MIME = "audio/wav"
+
+
+def encode_wav(samples: np.ndarray, sr: int = 16_000) -> bytes:
+    """float waveform in [-1, 1] → mono PCM-16 WAV (playable RIFF)."""
+    import io
+    import wave
+
+    ints = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-16 WAV → (float32 waveform in [-1, 1] mono-mixed, sample
+    rate). Pure stdlib parse; no audio libs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM-16 WAV supported")
+        raw = w.readframes(w.getnframes())
+    ints = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+    if ch > 1:
+        ints = ints.reshape(-1, ch).mean(axis=1)
+    return ints / 32767.0, sr
+
+
 class AudioFeatures:
     """Actor-pool audio stage: payload → duration / RMS / zero-crossing
-    features. Fake codec renders a deterministic waveform from the
-    payload hash (no audio libs here); the feature math (vectorized rms,
-    sign-change count) is the real kernel a librosa-backed decoder would
-    feed."""
+    features. WAV payloads decode for REAL (stdlib RIFF/PCM-16 parse);
+    other mimes use the deterministic hash-waveform fake behind
+    ``fake=True`` (no mp3/ogg codecs here) or raise. The feature math
+    (vectorized rms, sign-change count) is identical either way."""
 
     SR = 16_000
 
     def __init__(self, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "no audio codec in this environment; use fake=True")
+        self.fake = fake
 
     @staticmethod
     def _fake_decode(payload: bytes) -> np.ndarray:
@@ -226,12 +331,22 @@ class AudioFeatures:
         rng = np.random.default_rng(struct.unpack("<Q", h[8:16])[0])
         return (rng.random(n) * 2.0 - 1.0).astype(np.float32)
 
+    def _decode(self, payload: bytes, mime: str) -> tuple[np.ndarray, int]:
+        if mime == WAV_MIME:
+            return decode_wav(payload)
+        if self.fake:
+            return self._fake_decode(payload), self.SR
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment; "
+            "use WAV payloads or fake=True")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         dur, rms, zcr = [], [], []
-        for p in batch["payload"].to_pylist():
-            w = self._fake_decode(p)
-            dur.append(round(len(w) / self.SR, 6))
+        for p, m in zip(batch["payload"].to_pylist(),
+                        batch["mime"].to_pylist()):
+            w, sr = self._decode(p, m)
+            dur.append(round(len(w) / sr, 6))
             rms.append(round(float(np.sqrt(np.mean(w * w))), 6))
             zcr.append(int(np.count_nonzero(np.diff(np.sign(w)))))
         return pa.table({
@@ -240,6 +355,34 @@ class AudioFeatures:
             "rms": pa.array(rms, pa.float64()),
             "zero_crossings": pa.array(zcr, pa.int64()),
         })
+
+
+def synth_audio_table(n: int = 64, seed: int = 11) -> pa.Table:
+    """Deterministic audio table: even ids carry REAL PCM-16 WAV clips
+    (sine + noise mixtures), odd ids opaque bytes for the fake path."""
+    rng = np.random.default_rng(seed)
+    payloads, mimes = [], []
+    sr = 16_000
+    for i in range(n):
+        if i % 2 == 0:
+            dur = 0.05 + float(rng.random()) * 0.2
+            t = np.arange(int(sr * dur)) / sr
+            f = 100.0 + float(rng.random()) * 3000.0
+            wav = (0.6 * np.sin(2 * np.pi * f * t)
+                   + 0.1 * rng.standard_normal(len(t)))
+            payloads.append(encode_wav(wav, sr))
+            mimes.append(WAV_MIME)
+        else:
+            payloads.append(rng.integers(
+                0, 256, size=int(rng.integers(64, 4096)),
+                dtype=np.uint8).tobytes())
+            mimes.append("audio/fake")
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "mime": pa.array(mimes, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(["{}"] * n, pa.string()),
+    })
 
 
 def media_similarity(ds, query_media_id: int = 0, k: int = 10,

@@ -192,7 +192,17 @@ def test_multimodal_resize_and_audio(ray_session):
                        fn_constructor_kwargs={"fake": True}).to_pandas()
     assert len(r) == 24
     assert (r["width"] == 8).all() and (r["height"] == 8).all()
-    assert r["payload"].map(len).eq(8 * 8 * 3).all()   # fixed thumbnail size
+    # PPM rows (even ids) re-encode with a header; fake rows are raw RGB
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        PPM_MIME,
+        decode_ppm,
+    )
+
+    for _, row in r.iterrows():
+        if row["mime"] == PPM_MIME:
+            assert decode_ppm(row["payload"]).shape == (8, 8, 3)
+        else:
+            assert len(row["payload"]) == 8 * 8 * 3
 
     a = ds.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
                        concurrency=(1, 2),
@@ -248,11 +258,29 @@ def test_write_partitioned_parquet_resume(ray_session, sf_dir, tmp_path):
     assert sorted(got["doc_id"].tolist()) == sorted(orig["doc_id"].tolist())
 
 
-def test_multimodal_real_codec_raises():
-    from stimson_web_scraper_ray.pipelines.multimodal import ImageDecodeFeatures
+def test_multimodal_real_codec_dispatch():
+    """fake=False WORKS for PPM rows (real codec) and raises only when a
+    non-PPM mime actually arrives — the honest capability boundary."""
+    import pyarrow as pa
 
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        PPM_MIME,
+        ImageDecodeFeatures,
+        encode_ppm,
+    )
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    stage = ImageDecodeFeatures(fake=False)
+    ok = stage(pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "mime": pa.array([PPM_MIME], pa.string()),
+        "payload": pa.array([encode_ppm(img)], pa.binary())}))
+    assert ok["height"][0].as_py() == 4 and ok["width"][0].as_py() == 3
     with pytest.raises(NotImplementedError):
-        ImageDecodeFeatures(fake=False)
+        stage(pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "mime": pa.array(["image/jpeg"], pa.string()),
+            "payload": pa.array([b"\xff\xd8junk"], pa.binary())}))
 
 
 def test_resolve_duplicate_groups_chain_and_clusters():
@@ -798,3 +826,87 @@ def test_pagerank_star_graph(ray_session):
     for _ in range(3):
         r = 0.15 / 4 + 0.85 * (A @ (r / deg))
     assert np.allclose(scores, r, atol=1e-12)
+
+
+def test_ppm_codec_roundtrip_and_stages(ray_session):
+    """The PPM (P6) codec is REAL: encode→decode is bit-exact (incl.
+    header comments), the decode stage reports the true dims of PPM
+    rows, and the resize stage emits an openable PPM thumbnail whose
+    pixels match direct nearest-neighbor indexing."""
+    import numpy as np
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        PPM_MIME,
+        ImageResize,
+        decode_pipeline,
+        decode_ppm,
+        encode_ppm,
+        synth_media_table,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # spec quirks: comment lines and multi-whitespace in the header
+    quirky = b"P6\n# a comment\n 7\t11 \n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(quirky), img)
+
+    tbl = synth_media_table(n=16)
+    ds = rd.from_arrow(tbl)
+    feats = decode_pipeline(ds, fake=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for i in range(0, 16, 2):                       # even ids are real PPM
+        truth = decode_ppm(tbl["payload"][i].as_py())
+        assert feats.loc[i, "height"] == truth.shape[0]
+        assert feats.loc[i, "width"] == truth.shape[1]
+        assert np.allclose(
+            feats.loc[i, "channel_mean"],
+            np.round(truth.reshape(-1, 3).mean(axis=0), 2))
+
+    out = ds.map_batches(
+        ImageResize, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"out_w": 4, "out_h": 4, "fake": True})
+    thumbs = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    src = decode_ppm(tbl["payload"][0].as_py())
+    h, w = src.shape[0], src.shape[1]
+    yi = (np.arange(4) * h) // 4
+    xi = (np.arange(4) * w) // 4
+    expect = src[yi][:, xi]
+    got = decode_ppm(thumbs.loc[0, "payload"])      # openable PPM out
+    assert thumbs.loc[0, "mime"] == PPM_MIME
+    assert np.array_equal(got, expect)
+
+
+def test_wav_codec_roundtrip_and_features(ray_session):
+    """The WAV (PCM-16) codec is REAL: decode(encode(x)) ≈ x within one
+    quantization step, and the audio stage's duration/rms on WAV rows
+    match direct computation from the decoded waveform."""
+    import numpy as np
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        AudioFeatures,
+        decode_wav,
+        encode_wav,
+        synth_audio_table,
+    )
+
+    rng = np.random.default_rng(5)
+    x = (rng.random(4000) * 2 - 1).astype(np.float32) * 0.9
+    y, sr = decode_wav(encode_wav(x, 8000))
+    assert sr == 8000
+    assert y.shape == x.shape
+    assert np.max(np.abs(y - x)) <= 1.5 / 32767
+
+    tbl = synth_audio_table(n=8)
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         batch_size=4, concurrency=(1, 2),
+                         fn_constructor_kwargs={"fake": True}) \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    for i in range(0, 8, 2):                        # even ids = real WAV
+        w, srr = decode_wav(tbl["payload"][i].as_py())
+        assert out.loc[i, "duration_s"] == round(len(w) / srr, 6)
+        assert out.loc[i, "rms"] == round(float(np.sqrt(np.mean(w * w))), 6)
