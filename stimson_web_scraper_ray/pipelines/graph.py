@@ -39,9 +39,12 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
     sorted by node_id — node-scaled, the quantity any consumer holds.
     """
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
-    edges_ds = edges_ds.materialize()  # iterated over `iters` times
+    # materialize once (iterated `iters` times) and right-size blocks:
+    # the salted exchange that built the edges leaves ~64 sub-MB blocks,
+    # and every extra block is one more task per iteration
+    edges_ds = edges_ds.repartition(16).materialize()
     deg_df = edges_ds.groupby("src").aggregate(
         Count(alias_name="deg")).to_pandas()
     nodes = np.sort(deg_df["src"].to_numpy().astype(np.int64))
@@ -60,24 +63,31 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
         ref = ray.put((nodes, over_deg))
 
         def contrib(t: pa.Table) -> pa.Table:
+            # per-batch PARTIAL contribution sums, indexed into the
+            # broadcast node order — each batch returns ≤ |V| rows
             nd, od = ray.get(ref)
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             w = od[np.searchsorted(nd, src)]
             di = np.searchsorted(nd, dst)
             sums = np.bincount(di, weights=w, minlength=len(nd))
-            hit = sums > 0
+            hit = np.nonzero(sums)[0]
             return pa.table({
-                "node_id": pa.array(nd[hit], pa.int64()),
+                "idx": pa.array(hit.astype(np.int64)),
                 "partial": pa.array(sums[hit], pa.float64())})
 
-        agg = edges_ds.map_batches(contrib, batch_format="pyarrow") \
-            .groupby("node_id").aggregate(Sum("partial", alias_name="s")) \
+        # final reduce on the driver: the rank vector is driver-resident
+        # by construction in this (broadcast) form, so summing the
+        # block partials there adds no new scale assumption — and skips
+        # a Ray groupby whose per-distinct-group reduce cost 5s/iter on
+        # 16k nodes (measured; the bincount form is ~20x faster). The
+        # web-scale form (ranks as a Dataset + hash_join per iteration,
+        # module docstring) replaces BOTH the broadcast and this reduce.
+        parts = edges_ds.map_batches(contrib, batch_format="pyarrow") \
             .to_pandas()
         new = np.full(n, base)
-        idx = np.searchsorted(nodes, agg["node_id"].to_numpy()
-                              .astype(np.int64))
-        new[idx] += damping * agg["s"].to_numpy()
+        np.add.at(new, parts["idx"].to_numpy(),
+                  damping * parts["partial"].to_numpy())
         ranks = new
 
     return pd.DataFrame({"node_id": nodes, "score": ranks})

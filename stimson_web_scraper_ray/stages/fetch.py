@@ -31,22 +31,48 @@ import pyarrow.dataset as pads
 
 
 class RobotsPolicy:
-    """Deterministic stand-in for robots.txt: each host disallows
-    ``/private/`` and ``/admin/`` prefixes. Cached per host like a real
-    robots cache."""
+    """Per-host robots cache backed by the REAL stdlib parser: every
+    host serves a deterministic robots.txt body (the sandbox stand-in
+    for one network GET per host) and ``allowed()`` is
+    ``urllib.robotparser.RobotFileParser.can_fetch`` — identical rule
+    semantics to a live crawl, including wildcard agents, first-match
+    Allow/Disallow ordering, and '#' comments. The default body
+    disallows ``/private/`` and ``/admin/``, matching the simulator's
+    policy; a crawl against real hosts swaps only the body source."""
+
+    BODY = ("# synthetic robots.txt — one per host\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Disallow: /admin/\n")
 
     def __init__(self):
-        self.cache: dict[str, tuple[str, ...]] = {}
+        self.cache: dict[str, "object"] = {}
         self.fetches = 0
 
-    def disallowed_prefixes(self, host: str) -> tuple[str, ...]:
-        if host not in self.cache:
-            self.fetches += 1  # would be one robots.txt GET per host
-            self.cache[host] = ("/private/", "/admin/")
-        return self.cache[host]
+    @staticmethod
+    def parse_body(body: str):
+        import urllib.robotparser
+
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(body.splitlines())
+        return rp
+
+    def _parser_for(self, host: str):
+        rp = self.cache.get(host)
+        if rp is None:
+            self.fetches += 1  # one robots.txt GET per host
+            rp = self.cache[host] = self.parse_body(self.BODY)
+        return rp
 
     def allowed(self, host: str, path: str) -> bool:
-        return not any(path.startswith(p) for p in self.disallowed_prefixes(host))
+        return self._parser_for(host).can_fetch("*", path)
+
+    def crawl_delay(self, host: str) -> float | None:
+        """The host's robots Crawl-delay for '*' (None when the body
+        sets none — the default body doesn't, so engine behavior only
+        changes for hosts that actually publish one)."""
+        d = self._parser_for(host).crawl_delay("*")
+        return float(d) if d is not None else None
 
 
 class Fetcher:
@@ -66,7 +92,10 @@ class Fetcher:
 
     def _politeness_wait(self, host: str) -> float:
         clock = self.host_clock.get(host, 0.0)
-        self.host_clock[host] = clock + self.delay
+        # a robots Crawl-delay overrides the engine default for its host
+        delay = self.robots.crawl_delay(host)
+        self.host_clock[host] = clock + (self.delay if delay is None
+                                         else delay)
         self.total_wait += clock
         return clock
 

@@ -183,3 +183,35 @@ def test_thai_stopword_segmentation():
         "ผู้สื่อข่าวได้รับแจ้งจากนายที่หายไปว่าเป็นของจริง")
     assert ws.get_stopword_count() >= 3
     assert ws.get_word_count() > ws.get_stopword_count()
+
+
+def test_extract_stage_poisoned_rows_isolated(ray_session):
+    """A poisoned page (None html, binary garbage) becomes an error/empty
+    row — it must never kill its Arrow block or its neighbors."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.stages.extract_stage import ExtractArticles
+
+    rows = pa.table({
+        "url": pa.array(["http://a.com/good.html", "http://a.com/none.html",
+                         "http://a.com/garbage.html"], pa.string()),
+        "html": pa.array(
+            [b"<html><body><p>a perfectly good paragraph with plenty of "
+             b"words for the scorer to keep and format</p></body></html>",
+             None,
+             b"\xff\xfe\x00\x01 utter garbage \x00"], pa.binary()),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+    })
+    out = rd.from_arrow(rows).map_batches(
+        ExtractArticles, batch_format="pyarrow", batch_size=3,
+        concurrency=1).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(out) == 3                      # nothing dropped, no raise
+    good = out[out["url"] == "http://a.com/good.html"].iloc[0]
+    assert good["status"] == "ok" and "good paragraph" in good["text"]
+    # poisoned rows degrade to ok-with-empty-text (decode replacement) or
+    # an error status — either way the block survives with empty text
+    for u in ("http://a.com/none.html", "http://a.com/garbage.html"):
+        row = out[out["url"] == u].iloc[0]
+        assert row["text"] == ""
+        assert row["status"] == "ok" or row["status"].startswith("error")

@@ -85,3 +85,24 @@ def test_salt_hosts_spreads_heavy_host_uniformly():
     sizes = out.groupby("part_key").size()
     assert len(sizes) == 16, f"expected 16 salt buckets, got {len(sizes)}"
     assert sizes.max() < 200, f"salting is lumpy: {sizes.tolist()}"
+
+
+def test_robots_crawl_delay_overrides_default():
+    """A robots Crawl-delay drives the per-host token bucket: hosts that
+    publish one accumulate clock at that rate; hosts without keep the
+    engine default."""
+    from stimson_web_scraper_ray.stages.fetch import Fetcher, RobotsPolicy
+
+    f = Fetcher.__new__(Fetcher)          # no parquet needed for the clock
+    f.robots = RobotsPolicy()
+    f.robots.cache["slow.com"] = RobotsPolicy.parse_body(
+        "User-agent: *\nCrawl-delay: 2\n")
+    f.delay = 0.5
+    f.host_clock = {}
+    f.total_wait = 0.0
+    for _ in range(3):
+        f._politeness_wait("slow.com")
+        f._politeness_wait("fast.com")
+    assert f.host_clock["slow.com"] == 6.0      # 3 × robots delay 2s
+    assert f.host_clock["fast.com"] == 1.5      # 3 × default 0.5s
+    assert f.total_wait == (0 + 2 + 4) + (0 + 0.5 + 1.0)

@@ -464,3 +464,22 @@ def test_thumbnail_dims_shrink_only():
     assert thumbnail_dims(180, 90) == (90, 45)
     assert thumbnail_dims(90, 180) == (45, 90)
     assert thumbnail_dims(1000, 1000) == (90, 90)
+
+
+def test_robots_policy_real_parser_semantics():
+    """RobotsPolicy goes through urllib.robotparser for real:
+    first-match-in-order Allow/Disallow (RFC 9309 reference parser
+    semantics — Allow listed first wins), agent-specific groups win over
+    '*', and comments/blank lines are ignored."""
+    rp = RobotsPolicy.parse_body(
+        "User-agent: *\n"
+        "# allow the api docs, block the rest of the api\n"
+        "Allow: /api/docs/\n"
+        "Disallow: /api/\n"
+        "\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n")
+    assert not rp.can_fetch("*", "/api/secret")
+    assert rp.can_fetch("*", "/api/docs/intro")
+    assert rp.can_fetch("*", "/public/x")
+    assert not rp.can_fetch("badbot", "/public/x")
