@@ -989,6 +989,43 @@ def _q_url_parts(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_crawl_indegree(sf_dir: str):
+    """Citation-count frontier policy (cfg.indegree_priority) exercised
+    through the driver contract: a 2-round crawl whose candidate
+    priorities are 1/(1+depth) + 0.1·log1p(n_citing_pages), fetched in
+    that order. Rows-only (crawl not SQL-expressible); engine≡simulator
+    parity for this policy — including kill+resume and the distributed
+    planning path — is pytest-gated in tests/test_crawl.py."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.config import EngineConfig
+    from stimson_web_scraper_ray.functions.urlnorm import canon_hash64
+    from stimson_web_scraper_ray.pipelines.crawl import crawl
+    from stimson_web_scraper_ray.sources.pages import (
+        pages_path_for,
+        seed_urls,
+    )
+
+    pages_path = pages_path_for(sf_dir)
+    seeds = seed_urls(pages_path)[:64]
+    cfg = EngineConfig(indegree_priority=True, per_host_budget=25,
+                       round_budget=600, seen_shards=4,
+                       extract_concurrency=4, fetch_concurrency=2)
+    out_dir = f"/tmp/swsr_q_crawlindeg_{canon_hash64(sf_dir) % 10**8}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = crawl(pages_path, seeds, cfg, out_dir=out_dir, max_rounds=2)
+    df = rd.read_parquet(res.articles_path,
+                         columns=["url", "round"]).to_pandas()
+    out = df.groupby("round").agg(n_pages=("url", "size"),
+                                  first_url=("url", "min")).reset_index()
+    out["round"] = out["round"].astype("int64")
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("round").reset_index(drop=True)
+
+
 def _q_web_train_set(sf_dir: str):
     """END-TO-END web-corpus flagship: 2-round crawl (frontier,
     politeness, seen shards, checkpoints) → extracted articles →
@@ -1190,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_content_dedup": _q_crawl_content_dedup,
         "crawl_metrics": _q_crawl_metrics,
         "web_train_set": _q_web_train_set,
+        "crawl_indegree": _q_crawl_indegree,
         "url_algebra": _q_url_algebra,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_resize": _q_multimodal_resize,

@@ -36,8 +36,11 @@ def simulate_crawl(pages_path: str, seeds: list[str],
     web = {u: h for u, h in zip(pages["url"].to_pylist(),
                                 pages["html"].to_pylist())}
 
+    from ..stages.fetch import RobotsPolicy
+
     seen: set[int] = set()
     rows = []
+    robots = RobotsPolicy()
     frontier = _frontier_from_seeds(seeds)
     for rnd in range(max_rounds):
         if frontier.empty:
@@ -53,9 +56,10 @@ def simulate_crawl(pages_path: str, seeds: list[str],
         rank = 0
         for _, row in budget.iterrows():
             url = row["url_canon"]
-            # robots: same deterministic policy as stages.fetch.RobotsPolicy
+            # robots: THE SAME policy object the engine's fetchers use
+            # (real robotparser semantics), not a re-derived rule
             path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
-            if path.startswith(("/private/", "/admin/")):
+            if not robots.allowed(row["host"], path):
                 continue
             html = web.get(url)
             if html is None:
