@@ -885,6 +885,14 @@ def _q_crawl_flagship(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_users_intersect(sf_dir: str):
+    """SQL INTERSECT over the events log: distinct-per-side shrink +
+    semi hash-join; oracle is DuckDB's native INTERSECT."""
+    from stimson_web_scraper_ray.pipelines.analytics import users_intersect
+
+    return users_intersect(sf_dir)
+
+
 def _q_hll_error_bounds(sf_dir: str):
     """Oracle-GATED accuracy check for the HLL sketch: per event type,
     the exact distinct-user count plus a within_bound flag (HLL p=12
@@ -1218,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords_nlp": _q_doc_keywords_nlp,
         "doc_entities": _q_doc_entities,
         "url_parts": _q_url_parts,
+        "users_intersect": _q_users_intersect,
         "hll_error_bounds": _q_hll_error_bounds,
         "event_hour_pivot": _q_event_hour_pivot,
         "order_rank_windows": _q_order_rank_windows,
@@ -2152,6 +2161,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "users_intersect": """
+            SELECT user_id FROM (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'error'
+            ) ORDER BY user_id
         """,
         # the oracle asserts the HLL bound holds; a sketch drifting past
         # 5% makes the value-hash compare fail (see _q_hll_error_bounds)

@@ -926,3 +926,32 @@ def order_rank_windows(sf_dir: str):
     # fact-scaled output: return the Dataset; the oracle wrapper sorts
     return salted_partition_apply(
         ds, part_fn, combine_key=lambda t: t["o_custkey"].to_numpy())
+
+
+def users_intersect(sf_dir: str, type_a: str = "purchase",
+                    type_b: str = "error"):
+    """SQL INTERSECT (SURVEY §2.7 set ops): users who performed BOTH
+    event types. Per-batch distinct shrink on each side, one salted
+    exchange per side to finish the distinct, then a semi hash-join —
+    only int64 user ids ever move."""
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(event_type: str):
+        def partial(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["event_type"], event_type))
+            u = np.unique(f["user_id"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            return pa.table({"user_id": pa.array(u, pa.int64())})
+
+        return salted_partition_apply(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            lambda df: df.drop_duplicates("user_id"),
+            combine_key=lambda t: t["user_id"].to_numpy())
+
+    both = hash_join(side(type_a), side(type_b), on="user_id", how="semi")
+    df = both.to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)

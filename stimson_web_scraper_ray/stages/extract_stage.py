@@ -96,8 +96,12 @@ class ExtractArticles:
         out = pa.table(arrays)
         if self.with_outlinks:
             out = out.append_column("outlinks", pa.array(outlinks, _LIST_STR))
-        # zero-copy passthrough of selected input columns
-        for keep in ("warc_ts", "lang", "depth", "round"):
-            if keep in batch.column_names:
+        # zero-copy passthrough of every input column the kernel didn't
+        # produce (the reference's `additional_data` free-dict semantics,
+        # article.py:176 / SURVEY §2.10): user columns ride along
+        # untouched. `html` is dropped (consumed); an input `text`/`title`
+        # etc. is superseded by the extracted column of the same name.
+        for keep in batch.column_names:
+            if keep != "html" and keep not in out.column_names:
                 out = out.append_column(keep, batch[keep])
         return out

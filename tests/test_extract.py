@@ -215,3 +215,28 @@ def test_extract_stage_poisoned_rows_isolated(ray_session):
         row = out[out["url"] == u].iloc[0]
         assert row["text"] == ""
         assert row["status"] == "ok" or row["status"].startswith("error")
+
+
+def test_extract_stage_passes_through_user_columns(ray_session):
+    """additional_data semantics (reference article.py:176, SURVEY §2.10):
+    columns the kernel doesn't produce ride through extraction untouched;
+    `html` is consumed and extracted columns supersede same-named input."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.stages.extract_stage import ExtractArticles
+
+    rows = pa.table({
+        "url": pa.array(["http://a.com/p.html"], pa.string()),
+        "html": pa.array([b"<html><body><p>words enough to pass the "
+                          b"scorer and come out the other side</p>"
+                          b"</body></html>"], pa.binary()),
+        "lang": pa.array(["en"], pa.string()),
+        "crawl_tag": pa.array(["batch-7"], pa.string()),      # user column
+        "text": pa.array(["GOLDEN, not extracted"], pa.string()),
+    })
+    out = rd.from_arrow(rows).map_batches(
+        ExtractArticles, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert out.loc[0, "crawl_tag"] == "batch-7"               # rode along
+    assert "html" not in out.columns                          # consumed
+    assert "words enough" in out.loc[0, "text"]               # superseded

@@ -910,3 +910,45 @@ def test_wav_codec_roundtrip_and_features(ray_session):
         w, srr = decode_wav(tbl["payload"][i].as_py())
         assert out.loc[i, "duration_s"] == round(len(w) / srr, 6)
         assert out.loc[i, "rms"] == round(float(np.sqrt(np.mean(w * w))), 6)
+
+
+def test_order_rank_windows_tie_semantics(ray_session, tmp_path):
+    """Planted totalprice ties: rank repeats-and-skips, dense_rank
+    repeats-without-skip, row_number/ntile break ties by orderkey —
+    verified directly against DuckDB's window functions on the same
+    frame."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        order_rank_windows,
+    )
+
+    t = pa.table({
+        "o_custkey": pa.array([1] * 5 + [2] * 3, pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12, 13, 14, 20, 21, 22], pa.int64()),
+        # cust 1: two pairs of ties; cust 2: all equal
+        "o_totalprice": pa.array([5.0, 9.0, 9.0, 5.0, 1.0,
+                                  7.0, 7.0, 7.0], pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "orders.parquet")
+    got = order_rank_windows(str(d)).to_pandas() \
+        .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(rank() OVER w1 AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+               CAST(row_number() OVER w2 AS BIGINT) AS rn,
+               CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+        FROM t
+        WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+               w2 AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
