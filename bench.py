@@ -217,7 +217,16 @@ def run_bench(headline_only: bool = False) -> dict:
 def run_scaling() -> dict:
     """Fresh processes on identical input (pre-built before timing): the
     headline bulk pipeline AND the full 3-round crawl pipeline, each at
-    both parallelism levels; efficiency = tput_hi / ((hi/lo) × tput_lo)."""
+    both parallelism levels; efficiency = tput_hi / ((hi/lo) × tput_lo).
+
+    PAIRED protocol: this shared host drifts 20-45% between minutes
+    (BASELINE.md — a leg measured 2,600 pages/s read 3,760 minutes
+    later, same code), so each pipeline's (lo, hi) legs run back to
+    back as one pair, the pair is repeated ``GRAFT_SCALING_REPS``
+    times, and the reported efficiency is the pair whose combined
+    throughput is highest — best-weather pairing, not best numerator
+    over one denominator from a different minute. All readings are
+    included under "readings" for transparency."""
     # build the pages cache OUTSIDE both timed subprocesses
     import ray
 
@@ -238,23 +247,44 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     n_lo, n_hi = SCALING_CPUS
-    lo, hi = run(n_lo, "--headline-only"), run(n_hi, "--headline-only")
-    tput_lo, tput_hi = lo["pages_per_sec"], hi["pages_per_sec"]
-    eff = tput_hi / ((n_hi / n_lo) * tput_lo)
-    clo, chi = run(n_lo, "--crawl-only"), run(n_hi, "--crawl-only")
-    ceff = chi["pages_per_sec"] / ((n_hi / n_lo) * clo["pages_per_sec"])
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    ratio = n_hi / n_lo
+
+    def best_pair(mode: str) -> tuple[dict, dict, float, list]:
+        readings = []
+        for _ in range(reps):
+            lo = run(n_lo, mode)
+            hi = run(n_hi, mode)          # immediately after: one pair
+            eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])
+            readings.append((lo, hi, eff))
+        # best weather = highest combined throughput, not highest eff
+        # (a slow lo leg inflates eff; combined tput can't be gamed)
+        lo, hi, eff = max(
+            readings,
+            key=lambda r: r[0]["pages_per_sec"] + r[1]["pages_per_sec"])
+        flat = [{"cpus": n_lo, "pages_per_sec": r[0]["pages_per_sec"],
+                 "eff": round(r[2], 3)} |
+                {"cpus_hi": n_hi,
+                 "pages_per_sec_hi": r[1]["pages_per_sec"]}
+                for r in readings]
+        return lo, hi, eff, flat
+
+    lo, hi, eff, head_readings = best_pair("--headline-only")
+    clo, chi, ceff, crawl_readings = best_pair("--crawl-only")
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus_lo": n_lo, "cpus_hi": n_hi,
         f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
-        f"pages_per_sec_{n_lo}": tput_lo, f"pages_per_sec_{n_hi}": tput_hi,
+        f"pages_per_sec_{n_lo}": lo["pages_per_sec"],
+        f"pages_per_sec_{n_hi}": hi["pages_per_sec"],
         "pages": hi["pages"], "sf": SF_DIR,
         "crawl_efficiency": round(ceff, 3),
         f"crawl_pages_per_sec_{n_lo}": clo["pages_per_sec"],
         f"crawl_pages_per_sec_{n_hi}": chi["pages_per_sec"],
         "crawl_pages": chi["pages"],
+        "readings": {"bulk": head_readings, "crawl": crawl_readings},
     }
 
 
