@@ -885,6 +885,17 @@ def _q_crawl_flagship(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_event_value_stats(sf_dir: str):
+    """Moment statistics (mean / stddev_samp / corr) per event type via
+    one sufficient-statistics pass — oracle is DuckDB's native
+    avg/stddev_samp/corr."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        event_value_stats,
+    )
+
+    return event_value_stats(sf_dir)
+
+
 def _q_users_intersect(sf_dir: str):
     """SQL INTERSECT over the events log: distinct-per-side shrink +
     semi hash-join; oracle is DuckDB's native INTERSECT."""
@@ -1226,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords_nlp": _q_doc_keywords_nlp,
         "doc_entities": _q_doc_entities,
         "url_parts": _q_url_parts,
+        "event_value_stats": _q_event_value_stats,
         "users_intersect": _q_users_intersect,
         "hll_error_bounds": _q_hll_error_bounds,
         "event_hour_pivot": _q_event_hour_pivot,
@@ -2160,6 +2172,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "event_value_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 6) AS mean_value,
+                   round(stddev_samp(value), 6) AS stddev_value,
+                   round(corr(value, CAST(hour(ts) AS DOUBLE)), 6)
+                       AS corr_value_hour
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "users_intersect": """

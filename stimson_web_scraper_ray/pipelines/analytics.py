@@ -955,3 +955,53 @@ def users_intersect(sf_dir: str, type_a: str = "purchase",
     df = both.to_pandas()
     df["user_id"] = df["user_id"].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
+
+
+def event_value_stats(sf_dir: str):
+    """Distributed moment statistics per event type: mean, sample
+    stddev, and corr(value, hour-of-day) from ONE streamed pass of
+    sufficient statistics (n, Σx, Σx², Σy, Σy², Σxy per batch) + a tiny
+    groupby — the canonical way variance/correlation distribute without
+    a second pass or any raw-value shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "x": t["value"].to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            "y": pc.hour(t["ts"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+        })
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"),
+            sy=("y", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"), Sum("sy", alias_name="sy"),
+                   Sum("syy", alias_name="syy"),
+                   Sum("sxy", alias_name="sxy")).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    sx, sxx = agg["sx"].to_numpy(), agg["sxx"].to_numpy()
+    sy, syy = agg["sy"].to_numpy(), agg["syy"].to_numpy()
+    sxy = agg["sxy"].to_numpy()
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - 1)
+    cov = n * sxy - sx * sy
+    den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_events": agg["n"].astype("int64"),
+        "mean_value": np.round(mean, 6),
+        "stddev_value": np.round(np.sqrt(var), 6),
+        "corr_value_hour": np.round(cov / den, 6),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
