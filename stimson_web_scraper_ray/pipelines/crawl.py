@@ -66,7 +66,8 @@ def _frontier_from_seeds(seeds: list[str]) -> pd.DataFrame:
             # seed priority reflects file order (FIXTURES.md §2)
             "priority": float(1.0 + 1.0 / (rank + 1)),
         })
-    df = pd.DataFrame(rows)
+    df = pd.DataFrame(rows, columns=["url_canon", "url_hash", "host",
+                                     "depth", "priority"])
     return df.astype({"url_hash": "uint64", "depth": "int32",
                       "priority": "float32"})
 

@@ -211,3 +211,16 @@ def test_indegree_priority_survives_resume(ray_session, pages_path,
     assert np.array_equal(
         final_seen_hashes(res2.checkpoint_dir, last, cfg.seen_shards),
         final_seen_hashes(res_full.checkpoint_dir, last, cfg.seen_shards))
+
+
+def test_empty_seed_list_is_graceful(ray_session, pages_path,
+                                     tmp_path_factory):
+    """Zero seeds (or seeds that all fail valid_url) must produce a
+    clean empty crawl on both engine and simulator — no exception, no
+    round dirs, zero pages."""
+    out = str(tmp_path_factory.mktemp("crawl_empty"))
+    res = crawl(pages_path, [], CFG, out_dir=out, max_rounds=3)
+    assert res.pages_fetched == 0
+    assert _round_urls(res.articles_path) == {}
+    sim = simulate_crawl(pages_path, [], CFG, max_rounds=3)
+    assert len(sim) == 0
