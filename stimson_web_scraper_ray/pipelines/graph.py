@@ -33,11 +33,13 @@ import pyarrow as pa
 
 def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
     """Fixed-iteration PageRank over a directed edge Dataset
-    (src:int64, dst:int64). Assumes every node has ≥1 out-edge (true for
-    the bidirectional trade graph below; for general graphs add the
-    dangling-mass term before using). Returns pandas (node_id, score)
-    sorted by node_id — node-scaled, the quantity any consumer holds.
-    """
+    (src:int64, dst:int64), with full dangling-node (sink) handling:
+    the node universe is src ∪ dst, sinks carry out-degree 0, and their
+    rank mass is redistributed uniformly each iteration (the standard
+    PageRank dangling term) — so a general crawl host graph with sink
+    pages is scored correctly, not crashed on or silently mis-credited.
+    Returns pandas (node_id, score) sorted by node_id — node-scaled,
+    the quantity any consumer holds."""
     import ray
     from ray.data.aggregate import Count
 
@@ -47,19 +49,32 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
     edges_ds = edges_ds.repartition(16).materialize()
     deg_df = edges_ds.groupby("src").aggregate(
         Count(alias_name="deg")).to_pandas()
-    nodes = np.sort(deg_df["src"].to_numpy().astype(np.int64))
-    order = np.argsort(deg_df["src"].to_numpy().astype(np.int64),
-                       kind="mergesort")
-    deg = deg_df["deg"].to_numpy().astype(np.float64)[order]
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    node_parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
+        .to_pandas()
+    nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
+    deg = np.zeros(n, dtype=np.float64)
+    deg[np.searchsorted(nodes, deg_df["src"].to_numpy()
+                        .astype(np.int64))] = \
+        deg_df["deg"].to_numpy().astype(np.float64)
+    sinks = deg == 0.0
+    safe_deg = np.where(sinks, 1.0, deg)
     ranks = np.full(n, 1.0 / n)
     base = (1.0 - damping) / n
 
     for _ in range(iters):
-        over_deg = ranks / deg
+        over_deg = np.where(sinks, 0.0, ranks / safe_deg)
+        dangling = float(ranks[sinks].sum())
         ref = ray.put((nodes, over_deg))
 
         def contrib(t: pa.Table) -> pa.Table:
@@ -85,7 +100,7 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
         # module docstring) replaces BOTH the broadcast and this reduce.
         parts = edges_ds.map_batches(contrib, batch_format="pyarrow") \
             .to_pandas()
-        new = np.full(n, base)
+        new = np.full(n, base + damping * dangling / n)
         np.add.at(new, parts["idx"].to_numpy(),
                   damping * parts["partial"].to_numpy())
         ranks = new

@@ -112,8 +112,20 @@ class ImageDecodeFeatures:
         widths = np.zeros(len(payloads), dtype=np.int32)
         heights = np.zeros(len(payloads), dtype=np.int32)
         means = []
+        ok = np.ones(len(payloads), dtype=bool)
         for i, (p, m) in enumerate(zip(payloads, mimes)):
-            img = _decode_image(p, m, self.fake)
+            # per-row isolation (same contract as the extract stage): a
+            # corrupt payload degrades to a zero-dim error row, never
+            # kills the block. NotImplementedError (no codec for the
+            # mime) still raises — that is a config error, not bad data.
+            try:
+                img = _decode_image(p, m, self.fake)
+            except NotImplementedError:
+                raise
+            except Exception:
+                ok[i] = False
+                means.append([])
+                continue
             heights[i], widths[i] = img.shape[0], img.shape[1]
             means.append(np.round(img.reshape(-1, 3).mean(axis=0), 2).tolist())
         out = batch.select(["media_id", "mime"])
@@ -121,6 +133,7 @@ class ImageDecodeFeatures:
         out = out.append_column("height", pa.array(heights, pa.int32()))
         out = out.append_column("channel_mean",
                                 pa.array(means, pa.list_(pa.float64())))
+        out = out.append_column("decode_ok", pa.array(ok, pa.bool_()))
         return out
 
 
@@ -253,9 +266,18 @@ class ImageResize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         out_p, out_m = [], []
-        for p, m in zip(batch["payload"].to_pylist(),
-                        batch["mime"].to_pylist()):
-            img = _decode_image(p, m, self.fake)
+        ok = np.ones(len(ids), dtype=bool)
+        for i, (p, m) in enumerate(zip(batch["payload"].to_pylist(),
+                                       batch["mime"].to_pylist())):
+            try:
+                img = _decode_image(p, m, self.fake)
+            except NotImplementedError:
+                raise
+            except Exception:       # corrupt payload → empty error row
+                ok[i] = False
+                out_p.append(b"")
+                out_m.append(m)
+                continue
             h, w = img.shape[0], img.shape[1]
             yi = (np.arange(self.out_h) * h) // self.out_h
             xi = (np.arange(self.out_w) * w) // self.out_w
@@ -271,6 +293,7 @@ class ImageResize:
             "payload": pa.array(out_p, pa.binary()),
             "width": pa.array([self.out_w] * len(ids), pa.int32()),
             "height": pa.array([self.out_h] * len(ids), pa.int32()),
+            "decode_ok": pa.array(ok, pa.bool_()),
         })
 
 
@@ -343,17 +366,29 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         dur, rms, zcr = [], [], []
-        for p, m in zip(batch["payload"].to_pylist(),
-                        batch["mime"].to_pylist()):
-            w, sr = self._decode(p, m)
+        ok = np.ones(len(ids), dtype=bool)
+        for i, (p, m) in enumerate(zip(batch["payload"].to_pylist(),
+                                       batch["mime"].to_pylist())):
+            try:
+                w, sr = self._decode(p, m)
+            except NotImplementedError:
+                raise
+            except Exception:       # corrupt payload → zeroed error row
+                ok[i] = False
+                dur.append(0.0)
+                rms.append(0.0)
+                zcr.append(0)
+                continue
             dur.append(round(len(w) / sr, 6))
-            rms.append(round(float(np.sqrt(np.mean(w * w))), 6))
+            rms.append(round(float(np.sqrt(np.mean(w * w))), 6)
+                       if len(w) else 0.0)
             zcr.append(int(np.count_nonzero(np.diff(np.sign(w)))))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "duration_s": pa.array(dur, pa.float64()),
             "rms": pa.array(rms, pa.float64()),
             "zero_crossings": pa.array(zcr, pa.int64()),
+            "decode_ok": pa.array(ok, pa.bool_()),
         })
 
 

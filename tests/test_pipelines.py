@@ -952,3 +952,81 @@ def test_order_rank_windows_tie_semantics(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pagerank_sink_nodes_handled(ray_session):
+    """A directed graph with sinks (in-edges, no out-edges) must score
+    every node — sinks included — with the standard dangling-mass
+    redistribution, verified against a hand-rolled dense power
+    iteration. (Previously: IndexError or silent mis-crediting.)"""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import pagerank
+
+    # 0 -> 1, 2 -> 0, 2 -> 1 : node 1 is a pure sink
+    src = [0, 2, 2]
+    dst = [1, 0, 1]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())}))
+    df = pagerank(edges, damping=0.85, iters=4)
+    assert df["node_id"].tolist() == [0, 1, 2]
+    scores = df["score"].to_numpy()
+    assert abs(scores.sum() - 1.0) < 1e-9          # mass conserved
+
+    n = 3
+    A = np.zeros((n, n))
+    for a, b in zip(src, dst):
+        A[b, a] = 1
+    deg = A.sum(axis=0)
+    r = np.full(n, 1 / n)
+    for _ in range(4):
+        dangling = r[deg == 0].sum()
+        contrib = A @ np.where(deg > 0, r / np.where(deg > 0, deg, 1), 0)
+        r = 0.15 / n + 0.85 * (contrib + dangling / n)
+    assert np.allclose(scores, r, atol=1e-12)
+
+
+def test_multimodal_corrupt_payload_isolated(ray_session):
+    """A truncated PPM / WAV payload degrades to a decode_ok=False row;
+    the neighbors in the same block decode normally."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        PPM_MIME,
+        WAV_MIME,
+        AudioFeatures,
+        ImageDecodeFeatures,
+        ImageResize,
+        encode_ppm,
+        encode_wav,
+    )
+
+    img = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+    good_ppm = encode_ppm(img)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "mime": pa.array([PPM_MIME] * 3, pa.string()),
+        "payload": pa.array([good_ppm, good_ppm[:10], b"P6 garbage"],
+                            pa.binary()),
+        "meta": pa.array(["{}"] * 3, pa.string()),
+    })
+    for stage in (ImageDecodeFeatures(fake=False),
+                  ImageResize(out_w=2, out_h=2, fake=False)):
+        out = stage(tbl)
+        assert out.num_rows == 3
+        assert out["decode_ok"].to_pylist() == [True, False, False]
+
+    wav = encode_wav(np.zeros(100) + 0.5, 8000)
+    atbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "mime": pa.array([WAV_MIME] * 2, pa.string()),
+        "payload": pa.array([wav, wav[:20]], pa.binary()),
+        "meta": pa.array(["{}"] * 2, pa.string()),
+    })
+    aout = AudioFeatures(fake=False)(atbl)
+    assert aout["decode_ok"].to_pylist() == [True, False]
+    assert aout["duration_s"][0].as_py() > 0
