@@ -949,6 +949,17 @@ def _q_trade_pagerank(sf_dir: str):
     return trade_pagerank(sf_dir)
 
 
+def _q_trade_pagerank_directed(sf_dir: str):
+    """PageRank over the ONE-WAY cust→supp trade graph — every supplier
+    is a pure sink, so this query oracle-checks the dangling-mass
+    redistribution term against an explicit chained-CTE SQL form."""
+    from stimson_web_scraper_ray.pipelines.graph import (
+        trade_pagerank_directed,
+    )
+
+    return trade_pagerank_directed(sf_dir)
+
+
 def _q_url_parts(sf_dir: str):
     """SQL-checkable slice of the URL algebra (M5-M7, M9): URLs are
     synthesized deterministically from documents(doc_id, source) —
@@ -1243,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hour_pivot": _q_event_hour_pivot,
         "order_rank_windows": _q_order_rank_windows,
         "trade_pagerank": _q_trade_pagerank,
+        "trade_pagerank_directed": _q_trade_pagerank_directed,
         # crawl / url / multimodal (rows-only)
         "crawl_flagship": _q_crawl_flagship,
         "crawl_content_dedup": _q_crawl_content_dedup,
@@ -2263,6 +2275,63 @@ def oracle_sql() -> dict[str, str]:
                    JOIN r2 r ON e.src = r.node
                    JOIN deg ON e.src = deg.src
                    GROUP BY e.dst)
+            SELECT node AS node_id, round(score, 6) AS score
+            FROM r3 ORDER BY node
+        """,
+        # one-way graph: suppliers are sinks; each iteration adds the
+        # dangling mass (sum of sink scores) uniformly — the SQL computes
+        # that term explicitly per round, checking graph.py's handling
+        "trade_pagerank_directed": """
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            edges AS (SELECT c AS src, s AS dst FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM edges
+                      UNION SELECT DISTINCT dst FROM edges),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                    FROM edges GROUP BY src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS score
+                   FROM nodes),
+            r1 AS (
+              SELECT nd.node,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * (coalesce(con.s, 0)
+                         + (SELECT coalesce(sum(r.score), 0) FROM r0 r
+                            WHERE r.node NOT IN (SELECT src FROM deg))
+                           / (SELECT n FROM nn)) AS score
+              FROM nodes nd
+              LEFT JOIN (SELECT e.dst AS node, sum(r.score / deg.d) AS s
+                         FROM edges e
+                         JOIN r0 r ON e.src = r.node
+                         JOIN deg ON e.src = deg.src
+                         GROUP BY e.dst) con ON con.node = nd.node),
+            r2 AS (
+              SELECT nd.node,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * (coalesce(con.s, 0)
+                         + (SELECT coalesce(sum(r.score), 0) FROM r1 r
+                            WHERE r.node NOT IN (SELECT src FROM deg))
+                           / (SELECT n FROM nn)) AS score
+              FROM nodes nd
+              LEFT JOIN (SELECT e.dst AS node, sum(r.score / deg.d) AS s
+                         FROM edges e
+                         JOIN r1 r ON e.src = r.node
+                         JOIN deg ON e.src = deg.src
+                         GROUP BY e.dst) con ON con.node = nd.node),
+            r3 AS (
+              SELECT nd.node,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * (coalesce(con.s, 0)
+                         + (SELECT coalesce(sum(r.score), 0) FROM r2 r
+                            WHERE r.node NOT IN (SELECT src FROM deg))
+                           / (SELECT n FROM nn)) AS score
+              FROM nodes nd
+              LEFT JOIN (SELECT e.dst AS node, sum(r.score / deg.d) AS s
+                         FROM edges e
+                         JOIN r2 r ON e.src = r.node
+                         JOIN deg ON e.src = deg.src
+                         GROUP BY e.dst) con ON con.node = nd.node)
             SELECT node AS node_id, round(score, 6) AS score
             FROM r3 ORDER BY node
         """,

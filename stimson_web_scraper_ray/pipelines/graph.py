@@ -160,3 +160,33 @@ def trade_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 3):
     df = pagerank(trade_edges(sf_dir), damping=damping, iters=iters)
     df["score"] = df["score"].round(6)
     return df.sort_values("node_id").reset_index(drop=True)
+
+
+def trade_edges_directed(sf_dir: str):
+    """ONE-WAY customer→supplier edges (no reverse direction): every
+    supplier node is a pure sink, exercising the dangling-mass term of
+    ``pagerank`` under the SQL oracle."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    ds = trade_edges(sf_dir)
+
+    def forward_only(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        keep = src % 2 == 0          # customer ids are even by encoding
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    return ds.map_batches(forward_only, batch_format="pyarrow")
+
+
+def trade_pagerank_directed(sf_dir: str, damping: float = 0.85,
+                            iters: int = 3):
+    """PageRank over the one-way trade graph: all supplier nodes are
+    sinks, so scores depend on correct uniform redistribution of
+    dangling mass every iteration — oracle-checked against a chained-CTE
+    SQL form that computes the same dangling term explicitly."""
+    df = pagerank(trade_edges_directed(sf_dir), damping=damping,
+                  iters=iters)
+    df["score"] = df["score"].round(6)
+    return df.sort_values("node_id").reset_index(drop=True)
