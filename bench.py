@@ -248,7 +248,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     n_lo, n_hi = SCALING_CPUS
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = max(1, int(os.environ.get("GRAFT_SCALING_REPS", "2")))
     ratio = n_hi / n_lo
 
     def best_pair(mode: str) -> tuple[dict, dict, float, list]:

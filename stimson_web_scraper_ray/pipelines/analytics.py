@@ -1012,8 +1012,11 @@ def event_value_stats(sf_dir: str):
     # NaN for float columns): stddev_samp is NULL at n==1; corr is NULL
     # when either side has zero variance
     with np.errstate(invalid="ignore", divide="ignore"):
-        var = np.where(n > 1, (sxx - sx * sx / n) / np.maximum(n - 1, 1),
-                       np.nan)
+        # clamp to 0: a constant-valued group cancels to ~-1e-18 in
+        # float64 and sqrt of that is NaN where SQL stddev_samp says 0
+        var = np.where(n > 1,
+                       np.maximum(sxx - sx * sx / n, 0.0)
+                       / np.maximum(n - 1, 1), np.nan)
         cov = n * sxy - sx * sy
         den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         corr = np.where(den > 0, cov / np.where(den > 0, den, 1.0), np.nan)

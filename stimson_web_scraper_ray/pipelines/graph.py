@@ -166,8 +166,6 @@ def trade_edges_directed(sf_dir: str):
     """ONE-WAY customer→supplier edges (no reverse direction): every
     supplier node is a pure sink, exercising the dangling-mass term of
     ``pagerank`` under the SQL oracle."""
-    import pyarrow.compute as pc  # noqa: F401
-
     ds = trade_edges(sf_dir)
 
     def forward_only(t: pa.Table) -> pa.Table:

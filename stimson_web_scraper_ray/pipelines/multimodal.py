@@ -126,6 +126,10 @@ class ImageDecodeFeatures:
                 ok[i] = False
                 means.append([])
                 continue
+            if img.size == 0:            # legal header, degenerate dims
+                ok[i] = False
+                means.append([])
+                continue
             heights[i], widths[i] = img.shape[0], img.shape[1]
             means.append(np.round(img.reshape(-1, 3).mean(axis=0), 2).tolist())
         out = batch.select(["media_id", "mime"])
@@ -267,14 +271,19 @@ class ImageResize:
         ids = batch["media_id"].to_pylist()
         out_p, out_m = [], []
         ok = np.ones(len(ids), dtype=bool)
+        widths = np.full(len(ids), self.out_w, np.int32)
+        heights = np.full(len(ids), self.out_h, np.int32)
         for i, (p, m) in enumerate(zip(batch["payload"].to_pylist(),
                                        batch["mime"].to_pylist())):
             try:
                 img = _decode_image(p, m, self.fake)
             except NotImplementedError:
                 raise
-            except Exception:       # corrupt payload → empty error row
+            except Exception:
+                img = None           # corrupt payload → empty error row
+            if img is None or img.size == 0:
                 ok[i] = False
+                widths[i] = heights[i] = 0   # dims must not lie
                 out_p.append(b"")
                 out_m.append(m)
                 continue
@@ -291,8 +300,8 @@ class ImageResize:
             "media_id": pa.array(ids, pa.int64()),
             "mime": pa.array(out_m, pa.string()),
             "payload": pa.array(out_p, pa.binary()),
-            "width": pa.array([self.out_w] * len(ids), pa.int32()),
-            "height": pa.array([self.out_h] * len(ids), pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
             "decode_ok": pa.array(ok, pa.bool_()),
         })
 
@@ -373,7 +382,10 @@ class AudioFeatures:
                 w, sr = self._decode(p, m)
             except NotImplementedError:
                 raise
-            except Exception:       # corrupt payload → zeroed error row
+            except Exception:
+                w, sr = None, 0      # corrupt payload → zeroed error row
+            if w is None or sr <= 0 or len(w) == 0:
+                # includes a legal header declaring framerate 0
                 ok[i] = False
                 dur.append(0.0)
                 rms.append(0.0)
@@ -431,7 +443,11 @@ def media_similarity(ds, query_media_id: int = 0, k: int = 10,
 
     from .similarity import brute_force_topk
 
-    feats = decode_pipeline(ds, fake=fake)
+    # drop failed-decode rows (empty channel_mean would make the
+    # downstream vector matrix ragged and crash the scorer)
+    feats = decode_pipeline(ds, fake=fake).map_batches(
+        lambda t: t.filter(pc.equal(t["decode_ok"], True)),
+        batch_format="pyarrow")
     q = feats.map_batches(
         lambda t: t.filter(pc.equal(t["media_id"], query_media_id)),
         batch_format="pyarrow").to_pandas()

@@ -1030,3 +1030,84 @@ def test_multimodal_corrupt_payload_isolated(ray_session):
     aout = AudioFeatures(fake=False)(atbl)
     assert aout["decode_ok"].to_pylist() == [True, False]
     assert aout["duration_s"][0].as_py() > 0
+
+
+def test_multimodal_degenerate_headers_isolated(ray_session):
+    """Legal-but-degenerate headers (0x0 PPM, framerate-0 WAV) degrade
+    to decode_ok=False rows with truthful zero dims — not crashes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        PPM_MIME,
+        WAV_MIME,
+        AudioFeatures,
+        ImageDecodeFeatures,
+        ImageResize,
+        encode_ppm,
+        encode_wav,
+    )
+
+    zero_ppm = b"P6\n0 0\n255\n"
+    good = encode_ppm(np.ones((4, 4, 3), np.uint8))
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "mime": pa.array([PPM_MIME] * 2, pa.string()),
+        "payload": pa.array([zero_ppm, good], pa.binary()),
+        "meta": pa.array(["{}"] * 2, pa.string()),
+    })
+    feats = ImageDecodeFeatures(fake=False)(tbl)
+    assert feats["decode_ok"].to_pylist() == [False, True]
+    thumbs = ImageResize(out_w=2, out_h=2, fake=False)(tbl)
+    assert thumbs["decode_ok"].to_pylist() == [False, True]
+    assert thumbs["width"].to_pylist() == [0, 2]       # dims don't lie
+
+    # framerate-0 WAV: the writer refuses it, but a hostile/corrupt file
+    # can carry it — patch the 4-byte LE rate field (offset 24) to 0
+    bad_wav = bytearray(encode_wav(np.zeros(50), 8000))
+    assert bad_wav[24:28] == (8000).to_bytes(4, "little")
+    bad_wav[24:28] = (0).to_bytes(4, "little")
+    atbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "mime": pa.array([WAV_MIME] * 2, pa.string()),
+        "payload": pa.array([bytes(bad_wav),
+                             encode_wav(np.zeros(64) + 0.25, 8000)],
+                            pa.binary()),
+        "meta": pa.array(["{}"] * 2, pa.string()),
+    })
+    aout = AudioFeatures(fake=False)(atbl)
+    assert aout["decode_ok"].to_pylist() == [False, True]
+
+
+def test_event_value_stats_constant_group(ray_session, tmp_path):
+    """Constant-valued group: float cancellation must clamp to stddev 0
+    (matching SQL stddev_samp), not NaN."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        event_value_stats,
+    )
+
+    ts = pa.array(pd.to_datetime(
+        ["2024-01-01 03:00:00"] * 3 + ["2024-01-01 05:00:00"]),
+        pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["click"] * 3 + ["view"], pa.string()),
+        "value": pa.array([0.1, 0.1, 0.1, 2.0], pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    got = event_value_stats(str(d))
+    click = got[got["event_type"] == "click"].iloc[0]
+    assert click["stddev_value"] == 0.0                # clamped, not NaN
+    view = got[got["event_type"] == "view"].iloc[0]
+    import numpy as np
+    assert np.isnan(view["stddev_value"])              # n==1 → SQL NULL
+    assert np.isnan(click["corr_value_hour"])          # zero variance
