@@ -163,3 +163,39 @@ def test_salt_hosts_spread_property(buckets, n):
     out = salt_hosts(t, {"h.example.com": n}, buckets).to_pandas()
     sizes = out.groupby("part_key").size()
     assert sizes.max() <= max(8, 4 * n // buckets)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_ppm_wav_decoders_contained(payload):
+    """Adversarial bytes through the REAL codecs either decode or raise
+    an ordinary exception — and through the actor stages they always
+    degrade to decode_ok=False rows, never escape the block."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        PPM_MIME,
+        WAV_MIME,
+        AudioFeatures,
+        ImageDecodeFeatures,
+        decode_ppm,
+        decode_wav,
+    )
+
+    for fn, prefix in ((decode_ppm, b"P6"), (decode_wav, b"RIFF")):
+        try:
+            fn(prefix + payload)
+        except Exception:
+            pass                      # any ordinary exception is fine
+
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "mime": pa.array([PPM_MIME, WAV_MIME], pa.string()),
+        "payload": pa.array([b"P6" + payload, b"RIFF" + payload],
+                            pa.binary()),
+        "meta": pa.array(["{}", "{}"], pa.string()),
+    })
+    out = ImageDecodeFeatures(fake=False)(t.slice(0, 1))
+    assert out.num_rows == 1
+    aout = AudioFeatures(fake=False)(t.slice(1, 1))
+    assert aout.num_rows == 1
