@@ -58,11 +58,11 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
 
     node_parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
         .to_pandas()
-    nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
-    n = len(nodes)
-    if n == 0:
+    if node_parts.empty:                 # zero edges → zero-block frame
         return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
+    nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
+    n = len(nodes)
     deg = np.zeros(n, dtype=np.float64)
     deg[np.searchsorted(nodes, deg_df["src"].to_numpy()
                         .astype(np.int64))] = \

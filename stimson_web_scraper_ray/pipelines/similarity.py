@@ -75,6 +75,12 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
         fn_constructor_kwargs={"query_ref": qref, "id_col": id_col,
                                "vec_col": vec_col, "k": k})
     df = partials.to_pandas()
+    if df.empty:                 # zero corpus rows → zero-block frame
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype="int32"),
+            id_col: pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64")})
     df = df.sort_values(["query_id", "cos_sim", id_col],
                         ascending=[True, False, True], kind="mergesort")
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

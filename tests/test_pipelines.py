@@ -1111,3 +1111,22 @@ def test_event_value_stats_constant_group(ray_session, tmp_path):
     import numpy as np
     assert np.isnan(view["stddev_value"])              # n==1 → SQL NULL
     assert np.isnan(click["corr_value_hour"])          # zero variance
+
+
+def test_empty_inputs_are_graceful(ray_session):
+    """Zero-row inputs (zero-block Datasets lose their schema through
+    map_batches→to_pandas) must return clean empty results everywhere."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.graph import pagerank
+
+    empty_edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+    pr = pagerank(empty_edges)
+    assert len(pr) == 0 and list(pr.columns) == ["node_id", "score"]
+
+    empty_vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    tk = similarity.brute_force_topk(empty_vecs, np.zeros((2, 4)), k=3)
+    assert len(tk) == 0
