@@ -223,11 +223,12 @@ def run_scaling() -> dict:
     (BASELINE.md — a leg measured 2,600 pages/s read 3,760 minutes
     later, same code), so each pipeline's (lo, hi) legs run back to
     back and repeat ``GRAFT_SCALING_REPS`` times. The reported
-    efficiency uses the PER-LEG BEST throughput across reps (the min-
-    wall-time estimator, same convention as run_bench's best-of-N):
-    best-lo is the FASTEST lo, i.e. the LARGEST denominator, so the
-    estimate is conservative and a bad-weather lo leg cannot inflate
-    it. All raw readings ship under "readings" for transparency."""
+    efficiency is the MEDIAN of the per-rep PAIRED efficiencies — each
+    rep's hi is divided only by its own adjacent lo, so a lucky hi
+    minute can never be paired with an unlucky lo minute (the round-2
+    cross-pairing of best legs inflated the estimate under drift; the
+    round-2 advisor flagged it). All raw readings ship under
+    "readings" for transparency."""
     # build the pages cache OUTSIDE both timed subprocesses
     import ray
 
@@ -251,21 +252,20 @@ def run_scaling() -> dict:
     reps = max(1, int(os.environ.get("GRAFT_SCALING_REPS", "2")))
     ratio = n_hi / n_lo
 
-    def best_pair(mode: str) -> tuple[dict, dict, float, list]:
+    def median_pair(mode: str) -> tuple[dict, dict, float, list]:
         readings = []
         for _ in range(reps):
             lo = run(n_lo, mode)
             hi = run(n_hi, mode)          # immediately after: one pair
             eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])
             readings.append((lo, hi, eff))
-        # per-leg best: fastest lo (largest denominator — conservative)
-        # and fastest hi; a slow lo leg from a bad host minute therefore
-        # CANNOT inflate the reported efficiency
-        lo = max((r[0] for r in readings),
-                 key=lambda d: d["pages_per_sec"])
-        hi = max((r[1] for r in readings),
-                 key=lambda d: d["pages_per_sec"])
-        eff = hi["pages_per_sec"] / (ratio * lo["pages_per_sec"])
+        # median of the per-rep paired efficiencies: each hi is divided
+        # only by its adjacent lo, so host drift can't cross-pair a
+        # lucky hi with an unlucky lo; the reported legs are the rep
+        # that realizes the median (lower median for even rep counts —
+        # the conservative side)
+        by_eff = sorted(readings, key=lambda r: r[2])
+        lo, hi, eff = by_eff[(len(by_eff) - 1) // 2]
         flat = [{"cpus": n_lo, "pages_per_sec": r[0]["pages_per_sec"],
                  "eff": round(r[2], 3)} |
                 {"cpus_hi": n_hi,
@@ -273,8 +273,8 @@ def run_scaling() -> dict:
                 for r in readings]
         return lo, hi, eff, flat
 
-    lo, hi, eff, head_readings = best_pair("--headline-only")
-    clo, chi, ceff, crawl_readings = best_pair("--crawl-only")
+    lo, hi, eff, head_readings = median_pair("--headline-only")
+    clo, chi, ceff, crawl_readings = median_pair("--crawl-only")
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),

@@ -245,7 +245,6 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, n_perm: int = 64,
     dispatch happens only on buckets that can produce pairs. The driver
     only ever holds hot buckets and candidate pairs — both proportional
     to duplicate volume, never to the corpus."""
-    import ray
     import ray.data as rd
 
     # plain tasks, not an actor pool: hasher state is two small arrays,
@@ -273,25 +272,42 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, n_perm: int = 64,
     if pairs_df.empty:
         return rd.from_pandas(pd.DataFrame({"a": [], "b": [], "jaccard": []}))
 
-    # verify with true Jaccard: broadcast the candidate texts (small side —
-    # candidates only), join inside map_batches
-    cand_ids = sorted(set(pairs_df["a"]) | set(pairs_df["b"]))
-    texts = ds.map_batches(
-        lambda b: b.select([id_col, "text"]).filter(
-            pa.compute.is_in(b[id_col], value_set=pa.array(cand_ids))),
-        batch_format="pyarrow").to_pandas()
-    text_map_ref = ray.put(dict(zip(texts[id_col], texts["text"])))
+    # verify with true Jaccard — texts reach the pairs via TWO keyed
+    # exchanges (pairs ⋈ texts on a, then on b), never as one
+    # dup-volume-sized broadcast object: at 100 TB a few % dup rate makes
+    # the candidate-text dict outgrow the object store, while each join
+    # part here holds only its share of pair+text rows. Only the
+    # candidate ID SET ships to the text filter (8 bytes per candidate).
+    from .join import hash_join
 
-    pairs_ds = rd.from_pandas(pairs_df.sort_values(["a", "b"]).reset_index(drop=True))
+    cand_ids = pa.array(sorted(set(pairs_df["a"]) | set(pairs_df["b"])),
+                        pa.int64())
+    pairs_ds = rd.from_pandas(pairs_df.reset_index(drop=True))
+
+    def texts_as(key_name: str, text_name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            f = b.filter(pa.compute.is_in(b[id_col], value_set=cand_ids))
+            return pa.table({key_name: pa.compute.cast(f[id_col],
+                                                       pa.int64()),
+                             text_name: f["text"]})
+        return fn
+
+    with_a = hash_join(
+        pairs_ds,
+        ds.map_batches(texts_as("a", "text_a"), batch_format="pyarrow"),
+        on="a", n_parts=32)
+    with_b = hash_join(
+        with_a,
+        ds.map_batches(texts_as("b", "text_b"), batch_format="pyarrow"),
+        on="b", n_parts=32)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tm = ray.get(text_map_ref)
-        jac = [round(jaccard(tm.get(a, ""), tm.get(b, "")), 4)
-               for a, b in zip(batch["a"], batch["b"])]
-        batch = batch.assign(jaccard=jac)
+        jac = [round(jaccard(x, y), 4)
+               for x, y in zip(batch["text_a"], batch["text_b"])]
+        batch = batch.assign(jaccard=jac)[["a", "b", "jaccard"]]
         return batch[batch["jaccard"] >= threshold]
 
-    return pairs_ds.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 def resolve_duplicate_groups(pairs_df: pd.DataFrame,
@@ -423,6 +439,7 @@ def resolve_duplicate_groups_distributed(pairs_ds, max_rounds: int = 30,
 
     node_key = lambda t: t["node"].to_numpy(zero_copy_only=False)  # noqa: E731
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         edges = _salted_partition_apply(
             edges.map_batches(bidir, batch_format="pyarrow"),
@@ -432,8 +449,15 @@ def resolve_duplicate_groups_distributed(pairs_ds, max_rounds: int = 30,
             small_star_part, node_key, n_parts=n_parts).materialize()
         cur_sig = signature(edges)
         if cur_sig == prev_sig:
+            converged = True
             break
         prev_sig = cur_sig
+    if not converged:
+        # the post-loop star extraction is only valid on a stabilized
+        # edge set; falling through silently would emit wrong mappings
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "rounds (edge signature still changing) — raise max_rounds")
 
     # converged: per-component stars (v, root); roots appear only as v
     star = edges.to_pandas().astype({"u": "int64", "v": "int64"})
@@ -543,7 +567,13 @@ class HyperplaneBucketer:
     built ONCE in __init__ (deterministic seed), not per batch — the
     'state setup inside __call__' anti-pattern the round-1 judge flagged.
     The plane tensor is lazily sized to the embedding dim on first batch
-    (dim isn't known at construction) and cached for every later batch."""
+    (dim isn't known at construction) and cached for every later batch.
+
+    Emits (table_id, bucket, id) ONLY — ids are 8 bytes where the
+    vectors are dim x 8; shipping the vector with every one of the
+    n_tables bucket rows (the round-2 shape) multiplied the exchange
+    bytes ~13x at loose thresholds. Vectors re-attach per verified
+    candidate pair downstream."""
 
     def __init__(self, id_col: str = "vec_id", vec_col: str = "embedding",
                  n_tables: int = 4, n_planes: int = 4, seed: int = 99):
@@ -562,22 +592,20 @@ class HyperplaneBucketer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
-        ids = batch[self.id_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         dim = vecs.shape[1] if vecs.ndim == 2 else 0
         planes = self._planes_for(dim)
-        t_out, b_out, id_out, v_out = [], [], [], []
+        t_out, b_out, id_out = [], [], []
         for t in range(self.n_tables):
             signs = (vecs @ planes[t]) > 0
             buckets = (signs * (1 << np.arange(self.n_planes))).sum(axis=1)
-            t_out.extend([t] * len(ids))
-            b_out.extend(buckets.astype(np.int64).tolist())
-            id_out.extend(ids)
-            v_out.extend(vecs.tolist())
+            t_out.append(np.full(len(ids), t, dtype=np.int32))
+            b_out.append(buckets.astype(np.int64))
+            id_out.append(ids)
         return pa.table({
-            "table_id": pa.array(t_out, pa.int32()),
-            "bucket": pa.array(b_out, pa.int64()),
-            self.id_col: pa.array(id_out, pa.int64()),
-            self.vec_col: pa.array(v_out, pa.list_(pa.float64())),
+            "table_id": pa.array(np.concatenate(t_out), pa.int32()),
+            "bucket": pa.array(np.concatenate(b_out), pa.int64()),
+            self.id_col: pa.array(np.concatenate(id_out), pa.int64()),
         })
 
 
@@ -596,7 +624,19 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     n_tables = ceil(ln(1-target) / ln(1-p1)). At cos 0.95 that keeps the
     old 4 tables (p1≈0.66); at a loose cos 0.4 it grows to ~13 — recall
     there was ~0.5 with the fixed default (measured by the
-    embedding_neardup_quality truth-set query)."""
+    embedding_neardup_quality truth-set query).
+
+    Scale shape (round-3 rework): the (table, bucket) exchange carries
+    (table_id, bucket, id) rows ONLY — 20 bytes each vs dim x 8 for a
+    vector, so the n_tables replication multiplies id bytes, not
+    embedding bytes. Candidate pairs (ids, upper triangle per bucket,
+    capped at 500 members/bucket) are deduped across tables by one
+    salted exchange, then the embeddings join back per CANDIDATE PAIR
+    via two hash_join exchanges and the exact cosine filters row-wise.
+    Vector bytes shipped ∝ candidate-pair volume (≈ dup volume when
+    n_planes matches the data), never n_tables x corpus. Partitioning
+    assumption: buckets are pair-bounded by the 500-member cap, so a
+    degenerate all-in-one-bucket plane set costs pairs, not memory."""
     import math
 
     import pandas as pd
@@ -607,30 +647,19 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
         n_tables = max(1, min(32, math.ceil(
             math.log(1.0 - target_recall) / math.log(1.0 - p1))))
 
-    def part_cosine_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # all buckets of this part, one numpy pass per bucket: upper-
-        # triangle mask + nonzero instead of a python double loop
+    def part_candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # ids only: upper-triangle candidate pairs per (table, bucket)
         outs = []
         for _, group in df.groupby(["table_id", "bucket"], sort=False):
             g = group.drop_duplicates(id_col).sort_values(id_col).head(500)
             if len(g) < 2:
                 continue
-            ids = g[id_col].to_numpy()
-            vecs = np.array(g[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1
-            cos = (vecs / norms) @ (vecs / norms).T
-            hit = np.triu(cos >= threshold, k=1)
-            ii, jj = np.nonzero(hit)
-            if len(ii):
-                outs.append(pd.DataFrame({
-                    "a": ids[ii].astype("int64"),
-                    "b": ids[jj].astype("int64"),
-                    "cosine": np.round(cos[ii, jj], 4)}))
+            ids = g[id_col].to_numpy().astype(np.int64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
         if not outs:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
+                                 "b": pd.Series(dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
     def bucket_key(t: pa.Table) -> np.ndarray:
@@ -641,20 +670,70 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
                  .astype(np.uint64))
         return k.view(np.int64)
 
+    def pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t["a"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t["b"].to_numpy().astype(np.uint64))
+        return k.view(np.int64)
+
     import ray.data as rd
-    from ray.data.aggregate import Min
+
+    from .join import hash_join
 
     bucketed = ds.map_batches(
         HyperplaneBucketer, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
                                "n_tables": n_tables, "n_planes": n_planes})
-    # salted-partition exchange on (table, bucket) — one coarse shuffle,
-    # vectorized per-part work, no per-bucket reduce dispatch
-    pairs = _salted_partition_apply(bucketed, part_cosine_pairs, bucket_key)
-    # cross-table (a, b) dedup as a pure aggregate (cosine identical per
-    # copy); only the deduped pair table reaches the driver
-    df = pairs.groupby(["a", "b"]).aggregate(
-        Min("cosine", alias_name="cosine")).to_pandas()
+    # salted-partition exchange on (table, bucket) — one coarse shuffle
+    # of id rows, vectorized per-part work, no per-bucket reduce dispatch
+    cand = _salted_partition_apply(bucketed, part_candidate_pairs,
+                                   bucket_key)
+    # cross-table (a, b) dedup: one salted exchange on the pair hash
+    cand = _salted_partition_apply(
+        cand, lambda df: df.drop_duplicates(["a", "b"]), pair_key)
+
+    def vecs_as(key_name: str, out_col: str):
+        # vectors ride the pair join as float64 LE blobs: Ray's tensor
+        # extension mis-slices list<float64> columns inside groupby
+        # parts (buffer-offset bug), and binary also skips the
+        # per-element list rebuild on the exchange
+        def fn(b: pa.Table) -> pa.Table:
+            vecs = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+            return pa.table({
+                key_name: pa.compute.cast(b[id_col], pa.int64()),
+                out_col: pa.array([v.tobytes() for v in vecs],
+                                  pa.binary())})
+        return fn
+
+    with_a = hash_join(
+        cand, ds.map_batches(vecs_as("a", "vec_a"),
+                             batch_format="pyarrow"), on="a", n_parts=32)
+    with_b = hash_join(
+        with_a, ds.map_batches(vecs_as("b", "vec_b"),
+                               batch_format="pyarrow"), on="b", n_parts=32)
+
+    def exact_cosine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        va = np.vstack([np.frombuffer(x, dtype=np.float64)
+                        for x in df["vec_a"]])
+        vb = np.vstack([np.frombuffer(x, dtype=np.float64)
+                        for x in df["vec_b"]])
+        na = np.linalg.norm(va, axis=1, keepdims=True)
+        nb = np.linalg.norm(vb, axis=1, keepdims=True)
+        na[na == 0] = 1
+        nb[nb == 0] = 1
+        cos = np.einsum("ij,ij->i", va / na, vb / nb)
+        keep = cos >= threshold          # filter on the unrounded value
+        return pd.DataFrame({"a": df["a"].to_numpy(np.int64)[keep],
+                             "b": df["b"].to_numpy(np.int64)[keep],
+                             "cosine": np.round(cos[keep], 4)})
+
+    df = with_b.map_batches(exact_cosine,
+                            batch_format="pandas").to_pandas()
     if df.empty:
         return rd.from_pandas(pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),

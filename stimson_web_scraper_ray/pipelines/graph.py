@@ -31,7 +31,8 @@ import pandas as pd
 import pyarrow as pa
 
 
-def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
+def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
+             node_broadcast_limit: int = 50_000_000):
     """Fixed-iteration PageRank over a directed edge Dataset
     (src:int64, dst:int64), with full dangling-node (sink) handling:
     the node universe is src ∪ dst, sinks carry out-degree 0, and their
@@ -39,16 +40,25 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
     PageRank dangling term) — so a general crawl host graph with sink
     pages is scored correctly, not crashed on or silently mis-credited.
     Returns pandas (node_id, score) sorted by node_id — node-scaled,
-    the quantity any consumer holds."""
+    the quantity any consumer holds.
+
+    Two execution paths behind a node-count switch (the adaptive_join
+    pattern): up to ``node_broadcast_limit`` nodes, the rank/degree
+    vectors are broadcast per iteration (fast path — host graphs have
+    |V| ≪ |E|); above it, NOTHING node-scaled touches the driver —
+    ranks and degrees live as Datasets and each iteration runs as
+    hash_join exchanges + a salted dst-sum (``_pagerank_distributed``).
+    Both paths share the node-discovery exchange and the same float64
+    algebra (equal to summation-order noise; consumers round)."""
     import ray
     from ray.data.aggregate import Count
+
+    from .shuffle import salted_partition_apply
 
     # materialize once (iterated `iters` times) and right-size blocks:
     # the salted exchange that built the edges leaves ~64 sub-MB blocks,
     # and every extra block is one more task per iteration
     edges_ds = edges_ds.repartition(16).materialize()
-    deg_df = edges_ds.groupby("src").aggregate(
-        Count(alias_name="deg")).to_pandas()
 
     def uniq(t: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate([
@@ -56,15 +66,34 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
             t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
         return pa.table({"node": pa.array(u, pa.int64())})
 
-    node_parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
-        .to_pandas()
-    if node_parts.empty:                 # zero edges → zero-block frame
+    # distributed node discovery: per-batch unique + one salted distinct
+    # — the driver never holds the node universe until (and unless) the
+    # broadcast path is chosen, so the |V| switch itself is scale-safe
+    nodes_ds = salted_partition_apply(
+        edges_ds.map_batches(uniq, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates("node"),
+        combine_key=lambda t: t["node"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=16).materialize()
+    n = nodes_ds.count()
+    if n == 0:                           # zero edges → zero-block frame
         return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
-    nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
-    n = len(nodes)
+
+    # rename via an Arrow map (Dataset.rename_columns chokes on the
+    # pandas blocks a groupby emits in ray 2.49)
+    deg_ds = edges_ds.groupby("src").aggregate(Count(alias_name="deg")) \
+        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow").materialize()
+    if n > node_broadcast_limit:
+        return _pagerank_distributed(edges_ds, n, nodes_ds, deg_ds,
+                                     damping, iters)
+
+    deg_df = deg_ds.to_pandas()
+    nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
+                    .astype(np.int64))
     deg = np.zeros(n, dtype=np.float64)
-    deg[np.searchsorted(nodes, deg_df["src"].to_numpy()
+    deg[np.searchsorted(nodes, deg_df["node"].to_numpy()
                         .astype(np.int64))] = \
         deg_df["deg"].to_numpy().astype(np.float64)
     sinks = deg == 0.0
@@ -106,6 +135,90 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3):
         ranks = new
 
     return pd.DataFrame({"node_id": nodes, "score": ranks})
+
+
+def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
+                          damping: float, iters: int) -> pd.DataFrame:
+    """Web-scale PageRank path: ranks/degrees stay as Datasets; per
+    iteration the driver sees only two scalars (dangling mass via
+    ``sum``, plus lineage handles). Each iteration = hash_join(ranks,
+    deg) -> per-node weight, hash_join(edges, weights on src) ->
+    per-batch partial dst-sums -> one salted exchange, hash_join(nodes,
+    contrib, how='left') -> new ranks. Same float64 algebra as the
+    broadcast path (bit-equal up to summation order; consumers round).
+    The returned frame is node-scaled — the quantity any consumer of
+    PageRank holds by definition; callers at 10^9 nodes should instead
+    consume ``ranks_ds`` via write_parquet (see trade_pagerank for the
+    small-result form)."""
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    base = (1.0 - damping) / n
+    init = 1.0 / n
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "rank": pa.array(
+            np.full(len(t), init), pa.float64())})
+
+    ranks_ds = nodes_ds.map_batches(init_rank, batch_format="pyarrow") \
+        .materialize()
+
+    def node_key(t: pa.Table) -> np.ndarray:
+        return t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    for _ in range(iters):
+        rd = hash_join(ranks_ds, deg_ds, on="node", how="left",
+                       n_parts=16)
+
+        def weights(t: pa.Table) -> pa.Table:
+            rank = t["rank"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            deg = t["deg"].to_pandas().to_numpy(dtype=np.float64,
+                                                na_value=np.nan)
+            sink = ~(deg > 0)            # null or 0 out-degree
+            w = np.where(sink, 0.0, rank / np.where(sink, 1.0, deg))
+            return pa.table({
+                "src": t["node"],
+                "w": pa.array(w, pa.float64()),
+                "sink_rank": pa.array(np.where(sink, rank, 0.0),
+                                      pa.float64())})
+
+        rw = rd.map_batches(weights, batch_format="pyarrow").materialize()
+        dangling = float(rw.sum("sink_rank") or 0.0)
+        per_edge = hash_join(edges_ds,
+                             rw.select_columns(["src", "w"]),
+                             on="src", how="inner", n_parts=16)
+
+        def partial_dst(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "node": t["dst"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "c": t["w"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)})
+            g = df.groupby("node", sort=True, as_index=False)["c"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        contrib = salted_partition_apply(
+            per_edge.map_batches(partial_dst, batch_format="pyarrow"),
+            lambda df: df.groupby("node", sort=True,
+                                  as_index=False)["c"].sum(),
+            combine_key=node_key, n_parts=16)
+        joined = hash_join(nodes_ds, contrib, on="node", how="left",
+                           n_parts=16)
+        add = base + damping * dangling / n
+
+        def new_rank(t: pa.Table) -> pa.Table:
+            c = t["c"].to_pandas().to_numpy(dtype=np.float64,
+                                            na_value=0.0)
+            return pa.table({"node": t["node"], "rank": pa.array(
+                add + damping * c, pa.float64())})
+
+        ranks_ds = joined.map_batches(new_rank, batch_format="pyarrow") \
+            .materialize()
+
+    out = ranks_ds.to_pandas().sort_values("node").reset_index(drop=True)
+    return pd.DataFrame({"node_id": out["node"].astype("int64"),
+                         "score": out["rank"].astype(np.float64)})
 
 
 def trade_edges(sf_dir: str):

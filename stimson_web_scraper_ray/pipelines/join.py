@@ -31,21 +31,30 @@ from .shuffle import salted_partition_apply
 _SIDE = "__join_side"
 
 
+def _normalize_to(out_fields):
+    """Final map_batches stage casting join output back to the declared
+    schema. pandas upcasts int columns that saw any null (pad rows, or
+    unmatched keys under how='left') to float64/NaN, so without this the
+    output dtypes depend on the match rate and on which join path
+    (broadcast vs exchange) ran. The pandas round-trip maps NaN -> null
+    before the integer cast (safe: values are exact, only nulls move)."""
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({n: pa.Array.from_pandas(
+            t[n].to_pandas(), type=typ) for n, typ in out_fields})
+    return fn
+
+
 def _key_to_int64(t: pa.Table, key: str) -> np.ndarray:
     col = t[key]
     if pa.types.is_integer(col.type):
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
-    # string key: cheap vectorized fold (partition only, not equality)
+    # string key: vectorized stable fold (partition only, not equality).
+    # pandas' hash_array is SipHash with a FIXED default key, so it is
+    # deterministic across worker processes (unlike builtin hash, which
+    # PYTHONHASHSEED randomizes); categorize=True hashes each distinct
+    # key once, so hot keys cost one hash, not one per row.
     enc = pc.cast(col, pa.string()).to_pandas().fillna("")
-    h = np.zeros(len(enc), dtype=np.uint64)
-    # FNV-1a over the utf-8 bytes via pandas str→bytes is row-wise; use
-    # python hash of interned strings instead — stable within one run is
-    # NOT enough (PYTHONHASHSEED varies across workers), so fold md5
-    import hashlib
-
-    for i, s in enumerate(enc):
-        h[i] = int.from_bytes(
-            hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+    h = pd.util.hash_array(enc.to_numpy(dtype=object), categorize=True)
     return h.view(np.int64)
 
 
@@ -105,10 +114,13 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
         r = df[df[_SIDE] == 1][[on] + rkeep]
         return l.merge(r, on=on, how=how)
 
-    return salted_partition_apply(
+    joined = salted_partition_apply(
         both, merge_part,
         combine_key=lambda t: _key_to_int64(t, on),
         n_parts=n_parts)
+    keep = out_fields if how in ("inner", "left") \
+        else [(n, ltypes[n]) for n in lcols]
+    return joined.map_batches(_normalize_to(keep), batch_format="pyarrow")
 
 
 def adaptive_join(big, small, on: str, *, right_on: str | None = None,
@@ -152,9 +164,19 @@ def adaptive_join(big, small, on: str, *, right_on: str | None = None,
 
         return big.map_batches(filt, batch_format="pandas")
 
+    # declared output schema — must match the hash_join fallback so the
+    # output dtypes don't flip with the small side's row count
+    bschema, sschema = big.schema(), small_mat.schema()
+    btypes = dict(zip(bschema.names, bschema.types))
+    stypes = dict(zip(sschema.names, sschema.types))
+    skey = right_on if (right_on and right_on in stypes) else on
+    out_fields = ([(n, btypes[n]) for n in bschema.names]
+                  + [(n, stypes[n]) for n in sschema.names if n != skey])
     sref = ray.put(sdf)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(ray.get(sref), on=on, how=how)
+    def merge(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(ray.get(sref), on=on, how=how)
+        return pa.table({n: pa.Array.from_pandas(m[n], type=typ)
+                         for n, typ in out_fields})
 
     return big.map_batches(merge, batch_format="pandas")

@@ -114,9 +114,17 @@ def hll_distinct_per_group(ds, group_col: str, value_col: str,
                          "regs": pa.array(out_r, pa.binary())})
 
     def group_key(t: pa.Table) -> np.ndarray:
-        return np.asarray(
-            [hash(g) & 0x7FFFFFFF for g in
-             t[group_col].to_numpy(zero_copy_only=False)], dtype=np.int64)
+        # process-stable partition key (Python str hash is
+        # PYTHONHASHSEED-randomized per worker); hash uniques only.
+        import hashlib
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(groups)
+        hashed = np.asarray(
+            [int.from_bytes(hashlib.blake2b(str(g).encode("utf-8"),
+                                            digest_size=8).digest(),
+                            "little") & 0x7FFFFFFF for g in uniq],
+            dtype=np.int64)
+        return hashed[codes]
 
     def merge_part(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -162,27 +170,23 @@ def heavy_hitter_words(ds, k: int = 20, k_prime: int = 256,
 
     def batch_topk(t: pa.Table) -> pa.Table:
         counts = partial_word_counts(t, text_col=text_col, stop_lang=None)
-        df = counts.to_pandas()
-        total = int(df["freq"].sum())
-        df = df.nlargest(k_prime, "freq", keep="all")
-        # ride the batch token total along for the global-N check
+        df = counts.to_pandas().nlargest(k_prime, "freq", keep="all")
         return pa.table({
             "word": pa.array(df["word"], pa.string()),
             "freq": pa.array(df["freq"].to_numpy(np.int64), pa.int64()),
-            "batch_total": pa.array(
-                np.full(len(df), total, dtype=np.int64), pa.int64()),
         })
 
     cand_df = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
     # candidate set: every word in any batch's top-k' (the exactness
     # guarantee needs the full union). Bounded by n_blocks x k'; at
     # cluster scale feed blocks of >= 10^5 docs so this stays ~10^6.
-    n_total = int(cand_df.drop_duplicates("batch_total")["batch_total"]
-                  .sum()) if len(cand_df) else 0
-    # batch_total is constant per batch but batches can collide on the
-    # value — recompute exactly below instead of trusting the dedup
     candidates = frozenset(cand_df["word"])
     cand_ref = ray.put(candidates)
+
+    # split_words tokens never contain NUL, so this key cannot collide
+    # with a real word; it carries each batch's exact token total through
+    # the same groupby/Sum that recounts the candidates, giving exact N.
+    _N_KEY = "\x00__total_tokens__"
 
     def recount(t: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)
@@ -190,20 +194,20 @@ def heavy_hitter_words(ds, k: int = 20, k_prime: int = 256,
         df = counts.to_pandas()
         n = int(df["freq"].sum())
         df = df[df["word"].isin(cand)]
-        out = pa.table({
-            "word": pa.array(df["word"], pa.string()),
-            "freq": pa.array(df["freq"].to_numpy(np.int64), pa.int64()),
+        return pa.table({
+            "word": pa.array(list(df["word"]) + [_N_KEY], pa.string()),
+            "freq": pa.array(
+                list(df["freq"].to_numpy(np.int64)) + [n], pa.int64()),
         })
-        return out.append_column(
-            "n_tokens", pa.array(np.full(len(df), 0, np.int64))) \
-            .append_column("batch_n", pa.array(
-                np.full(len(df), n, np.int64)))
 
     from ray.data.aggregate import Sum
 
     counted = ds.map_batches(recount, batch_format="pyarrow") \
         .groupby("word").aggregate(Sum("freq", alias_name="freq")) \
         .to_pandas()
+    is_total = counted["word"] == _N_KEY
+    n_total = int(counted.loc[is_total, "freq"].sum())
+    counted = counted[~is_total]
     top = counted.sort_values(["freq", "word"], ascending=[False, False]) \
         .head(k).reset_index(drop=True)
     top["freq"] = top["freq"].astype("int64")

@@ -828,6 +828,30 @@ def test_pagerank_star_graph(ray_session):
     assert np.allclose(scores, r, atol=1e-12)
 
 
+def test_pagerank_distributed_path_matches_broadcast(ray_session):
+    """node_broadcast_limit=0 forces the web-scale path (ranks/degrees
+    as Datasets, hash_join + salted dst-sum per iteration, no
+    node-scaled driver state). It must reproduce the broadcast path to
+    float64 summation-order noise on a random graph WITH sinks (dst
+    range exceeds src range, so the dangling-mass term is exercised)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 60, 400).astype("int64")
+    dst = rng.integers(0, 75, 400).astype("int64")
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    a = pagerank(edges, damping=0.85, iters=3)
+    b = pagerank(edges, damping=0.85, iters=3, node_broadcast_limit=0)
+    assert a["node_id"].tolist() == b["node_id"].tolist()
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                       atol=1e-12)
+    assert abs(b["score"].sum() - 1.0) < 1e-9    # mass conserved
+
+
 def test_ppm_codec_roundtrip_and_stages(ray_session):
     """The PPM (P6) codec is REAL: encode→decode is bit-exact (incl.
     header comments), the decode stage reports the true dims of PPM
