@@ -42,9 +42,20 @@ class EngineConfig:
     # selection run as salted-partition Dataset ops — only the round
     # budget (<= round_budget rows) ever materializes on the driver. Same
     # algebra and same deterministic order as the pandas path (parity-
-    # tested crawl==sim); flip on when candidates/round outgrow driver
-    # memory (~10^6 rows).
-    distributed_planning: bool = False
+    # tested crawl==sim). DEFAULT ON (the scale-safe path), with a
+    # bounded fast path: rounds whose frontier fits planning_table_limit
+    # rows plan on the driver table instead — identical algebra, none of
+    # the spill/read-back fixed cost (~1 s/round at sandbox scale). Set
+    # planning_table_limit=0 to force the distributed machinery at any
+    # size (the parity tests do).
+    distributed_planning: bool = True
+    planning_table_limit: int = 200_000
+    # dynamic_dispatch: late-binding per-round work-unit dispatch instead
+    # of sticky LPT host pinning. Only legal with politeness_delay_s == 0
+    # (pinning exists for the politeness clocks). Helps small pools /
+    # skewed rounds (~10% at 4 cpus), hurts wide pools (fixed per-unit
+    # dispatch+probe cost) — measured in crawl.py's dispatch comment.
+    dynamic_dispatch: bool = False
     # indegree_priority scores each harvested candidate by how many
     # distinct fetched pages linked to it this round (citation count —
     # the classic crawl-ordering signal): priority = 1/(1+depth)

@@ -370,11 +370,20 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     # politeness than per-round pools could give.
     # cap by free CPUs: raw actors at num_cpus=1 would otherwise deadlock
     # on sessions smaller than extract_concurrency (the map_batches
-    # autoscaler used to absorb this)
+    # autoscaler used to absorb this). With distributed planning enabled
+    # a Dataset execution runs BETWEEN dispatches while the pool actors
+    # idle-but-reserve their CPUs — leave one CPU unreserved for it, or
+    # the planning exchange waits forever for a slot (observed: a 4-actor
+    # pool on a 4-CPU session wedged `_plan_round_distributed` at the
+    # first Sort). On a degenerate 1-CPU session the single worker is
+    # declared num_cpus=0 instead: our dispatch loop already bounds real
+    # concurrency at pool_size, the declaration only drives placement.
     avail_cpus = int(ray.available_resources().get("CPU", 1))
-    pool_size = max(1, min(cfg.extract_concurrency, avail_cpus))
+    reserve = 1 if cfg.distributed_planning else 0
+    pool_size = max(1, min(cfg.extract_concurrency, avail_cpus - reserve))
+    worker_cpus = 0 if (reserve and avail_cpus - reserve < 1) else 1
     worker_cls = ray.remote(CrawlRoundWorker)
-    pool = [worker_cls.options(num_cpus=1).remote(
+    pool = [worker_cls.options(num_cpus=worker_cpus).remote(
                 pages_path=pages_path, round_dir="", config=cfg,
                 politeness_delay_s=cfg.politeness_delay_s)
             for _ in range(pool_size)]
@@ -407,10 +416,19 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     # migrate between actors, resetting their politeness accounting)
     sticky: dict[int, int] = {}
     for rnd in range(start_round, max_rounds):
-        if cfg.distributed_planning:
+        # per-round path choice: the distributed machinery only earns its
+        # fixed cost (spill + read-back + extra exchanges, ~1 s/round)
+        # once the frontier outgrows the bounded driver planning table.
+        # Both paths compute the identical budget/frontier (parity-tested
+        # crawl==sim on each), so the switch is purely an execution-plan
+        # decision — the adaptive_join pattern applied to planning.
+        use_dist = cfg.distributed_planning and \
+            _frontier_rows(frontier) > cfg.planning_table_limit
+        if use_dist:
             budget, deferred = _plan_round_distributed(
                 _as_frontier_ds(frontier), cfg)
         else:
+            frontier = _as_frontier_df(frontier)
             if frontier.empty:
                 break
             budget, deferred = _plan_round(frontier, cfg)
@@ -449,7 +467,7 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         shutil.rmtree(round_dir, ignore_errors=True)
         os.makedirs(round_dir, exist_ok=True)
         cand_dir = None
-        if cfg.distributed_planning:
+        if use_dist:
             # candidate spill target (distributed planning): under the
             # checkpoint tree, NOT the articles tree, so article readers
             # never see planning rows
@@ -458,43 +476,79 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
             os.makedirs(cand_dir, exist_ok=True)
 
         # Route each (sub-)host group to one actor (politeness: a host's
-        # token bucket never spans actors within a round) with
-        # deterministic LPT bin-packing — largest group first onto the
-        # least-loaded actor. Naive part_key % pool hashing collided
-        # hosts into lumpy buckets (observed 9.7k rows on one actor, 23 on
-        # another → the round runs at straggler speed); LPT bounds the max
-        # bucket at ~total/pool as long as per_host_budget/salt_buckets
-        # keeps single groups small. The exact in-round dedup (D2) then
-        # happens on the driver's bounded planning table below; at a scale
-        # where candidates outgrow the driver this step becomes the
-        # groupby(url_hash) shuffle — same algebra, wider exchange.
+        # token bucket never spans actors within a round). Two dispatch
+        # modes:
+        #
+        # - dynamic_dispatch (requires politeness_delay_s == 0, where the
+        #   per-host clock is a no-op so host→actor pinning buys
+        #   nothing): LATE-BINDING dispatch — whole part_key groups
+        #   coalesced into ~total/(3·pool) work units, fed to whichever
+        #   actor frees up. Shrinks the round-barrier straggler tail from
+        #   one static-LPT bucket to one unit. Measured: ~10% faster at
+        #   4-cpu pools (tail dominates), ~10-30% slower at 16-32 cpus
+        #   (per-unit probe/dispatch fixed cost dominates) — hence
+        #   opt-in, for small pools or skewed page-size rounds. Results
+        #   are identical: units are whole host groups, every budget row
+        #   processed once, candidate sets/counts chunking-invariant
+        #   (per-page-unique harvest); parity-tested vs the simulator.
+        #
+        # - default: deterministic LPT with STICKY host pinning so a
+        #   host's politeness clock follows it across rounds (advisor
+        #   finding from round 1: per-round LPT let hosts migrate and
+        #   reset their accounting).
         groups = salted.groupby("part_key", sort=True)
         sizes = groups.size().sort_values(ascending=False, kind="mergesort")
-        loads = [0] * pool_size
-        assign: dict[int, int] = {}
-        # first honor sticky pins (and account their load) ...
-        for pk, sz in sizes.items():
-            aid = sticky.get(pk)
-            if aid is not None:
+        if cfg.dynamic_dispatch and cfg.politeness_delay_s == 0:
+            grp_by_key = dict(list(groups))
+            # unit size: ~1/3 of a static per-actor bucket (tail shrinks
+            # 3x), rounded up to the worker's 512-row probe chunk when
+            # above it (ragged units pay a full parquet range-probe for
+            # the remainder). NO absolute floor: a floor of 1024 made a
+            # 1024-row seed round ONE unit — one busy actor, fifteen
+            # idle (measured 3.2 s vs sub-second).
+            unit_target = -(-len(salted) // max(1, pool_size * 3))
+            if unit_target > 512:
+                unit_target = -(-unit_target // 512) * 512
+            units: list[list[pd.DataFrame]] = []
+            cur: list[pd.DataFrame] = []
+            cur_rows = 0
+            for pk in sizes.index:          # biggest groups first
+                grp = grp_by_key[pk]
+                if cur and cur_rows + len(grp) > unit_target:
+                    units.append(cur)
+                    cur, cur_rows = [], 0
+                cur.append(grp)
+                cur_rows += len(grp)
+            if cur:
+                units.append(cur)
+            plan_parts = _dispatch_units(pool, units, round_dir, cand_dir)
+        else:
+            loads = [0] * pool_size
+            assign: dict[int, int] = {}
+            # first honor sticky pins (and account their load) ...
+            for pk, sz in sizes.items():
+                aid = sticky.get(pk)
+                if aid is not None:
+                    assign[pk] = aid
+                    loads[aid] += int(sz)
+            # ... then LPT-pack only new keys onto least-loaded actors
+            for pk, sz in sizes.items():
+                if pk in assign:
+                    continue
+                aid = loads.index(min(loads))
                 assign[pk] = aid
                 loads[aid] += int(sz)
-        # ... then LPT-pack only the new keys onto the least-loaded actors
-        for pk, sz in sizes.items():
-            if pk in assign:
-                continue
-            aid = loads.index(min(loads))
-            assign[pk] = aid
-            loads[aid] += int(sz)
-        sticky.update(assign)
-        per_actor: dict[int, list] = {}
-        for pk, grp in groups:
-            per_actor.setdefault(assign[pk], []).append(grp)
-        refs = []
-        for aid in sorted(per_actor):
-            df = pd.concat(per_actor[aid], ignore_index=True)
-            tbl = pa.Table.from_pandas(df, preserve_index=False)
-            refs.append(pool[aid].process.remote(tbl, round_dir, cand_dir))
-        plan_parts = [t for t in ray.get(refs) if t.num_rows]
+            sticky.update(assign)
+            per_actor: dict[int, list] = {}
+            for pk, grp in groups:
+                per_actor.setdefault(assign[pk], []).append(grp)
+            refs = []
+            for aid in sorted(per_actor):
+                df = pd.concat(per_actor[aid], ignore_index=True)
+                tbl = pa.Table.from_pandas(df, preserve_index=False)
+                refs.append(pool[aid].process.remote(tbl, round_dir,
+                                                     cand_dir))
+            plan_parts = [t for t in ray.get(refs) if t.num_rows]
         if plan_parts:
             plan_df = pa.concat_tables(plan_parts).to_pandas()
         else:
@@ -575,7 +629,7 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
                 "priority": np.float32(1.5),
             })
 
-        if cfg.distributed_planning:
+        if use_dist:
             frontier_ds = _build_frontier_distributed(
                 cand_dir, deferred, redirects_df, fetched_hashes, shards,
                 cfg, depth)
@@ -620,6 +674,36 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     return total_fetched
 
 
+def _dispatch_units(pool, units, round_dir: str, cand_dir) -> list:
+    """Late-binding work-unit dispatch (zero-politeness mode): keep a
+    depth-2 call queue per actor, hand the next unit to whichever actor
+    completes one. Tail cost = one unit, not one static bucket."""
+    import ray
+
+    queue = list(units)
+    pending: dict = {}
+    plan_parts: list = []
+
+    def submit(aid: int) -> None:
+        if not queue:
+            return
+        df = pd.concat(queue.pop(0), ignore_index=True)
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        pending[pool[aid].process.remote(tbl, round_dir, cand_dir)] = aid
+
+    for aid in range(len(pool)):
+        submit(aid)
+    while pending:
+        done, _ = ray.wait(list(pending), num_returns=1)
+        for ref in done:
+            aid = pending.pop(ref)
+            t = ray.get(ref)
+            if t.num_rows:
+                plan_parts.append(t)
+            submit(aid)
+    return plan_parts
+
+
 def _as_frontier_ds(frontier):
     """Frontier as a Ray Dataset: a checkpoint parquet path (the steady
     state of distributed planning), a DataFrame (seeds / resume), or an
@@ -632,6 +716,43 @@ def _as_frontier_ds(frontier):
         return rd.from_arrow(pa.Table.from_pandas(
             frontier, schema=FRONTIER_SCHEMA, preserve_index=False))
     return frontier
+
+
+def _as_frontier_df(frontier) -> pd.DataFrame:
+    """Frontier as a driver DataFrame (the small-round fast path; callers
+    only take it when _frontier_rows is under planning_table_limit)."""
+    if isinstance(frontier, pd.DataFrame):
+        return frontier
+    if isinstance(frontier, str):
+        df = pq.read_table(frontier).to_pandas() if frontier.endswith(
+            ".parquet") and os.path.isfile(frontier) else None
+        if df is None:
+            import pyarrow.dataset as pads
+
+            df = pads.dataset(frontier, format="parquet").to_table() \
+                .to_pandas()
+    else:
+        df = frontier.to_pandas()
+    if not df.empty:
+        df = df.astype({"url_hash": "uint64", "depth": "int32",
+                        "priority": "float32"})
+    return df[list(FRONTIER_SCHEMA.names)] if len(df.columns) else df
+
+
+def _frontier_rows(frontier) -> int:
+    """Row count without materializing: len() for DataFrames, parquet
+    footer metadata for checkpoint paths, count() for Datasets (cheap on
+    the materialized deferred)."""
+    import glob as _glob
+
+    if isinstance(frontier, pd.DataFrame):
+        return len(frontier)
+    if isinstance(frontier, str):
+        if os.path.isfile(frontier):
+            return pq.read_metadata(frontier).num_rows
+        return sum(pq.read_metadata(f).num_rows for f in
+                   _glob.glob(os.path.join(frontier, "*.parquet")))
+    return frontier.count()
 
 
 def final_seen_hashes(ckpt_dir: str, rnd: int, n_shards: int) -> np.ndarray:

@@ -235,7 +235,8 @@ def _band_key(t: pa.Table) -> np.ndarray:
 
 
 def minhash_lsh_dedup(ds, threshold: float = 0.7, n_perm: int = 64,
-                      n_bands: int = 32, id_col: str = "doc_id"):
+                      n_bands: int = 32, id_col: str = "doc_id",
+                      broadcast_limit: int = 200_000):
     """Full LSH pipeline → verified duplicate pairs (a, b, jaccard ≥
     threshold). Returns a Dataset of pairs sorted by (a, b).
 
@@ -273,15 +274,38 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, n_perm: int = 64,
         return rd.from_pandas(pd.DataFrame({"a": [], "b": [], "jaccard": []}))
 
     # verify with true Jaccard — texts reach the pairs via TWO keyed
-    # exchanges (pairs ⋈ texts on a, then on b), never as one
-    # dup-volume-sized broadcast object: at 100 TB a few % dup rate makes
-    # the candidate-text dict outgrow the object store, while each join
-    # part here holds only its share of pair+text rows. Only the
-    # candidate ID SET ships to the text filter (8 bytes per candidate).
+    # exchanges when the candidate set is too big to broadcast, one
+    # ray.put otherwise — the runtime broadcast-vs-exchange switch
+    # (adaptive_join pattern). At 100 TB a few % dup rate makes the
+    # candidate-text dict outgrow the object store, so the scale path
+    # joins texts to the pairs per part (pairs ⋈ texts on a, then on b);
+    # under the limit the broadcast path skips two full corpus scans and
+    # two exchanges (measured 14 s -> <1 s at sf0.1).
+    import ray
+
     from .join import hash_join
 
-    cand_ids = pa.array(sorted(set(pairs_df["a"]) | set(pairs_df["b"])),
-                        pa.int64())
+    cand_id_set = set(pairs_df["a"]) | set(pairs_df["b"])
+    cand_ids = pa.array(sorted(cand_id_set), pa.int64())
+
+    if len(cand_id_set) <= broadcast_limit:
+        texts = ds.map_batches(
+            lambda b: b.select([id_col, "text"]).filter(
+                pa.compute.is_in(b[id_col], value_set=cand_ids)),
+            batch_format="pyarrow").to_pandas()
+        text_map_ref = ray.put(dict(zip(texts[id_col], texts["text"])))
+        pairs_srt = rd.from_pandas(
+            pairs_df.sort_values(["a", "b"]).reset_index(drop=True))
+
+        def verify_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            tm = ray.get(text_map_ref)
+            jac = [round(jaccard(tm.get(a, ""), tm.get(b, "")), 4)
+                   for a, b in zip(batch["a"], batch["b"])]
+            batch = batch.assign(jaccard=jac)
+            return batch[batch["jaccard"] >= threshold]
+
+        return pairs_srt.map_batches(verify_bcast, batch_format="pandas")
+
     pairs_ds = rd.from_pandas(pairs_df.reset_index(drop=True))
 
     def texts_as(key_name: str, text_name: str):
@@ -612,7 +636,8 @@ class HyperplaneBucketer:
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             n_tables: int | None = None, n_planes: int = 4,
-                            target_recall: float = 0.9):
+                            target_recall: float = 0.9,
+                            broadcast_limit_bytes: int = 256 << 20):
     """Near-dup by embedding cosine ≥ threshold: multi-table random-
     hyperplane LSH (n_tables independent tables of n_planes sign bits) →
     per-bucket exact cosine → dedup pairs. Shuffle key is (table,
@@ -629,14 +654,24 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     Scale shape (round-3 rework): the (table, bucket) exchange carries
     (table_id, bucket, id) rows ONLY — 20 bytes each vs dim x 8 for a
     vector, so the n_tables replication multiplies id bytes, not
-    embedding bytes. Candidate pairs (ids, upper triangle per bucket,
-    capped at 500 members/bucket) are deduped across tables by one
-    salted exchange, then the embeddings join back per CANDIDATE PAIR
-    via two hash_join exchanges and the exact cosine filters row-wise.
-    Vector bytes shipped ∝ candidate-pair volume (≈ dup volume when
-    n_planes matches the data), never n_tables x corpus. Partitioning
-    assumption: buckets are pair-bounded by the 500-member cap, so a
-    degenerate all-in-one-bucket plane set costs pairs, not memory."""
+    embedding bytes (the round-2 shape shipped the full vector with
+    every one of the ~13 bucket rows at loose thresholds). Vectors then
+    reach the per-bucket exact-cosine step through a runtime
+    broadcast-vs-stream switch:
+
+    - corpus matrix under ``broadcast_limit_bytes`` (float32): ONE
+      ``ray.put`` of the (ids, matrix) pair, per-part lookup by
+      searchsorted, per-bucket matmul — zero vector bytes through the
+      exchange, O(bucket² · dim) flops, no pair materialization.
+    - above it: candidate id pairs (upper triangle per bucket, capped at
+      500 members/bucket) dedup across tables via one salted exchange,
+      then embeddings join back per CANDIDATE PAIR via two hash_join
+      exchanges and a row-wise exact cosine. Vector bytes ∝ candidate
+      pair volume — which is ∝ dup volume precisely when n_planes is
+      sized for the corpus (at 10^9 vectors you run 16+ planes, so
+      buckets are near-singleton); a coarse plane count on a big corpus
+      pays quadratic pair volume, which is the honest cost of
+      mis-sizing the index."""
     import math
 
     import pandas as pd
@@ -647,8 +682,88 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
         n_tables = max(1, min(32, math.ceil(
             math.log(1.0 - target_recall) / math.log(1.0 - p1))))
 
+    import ray
+    import ray.data as rd
+
+    def bucket_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t["bucket"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t["table_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64))
+        return k.view(np.int64)
+
+    bucketed = ds.map_batches(
+        HyperplaneBucketer, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
+                               "n_tables": n_tables, "n_planes": n_planes})
+
+    # size probe: one streamed pass over ids + dim (no vector bytes held)
+    first = ds.take(1)
+    dim = len(first[0][vec_col]) if first else 0
+    n_vecs = ds.count()
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
+    if n_vecs == 0:
+        return rd.from_pandas(empty)
+
+    if n_vecs * dim * 4 <= broadcast_limit_bytes:
+        # ---- broadcast path: per-bucket matmul, zero vector exchange ----
+        vt = ds.map_batches(
+            lambda b: pa.table({
+                id_col: pa.compute.cast(b[id_col], pa.int64()),
+                "blob": pa.array(
+                    [np.asarray(v, dtype=np.float32).tobytes()
+                     for v in b[vec_col].to_pylist()], pa.binary())}),
+            batch_format="pyarrow").to_pandas().sort_values(id_col)
+        ids_all = vt[id_col].to_numpy().astype(np.int64)
+        mat = np.vstack([np.frombuffer(x, dtype=np.float32)
+                         for x in vt["blob"]]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        mref = ray.put((ids_all, mat / norms))
+
+        def part_cosine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            rids, rmat = ray.get(mref)
+            outs = []
+            for _, group in df.groupby(["table_id", "bucket"], sort=False):
+                g = group.drop_duplicates(id_col).sort_values(id_col) \
+                    .head(500)
+                if len(g) < 2:
+                    continue
+                ids = g[id_col].to_numpy().astype(np.int64)
+                vecs = rmat[np.searchsorted(rids, ids)]
+                cos = vecs @ vecs.T
+                hit = np.triu(cos >= threshold, k=1)
+                ii, jj = np.nonzero(hit)
+                if len(ii):
+                    outs.append(pd.DataFrame({
+                        "a": ids[ii], "b": ids[jj],
+                        "cosine": np.round(cos[ii, jj], 4)}))
+            if not outs:
+                return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                     "b": pd.Series(dtype="int64"),
+                                     "cosine": pd.Series(dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+        pairs = _salted_partition_apply(bucketed, part_cosine_pairs,
+                                        bucket_key)
+        # cross-table (a, b) dedup as a pure aggregate (cosine identical
+        # per copy); only the deduped pair table reaches the driver
+        from ray.data.aggregate import Min
+
+        df = pairs.groupby(["a", "b"]).aggregate(
+            Min("cosine", alias_name="cosine")).to_pandas()
+        if df.empty:
+            return rd.from_pandas(empty)
+        return rd.from_pandas(df.sort_values(["a", "b"])
+                              .reset_index(drop=True))
+
+    # ---- stream path: candidate pairs + per-pair vector join ----
+    from .join import hash_join
+
     def part_candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # ids only: upper-triangle candidate pairs per (table, bucket)
         outs = []
         for _, group in df.groupby(["table_id", "bucket"], sort=False):
             g = group.drop_duplicates(id_col).sort_values(id_col).head(500)
@@ -662,14 +777,6 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
                                  "b": pd.Series(dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    def bucket_key(t: pa.Table) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            k = (t["bucket"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + t["table_id"].to_numpy(zero_copy_only=False)
-                 .astype(np.uint64))
-        return k.view(np.int64)
-
     def pair_key(t: pa.Table) -> np.ndarray:
         with np.errstate(over="ignore"):
             k = (t["a"].to_numpy().astype(np.uint64)
@@ -677,16 +784,6 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
                  + t["b"].to_numpy().astype(np.uint64))
         return k.view(np.int64)
 
-    import ray.data as rd
-
-    from .join import hash_join
-
-    bucketed = ds.map_batches(
-        HyperplaneBucketer, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
-                               "n_tables": n_tables, "n_planes": n_planes})
-    # salted-partition exchange on (table, bucket) — one coarse shuffle
-    # of id rows, vectorized per-part work, no per-bucket reduce dispatch
     cand = _salted_partition_apply(bucketed, part_candidate_pairs,
                                    bucket_key)
     # cross-table (a, b) dedup: one salted exchange on the pair hash
@@ -735,9 +832,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     df = with_b.map_batches(exact_cosine,
                             batch_format="pandas").to_pandas()
     if df.empty:
-        return rd.from_pandas(pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "cosine": pd.Series(dtype="float64")}))
+        return rd.from_pandas(empty)
     return rd.from_pandas(df.sort_values(["a", "b"]).reset_index(drop=True))
 
 
@@ -749,7 +844,7 @@ _WORD_SPLIT = None  # compiled lazily per worker
 def _word_ngrams(text: str, n: int = 3) -> set[str]:
     """Distinct word n-grams of lower(text) split on [^a-z0-9_]+ — the
     tokenization is shared verbatim with the DuckDB oracle in
-    __ray_entry__.oracle_sql()['ngram_jaccard_pairs']."""
+    __ray_entry__.oracle_sql_all()['ngram_jaccard_pairs']."""
     global _WORD_SPLIT
     if _WORD_SPLIT is None:
         import re

@@ -18,7 +18,7 @@ runs as a `hash_join(edges, ranks, on=src)` exchange per iteration —
 the broadcast is a size-triggered optimization, not a structural
 assumption.
 
-The oracle in `__ray_entry__.oracle_sql()["trade_pagerank"]` re-derives
+The oracle in `__ray_entry__.oracle_sql_all()["trade_pagerank_undirected"]` re-derives
 the same fixed-iteration scores with chained SQL CTEs (one join+groupby
 per iteration), so every float is checked against an independent
 implementation.
@@ -66,19 +66,31 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
         return pa.table({"node": pa.array(u, pa.int64())})
 
-    # distributed node discovery: per-batch unique + one salted distinct
-    # — the driver never holds the node universe until (and unless) the
-    # broadcast path is chosen, so the |V| switch itself is scale-safe
-    nodes_ds = salted_partition_apply(
-        edges_ds.map_batches(uniq, batch_format="pyarrow"),
-        lambda df: df.drop_duplicates("node"),
-        combine_key=lambda t: t["node"].to_numpy(
-            zero_copy_only=False).astype(np.int64),
-        n_parts=16).materialize()
-    n = nodes_ds.count()
-    if n == 0:                           # zero edges → zero-block frame
+    # node discovery + the |V| switch, scale-safely: |V| <= 2|E|, and the
+    # edge count is free off the materialized Dataset — when even that
+    # bound fits the broadcast limit, per-batch uniques concatenate on
+    # the driver directly (bounded by the same limit; skips one salted
+    # exchange, ~1.4 s at sf0.1). Only when the BOUND overflows does the
+    # distinct run as a distributed exchange and the driver see nothing
+    # node-scaled before choosing the path.
+    n_edges = edges_ds.count()
+    if n_edges == 0:
         return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
+    nodes_ds = None
+    if 2 * n_edges <= node_broadcast_limit:
+        node_parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
+            .to_pandas()
+        nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
+        n = len(nodes)
+    else:
+        nodes_ds = salted_partition_apply(
+            edges_ds.map_batches(uniq, batch_format="pyarrow"),
+            lambda df: df.drop_duplicates("node"),
+            combine_key=lambda t: t["node"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            n_parts=16).materialize()
+        n = nodes_ds.count()
 
     # rename via an Arrow map (Dataset.rename_columns chokes on the
     # pandas blocks a groupby emits in ray 2.49)
@@ -88,10 +100,11 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     if n > node_broadcast_limit:
         return _pagerank_distributed(edges_ds, n, nodes_ds, deg_ds,
                                      damping, iters)
+    if nodes_ds is not None:             # discovered distributed, but |V|
+        nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
+                        .astype(np.int64))   # fits: pull for broadcast
 
     deg_df = deg_ds.to_pandas()
-    nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
-                    .astype(np.int64))
     deg = np.zeros(n, dtype=np.float64)
     deg[np.searchsorted(nodes, deg_df["node"].to_numpy()
                         .astype(np.int64))] = \

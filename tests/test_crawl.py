@@ -142,9 +142,13 @@ def test_distributed_planning_parity(ray_session, pages_path, seeds,
     the driver-pandas path (and hence the simulator) round for round."""
     import dataclasses
 
-    cfg_p = dataclasses.replace(CFG, round_budget=60)
+    cfg_p = dataclasses.replace(CFG, round_budget=60,
+                                distributed_planning=False)
+    # planning_table_limit=0 forces the distributed machinery even at
+    # sandbox scale (the default fast path would plan on the driver)
     cfg_d = dataclasses.replace(CFG, round_budget=60,
-                                distributed_planning=True)
+                                distributed_planning=True,
+                                planning_table_limit=0)
     out_p = str(tmp_path_factory.mktemp("crawl_pandas_small"))
     out_d = str(tmp_path_factory.mktemp("crawl_dist_small"))
     res_p = crawl(pages_path, seeds, cfg_p, out_dir=out_p, max_rounds=3)
@@ -155,6 +159,28 @@ def test_distributed_planning_parity(ray_session, pages_path, seeds,
     seen_p = final_seen_hashes(res_p.checkpoint_dir, 2, cfg_p.seen_shards)
     seen_d = final_seen_hashes(res_d.checkpoint_dir, 2, cfg_d.seen_shards)
     assert np.array_equal(seen_p, seen_d)
+
+
+def test_dynamic_dispatch_parity(ray_session, pages_path, seeds,
+                                 tmp_path_factory):
+    """cfg.dynamic_dispatch replaces sticky LPT pinning with late-binding
+    work-unit dispatch (legal at politeness_delay_s == 0). Unit
+    boundaries must not change WHAT is crawled: rounds and final seen
+    set identical to the pinned path (and hence the simulator)."""
+    import dataclasses
+
+    cfg_s = dataclasses.replace(CFG, round_budget=60)
+    cfg_d = dataclasses.replace(CFG, round_budget=60,
+                                dynamic_dispatch=True)
+    out_s = str(tmp_path_factory.mktemp("crawl_sticky"))
+    out_d = str(tmp_path_factory.mktemp("crawl_dyn"))
+    res_s = crawl(pages_path, seeds, cfg_s, out_dir=out_s, max_rounds=3)
+    res_d = crawl(pages_path, seeds, cfg_d, out_dir=out_d, max_rounds=3)
+    assert res_s.pages_fetched == res_d.pages_fetched
+    assert _round_urls(res_s.articles_path) == _round_urls(res_d.articles_path)
+    seen_s = final_seen_hashes(res_s.checkpoint_dir, 2, CFG.seen_shards)
+    seen_d = final_seen_hashes(res_d.checkpoint_dir, 2, CFG.seen_shards)
+    assert np.array_equal(seen_s, seen_d)
 
 
 def test_indegree_priority_matches_simulator(ray_session, pages_path,
@@ -178,7 +204,9 @@ def test_indegree_priority_matches_simulator(ray_session, pages_path,
 
     for dist in (False, True):
         cfg = EngineConfig(indegree_priority=True,
-                           distributed_planning=dist, **base_kw)
+                           distributed_planning=dist,
+                           planning_table_limit=0 if dist else 200_000,
+                           **base_kw)
         out = str(tmp_path_factory.mktemp(f"crawl_indeg_{dist}"))
         res = crawl(pages_path, seeds_l, cfg, out_dir=out, max_rounds=3)
         engine_rounds = _round_urls(res.articles_path)

@@ -147,7 +147,20 @@ def test_reference_fixture_corpus_budget():
         if os.path.exists(hf):
             pairs.append((hf, tf))
     assert len(pairs) == 145
-    exact = 0
+    # the 25 accepted misses (forensics in CONFORMANCE.md: 20 sentinel
+    # goldens + 5 golden-era-artifact cases). A NEW name in the miss set
+    # is a regression even if the count still clears 120.
+    known_misses = {
+        "apartmenttherapy.com1", "apartmenttherapy.com2", "backstage.com1",
+        "bhg.com1", "bostonherald.com1", "cricket.com.au2",
+        "dailystar.co.uk1", "dailystar.co.uk2", "newyorker.com1",
+        "pixable.com1", "pixable.com2", "pixelmonkey.org1",
+        "pixelmonkey.org2", "readwrite.com1", "recipe.com1", "slate.com1",
+        "theatlantic.com1", "thedebrief.co.uk1", "thedebrief.co.uk2",
+        "thekitchn.com1", "thekitchn.com2", "thenextweb.com1",
+        "theroot.com1", "wetpaint.com1", "wetpaint.com2",
+    }
+    misses = []
     for hf, tf in pairs:
         with open(hf, "rb") as f:
             html = f.read()
@@ -158,9 +171,12 @@ def test_reference_fixture_corpus_budget():
                 html, url="http://" + os.path.basename(hf)[:-5] + "/x")["text"]
         except Exception:
             got = ""
-        if got.strip() == golden.strip():
-            exact += 1
+        if got.strip() != golden.strip():
+            misses.append(os.path.basename(hf)[:-5])
+    exact = len(pairs) - len(misses)
     assert exact >= 120, f"fixture regression: only {exact}/145 byte-exact"
+    new = sorted(set(misses) - known_misses)
+    assert not new, f"NEW fixture misses (kernel regression): {new}"
 
 
 def test_thai_fulltext_extract():

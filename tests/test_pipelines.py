@@ -88,6 +88,33 @@ def test_embedding_neardup_planted(ray_session):
         assert row["cosine"] >= 0.98
 
 
+def test_embedding_neardup_stream_path_matches_broadcast(ray_session,
+                                                         sf_dir):
+    """broadcast_limit_bytes=0 forces the 100-TB stream path (ids-only
+    bucket exchange, candidate-pair dedup, per-pair vector joins); it
+    must emit exactly the broadcast path's (a, b, cosine) rows."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    bcast = dedup.embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
+    stream = dedup.embedding_neardup_pairs(
+        ds, threshold=0.4, broadcast_limit_bytes=0).to_pandas()
+    pd.testing.assert_frame_equal(bcast, stream)
+    assert len(bcast) > 0
+
+
+def test_minhash_verify_join_path_matches_broadcast(ray_session, sf_dir):
+    """broadcast_limit=0 forces the minhash verify's per-part text-join
+    path; pairs and jaccard values must match the broadcast verify."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = dedup.minhash_lsh_dedup(ds, threshold=0.5).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    b = dedup.minhash_lsh_dedup(ds, threshold=0.5, broadcast_limit=0) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_embedding_neardup_recall_vs_exact(ray_session, sf_dir):
     # auto-tuned table count must hold the theory-derived recall target
     # against the EXACT blocked all-pairs truth at a loose threshold
