@@ -36,6 +36,12 @@ BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "16"))
 # the scaling criterion uses a larger table so per-process fixed costs
 # (actor startup, read/write tails) amortize at both parallelism levels
 SCALING_COPIES = int(os.environ.get("GRAFT_SCALING_COPIES", "48"))
+# the crawl half keeps the same table: a larger one does NOT amortize
+# its fixed costs (measured at 96 copies: reachable pages grow only ~7%
+# — the crawl is budget/fanout-bound — while probe spans double, so
+# throughput DROPS ~20%)
+SCALING_CRAWL_COPIES = int(os.environ.get("GRAFT_SCALING_CRAWL_COPIES",
+                                          "48"))
 # N and 4N parallelism levels for --scaling. Default 4→16: at 27+ busy
 # workers this box saturates shared hardware (per-core throughput drops
 # ~25% from 8→32 active cores with *identical* code — measured with both
@@ -229,7 +235,7 @@ def run_scaling() -> dict:
     cross-pairing of best legs inflated the estimate under drift; the
     round-2 advisor flagged it). All raw readings ship under
     "readings" for transparency."""
-    # build the pages cache OUTSIDE both timed subprocesses
+    # build the pages caches OUTSIDE both timed subprocesses
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -237,11 +243,14 @@ def run_scaling() -> dict:
     from stimson_web_scraper_ray.sources.pages import pages_path_for
 
     pages_path_for(SF_DIR, copies=SCALING_COPIES)
+    pages_path_for(SF_DIR, copies=SCALING_CRAWL_COPIES)
     ray.shutdown()
 
     def run(ncpu: int, mode: str) -> dict:
+        copies = (SCALING_CRAWL_COPIES if mode == "--crawl-only"
+                  else SCALING_COPIES)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_COPIES=str(SCALING_COPIES))
+                   GRAFT_BENCH_COPIES=str(copies))
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
                               mode],
                              env=env, capture_output=True, text=True,

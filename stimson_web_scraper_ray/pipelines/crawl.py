@@ -313,6 +313,62 @@ def _checkpoint_round(ckpt_dir: str, rnd: int, frontier, shards,
     return fpath
 
 
+def _checkpoint_round_async(ckpt_dir: str, rnd: int,
+                            frontier: pd.DataFrame, shards,
+                            metrics: pd.DataFrame):
+    """Driver-planning checkpoint off the critical path: nothing in-run
+    reads a driver-path checkpoint (the frontier stays in memory), so the
+    durability writes overlap the next round's planning+fetch. The shard
+    ``snapshot`` calls are invoked HERE, on the caller thread — actor
+    queues are FIFO per caller, so each snapshot captures the seen set at
+    this round boundary, before any next-round insert reaches the shard.
+    The worker thread only waits on those refs and writes files; _SUCCESS
+    still lands only after every part is durable (resume semantics
+    unchanged). Returns a handle with .join() that re-raises any write
+    error."""
+    import threading
+
+    import ray
+
+    rdir = os.path.join(ckpt_dir, f"round={rnd}")
+    os.makedirs(rdir, exist_ok=True)
+    snap_refs = [
+        s.snapshot.remote(os.path.join(rdir, f"seen_shard_{i}.parquet"))
+        for i, s in enumerate(shards)]
+    err: list[BaseException] = []
+
+    # snapshot the frames as Arrow ON THE CALLER THREAD: the next round
+    # may mutate / rebind the pandas objects while the writer runs
+    frontier_tbl = pa.Table.from_pandas(frontier, schema=FRONTIER_SCHEMA,
+                                        preserve_index=False)
+    metrics_tbl = pa.Table.from_pandas(metrics, preserve_index=False)
+    n_rows = len(frontier)
+
+    def run() -> None:
+        try:
+            pq.write_table(frontier_tbl,
+                           os.path.join(rdir, "frontier.parquet"))
+            ray.get(snap_refs)
+            pq.write_table(metrics_tbl,
+                           os.path.join(rdir, "metrics.parquet"))
+            with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
+                f.write(json.dumps({"round": rnd,
+                                    "frontier_rows": n_rows}))
+        except BaseException as e:          # surfaced on join()
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    class _Handle:
+        def join(self) -> None:
+            t.join()
+            if err:
+                raise err[0]
+
+    return _Handle()
+
+
 def _find_resume_round(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None
@@ -333,6 +389,13 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     import shutil
 
     cfg = cfg or EngineConfig()
+    if cfg.dynamic_dispatch and cfg.politeness_delay_s != 0:
+        # fail fast instead of silently falling back to sticky pinning:
+        # late-binding dispatch migrates host groups between actors,
+        # which would reset their politeness clocks mid-crawl
+        raise ValueError(
+            "dynamic_dispatch requires politeness_delay_s == 0 "
+            f"(got {cfg.politeness_delay_s})")
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     articles_dir = os.path.join(out_dir, "articles")
     if not resume:
@@ -372,18 +435,22 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     # on sessions smaller than extract_concurrency (the map_batches
     # autoscaler used to absorb this). With distributed planning enabled
     # a Dataset execution runs BETWEEN dispatches while the pool actors
-    # idle-but-reserve their CPUs — leave one CPU unreserved for it, or
-    # the planning exchange waits forever for a slot (observed: a 4-actor
-    # pool on a 4-CPU session wedged `_plan_round_distributed` at the
-    # first Sort). On a degenerate 1-CPU session the single worker is
-    # declared num_cpus=0 instead: our dispatch loop already bounds real
-    # concurrency at pool_size, the declaration only drives placement.
+    # idle — if they RESERVED every CPU the planning exchange would wait
+    # forever for a slot (observed: a 4-actor num_cpus=1 pool on a 4-CPU
+    # session wedged `_plan_round_distributed` at the first Sort). So
+    # under distributed planning the pool declares num_cpus=0: planning
+    # Datasets see the whole session, the pool keeps full fetch
+    # parallelism (real concurrency is bounded by pool_size — one
+    # process() call per actor — not by the declaration), and the two
+    # phases never overlap within a round. SPREAD placement keeps the
+    # declared-zero actors even across nodes, where the default policy
+    # would pack them onto one.
     avail_cpus = int(ray.available_resources().get("CPU", 1))
-    reserve = 1 if cfg.distributed_planning else 0
-    pool_size = max(1, min(cfg.extract_concurrency, avail_cpus - reserve))
-    worker_cpus = 0 if (reserve and avail_cpus - reserve < 1) else 1
+    pool_size = max(1, min(cfg.extract_concurrency, avail_cpus))
     worker_cls = ray.remote(CrawlRoundWorker)
-    pool = [worker_cls.options(num_cpus=worker_cpus).remote(
+    opts = ({"num_cpus": 0, "scheduling_strategy": "SPREAD"}
+            if cfg.distributed_planning else {"num_cpus": 1})
+    pool = [worker_cls.options(**opts).remote(
                 pages_path=pages_path, round_dir="", config=cfg,
                 politeness_delay_s=cfg.politeness_delay_s)
             for _ in range(pool_size)]
@@ -410,12 +477,30 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     import shutil
 
     total_fetched = 0
+    # SWSR_PHASE_LOG=1: per-round phase wall times on stderr — the
+    # profiling hook behind the round-barrier scaling work (the serial
+    # driver fraction is the Amdahl term that caps crawl efficiency)
+    import sys as _sys
+    import time as _time
+    phase_log = os.environ.get("SWSR_PHASE_LOG") == "1"
     # sticky host→actor map: a part_key keeps its actor across rounds so
     # the per-actor politeness clock follows the host; LPT below packs
     # only keys not yet pinned (advisor finding: per-round LPT let hosts
     # migrate between actors, resetting their politeness accounting)
     sticky: dict[int, int] = {}
+    # ≤1 outstanding async checkpoint (driver path): joined before the
+    # next round's checkpoint and on every exit, so failures surface and
+    # checkpoints stay ordered
+    ckpt_pending = None
     for rnd in range(start_round, max_rounds):
+        _ph: dict[str, float] = {}
+        _t0 = _time.perf_counter()
+
+        def _stamp(name: str) -> None:
+            nonlocal _t0
+            now = _time.perf_counter()
+            _ph[name] = round(_ph.get(name, 0.0) + now - _t0, 3)
+            _t0 = now
         # per-round path choice: the distributed machinery only earns its
         # fixed cost (spill + read-back + extra exchanges, ~1 s/round)
         # once the frontier outgrows the bounded driver planning table.
@@ -432,14 +517,21 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
             if frontier.empty:
                 break
             budget, deferred = _plan_round(frontier, cfg)
+        _stamp("plan")
         if budget.empty:
             break
 
         # drop anything already fetched; mark the rest seen (fetch intent)
         new_mask = _seen_check(shards, budget["url_hash"].to_numpy(), insert=True)
         budget = budget[new_mask].reset_index(drop=True)
+        _stamp("seen")
         if budget.empty:
-            frontier = deferred
+            # dist-path deferred is a LAZY Dataset chain; materialize it
+            # before it becomes the frontier, or next round's row-count
+            # probe and the planning pass would each re-execute the
+            # whole filter pipeline
+            frontier = (deferred.materialize()
+                        if hasattr(deferred, "materialize") else deferred)
             continue
 
         # skew detection for the fetch partitioning (north rule salting).
@@ -498,6 +590,7 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         #   reset their accounting).
         groups = salted.groupby("part_key", sort=True)
         sizes = groups.size().sort_values(ascending=False, kind="mergesort")
+        _stamp("pack")
         if cfg.dynamic_dispatch and cfg.politeness_delay_s == 0:
             grp_by_key = dict(list(groups))
             # unit size: ~1/3 of a static per-actor bucket (tail shrinks
@@ -543,12 +636,25 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
             for pk, grp in groups:
                 per_actor.setdefault(assign[pk], []).append(grp)
             refs = []
+            ref_load = {}
             for aid in sorted(per_actor):
                 df = pd.concat(per_actor[aid], ignore_index=True)
                 tbl = pa.Table.from_pandas(df, preserve_index=False)
-                refs.append(pool[aid].process.remote(tbl, round_dir,
-                                                     cand_dir))
+                ref = pool[aid].process.remote(tbl, round_dir, cand_dir)
+                refs.append(ref)
+                ref_load[ref] = (aid, len(df))
+            if phase_log:
+                # straggler forensics: per-actor completion offsets
+                t_d = _time.perf_counter()
+                remaining, comp = list(refs), []
+                while remaining:
+                    done, remaining = ray.wait(remaining, num_returns=1)
+                    aid, rows = ref_load[done[0]]
+                    comp.append((aid, rows,
+                                 round(_time.perf_counter() - t_d, 2)))
+                print(f"# round={rnd} actor_done={comp}", file=_sys.stderr)
             plan_parts = [t for t in ray.get(refs) if t.num_rows]
+        _stamp("fetch")
         if plan_parts:
             plan_df = pa.concat_tables(plan_parts).to_pandas()
         else:
@@ -613,6 +719,7 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
             .astype("int64")
         metrics["ok"] = metrics["host"].map(ok_by_host).fillna(0) \
             .astype("int64")
+        _stamp("post")
 
         # next frontier: deferred ∪ redirects ∪ new candidates, minus seen,
         # dedup by hash (priority: redirects 1.5 > depth-based candidates)
@@ -633,9 +740,15 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
             frontier_ds = _build_frontier_distributed(
                 cand_dir, deferred, redirects_df, fetched_hashes, shards,
                 cfg, depth)
+            if ckpt_pending is not None:    # keep checkpoints ordered
+                ckpt_pending.join()
+                ckpt_pending = None
             # checkpoint IS the materialization; next round reads it back
             frontier = _checkpoint_round(ckpt_dir, rnd, frontier_ds,
                                          shards, metrics)
+            _stamp("frontier")
+            if phase_log:
+                print(f"# round={rnd} phases={_ph}", file=_sys.stderr)
             continue
 
         parts = [deferred]
@@ -669,15 +782,27 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
             frontier = frontier.drop_duplicates("url_hash").reset_index(drop=True)
             frontier = frontier[frontier["depth"] <= cfg.max_depth]
 
-        _checkpoint_round(ckpt_dir, rnd, frontier, shards, metrics)
+        if ckpt_pending is not None:
+            ckpt_pending.join()
+        ckpt_pending = _checkpoint_round_async(ckpt_dir, rnd, frontier,
+                                               shards, metrics)
+        _stamp("frontier")
+        if phase_log:
+            print(f"# round={rnd} phases={_ph}", file=_sys.stderr)
 
+    if ckpt_pending is not None:
+        ckpt_pending.join()
     return total_fetched
 
 
 def _dispatch_units(pool, units, round_dir: str, cand_dir) -> list:
     """Late-binding work-unit dispatch (zero-politeness mode): keep a
-    depth-2 call queue per actor, hand the next unit to whichever actor
-    completes one. Tail cost = one unit, not one static bucket."""
+    depth-2 call queue per actor (one executing + one queued, so the
+    actor starts its next unit while the driver pulls the finished
+    result), hand the next unit to whichever actor completes one. Tail
+    cost = one unit, not one static bucket; binding one unit ahead costs
+    little tail (units ≈ 3× pool) and removes the per-unit idle gap the
+    depth-1 form paid on every result transfer."""
     import ray
 
     queue = list(units)
@@ -693,14 +818,15 @@ def _dispatch_units(pool, units, round_dir: str, cand_dir) -> list:
 
     for aid in range(len(pool)):
         submit(aid)
+        submit(aid)
     while pending:
         done, _ = ray.wait(list(pending), num_returns=1)
         for ref in done:
             aid = pending.pop(ref)
+            submit(aid)              # refill BEFORE pulling the result
             t = ray.get(ref)
             if t.num_rows:
                 plan_parts.append(t)
-            submit(aid)
     return plan_parts
 
 

@@ -236,7 +236,8 @@ def _band_key(t: pa.Table) -> np.ndarray:
 
 def minhash_lsh_dedup(ds, threshold: float = 0.7, n_perm: int = 64,
                       n_bands: int = 32, id_col: str = "doc_id",
-                      broadcast_limit: int = 200_000):
+                      broadcast_limit: int = 200_000,
+                      broadcast_limit_bytes: int = 256 << 20):
     """Full LSH pipeline → verified duplicate pairs (a, b, jaccard ≥
     threshold). Returns a Dataset of pairs sorted by (a, b).
 
@@ -288,7 +289,21 @@ def minhash_lsh_dedup(ds, threshold: float = 0.7, n_perm: int = 64,
     cand_id_set = set(pairs_df["a"]) | set(pairs_df["b"])
     cand_ids = pa.array(sorted(cand_id_set), pa.int64())
 
-    if len(cand_id_set) <= broadcast_limit:
+    # the ID count alone does not bound the dict (200k ids × 100 kB texts
+    # = 20 GB): one streamed probe sums the candidate TEXT BYTES and the
+    # broadcast only happens when both the id count and the byte volume
+    # fit — otherwise the per-part join path below carries the texts
+    def _cand_bytes(b: pa.Table) -> pa.Table:
+        f = b.filter(pa.compute.is_in(b[id_col], value_set=cand_ids))
+        n = pa.compute.sum(pa.compute.binary_length(f["text"])).as_py()
+        return pa.table({"n": pa.array([int(n or 0)], pa.int64())})
+
+    fits_bytes = (
+        len(cand_id_set) <= broadcast_limit and
+        (ds.map_batches(_cand_bytes, batch_format="pyarrow")
+         .sum("n") or 0) <= broadcast_limit_bytes)
+
+    if fits_bytes:
         texts = ds.map_batches(
             lambda b: b.select([id_col, "text"]).filter(
                 pa.compute.is_in(b[id_col], value_set=cand_ids)),
@@ -708,18 +723,21 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     if n_vecs == 0:
         return rd.from_pandas(empty)
 
-    if n_vecs * dim * 4 <= broadcast_limit_bytes:
+    if n_vecs * dim * 8 <= broadcast_limit_bytes:
         # ---- broadcast path: per-bucket matmul, zero vector exchange ----
+        # float64 blobs so broadcast and stream paths share one precision:
+        # a float32 transport would silently flip threshold-adjacent pairs
+        # between the paths whenever the SOURCE column is float64
         vt = ds.map_batches(
             lambda b: pa.table({
                 id_col: pa.compute.cast(b[id_col], pa.int64()),
                 "blob": pa.array(
-                    [np.asarray(v, dtype=np.float32).tobytes()
+                    [np.asarray(v, dtype=np.float64).tobytes()
                      for v in b[vec_col].to_pylist()], pa.binary())}),
             batch_format="pyarrow").to_pandas().sort_values(id_col)
         ids_all = vt[id_col].to_numpy().astype(np.int64)
-        mat = np.vstack([np.frombuffer(x, dtype=np.float32)
-                         for x in vt["blob"]]).astype(np.float64)
+        mat = np.vstack([np.frombuffer(x, dtype=np.float64)
+                         for x in vt["blob"]])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1
         mref = ray.put((ids_all, mat / norms))

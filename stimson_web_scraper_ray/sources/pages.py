@@ -304,7 +304,7 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
     use_parallel = ray.is_initialized() and n_docs_meta * copies > 4000
     btag = "p" if use_parallel else "s"
     key = hashlib.md5(
-        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v6"
+        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v7"
         .encode()).hexdigest()[:16]
     out_path = os.path.join(cache_dir, f"pages_{key}.parquet")
     if os.path.exists(out_path):
@@ -333,8 +333,14 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
     for fi in range(n_files):
         chunk = table.slice(fi * per, per)
         if chunk.num_rows:
+            # 512-row row groups: the fetch probe reads whole row groups
+            # per wanted url (parquet's random-access floor), so rg size
+            # is the point-read amplification factor — 512 × ~5 KB html
+            # ≈ 2.5 MB per group keeps scattered probes (seed rounds) 4×
+            # cheaper than the 2048-row layout while dense host-range
+            # scans read the same bytes either way
             pq.write_table(chunk, os.path.join(tmp, f"part-{fi:04d}.parquet"),
-                           row_group_size=2048)
+                           row_group_size=512)
     os.replace(tmp, out_path)
     return out_path
 

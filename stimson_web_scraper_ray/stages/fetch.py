@@ -89,6 +89,20 @@ class Fetcher:
         self.total_wait = 0.0
         self.pages_fetched = 0
         self.bytes_fetched = 0
+        # CDX-style probe index (lazy): the pages table is globally
+        # url-sorted, so parquet row-group [min,max] url stats form a
+        # disjoint ordered partition of url space. Level 1 (built on
+        # first probe): per-FILE url bounds from footer metadata only.
+        # Level 2 (expanded per file on first touch): per-row-group
+        # bounds. A probe then reads EXACTLY the row groups containing
+        # wanted urls — cost ∝ wanted rows, not host span (a scattered
+        # seed round against a [lo,hi] range scan read whole host
+        # regions; measured 3x fetch-phase cost when the table doubled).
+        # At 100-TB scale the lazy level-2 expansion bounds index memory
+        # to the files this actor's PINNED hosts touch.
+        self._file_index: list | None = None     # [(min, max, path)]
+        self._rg_index: dict[str, list] = {}     # path → [(min, max, i)]
+        self._pf_cache: dict[str, object] = {}   # path → ParquetFile
 
     def _politeness_wait(self, host: str) -> float:
         clock = self.host_clock.get(host, 0.0)
@@ -98,6 +112,86 @@ class Fetcher:
                                          else delay)
         self.total_wait += clock
         return clock
+
+    def _url_col_index(self, md) -> int:
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == "url":
+                return i
+        raise KeyError("pages table has no url column")
+
+    def _ensure_file_index(self) -> None:
+        import pyarrow.parquet as pq
+
+        if self._file_index is not None:
+            return
+        entries = []
+        for path in sorted(self.dataset.files):
+            pf = pq.ParquetFile(path)
+            self._pf_cache[path] = pf
+            md = pf.metadata
+            if md.num_row_groups == 0:
+                continue
+            ui = self._url_col_index(md)
+            entries.append((md.row_group(0).column(ui).statistics.min,
+                            md.row_group(md.num_row_groups - 1)
+                            .column(ui).statistics.max, path))
+        entries.sort()
+        self._file_index = entries
+
+    def _rgs_for(self, path: str) -> list:
+        rgs = self._rg_index.get(path)
+        if rgs is None:
+            md = self._pf_cache[path].metadata
+            ui = self._url_col_index(md)
+            rgs = [(md.row_group(i).column(ui).statistics.min,
+                    md.row_group(i).column(ui).statistics.max, i)
+                   for i in range(md.num_row_groups)]
+            self._rg_index[path] = rgs
+        return rgs
+
+    def _probe(self, wanted: list[str]) -> pa.Table:
+        """Read exactly the row groups whose [min,max] url bounds contain
+        a wanted url, then filter to the wanted set. Relies on pyarrow's
+        untruncated string statistics (the pages writer is ours —
+        sources/pages.py — and never truncates at these url lengths);
+        global url sort makes the (file, row-group) bounds a disjoint
+        ordered partition, so each url maps to at most one row group."""
+        import bisect
+
+        self._ensure_file_index()
+        ws = sorted(set(wanted))
+        fmins = [e[0] for e in self._file_index]
+        by_path: dict[str, set] = {}
+        fj = -2
+        rgs = rmins = None
+        cur_path = None
+        rj_hint = 0
+        for u in ws:
+            j = bisect.bisect_right(fmins, u) - 1
+            if j < 0 or u > self._file_index[j][1]:
+                continue                      # 404: outside every file
+            if j != fj:
+                fj = j
+                cur_path = self._file_index[j][2]
+                rgs = self._rgs_for(cur_path)
+                rmins = [r[0] for r in rgs]
+                rj_hint = 0
+            k = bisect.bisect_right(rmins, u, lo=rj_hint) - 1
+            if k >= 0 and u <= rgs[k][1]:
+                by_path.setdefault(cur_path, set()).add(rgs[k][2])
+                rj_hint = k                   # urls ascend within a file
+        if not by_path:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "warc_ts": pa.array([], pa.timestamp("us")),
+                             "html": pa.array([], pa.binary()),
+                             "lang": pa.array([], pa.string())})
+        cols = ["url", "warc_ts", "html", "lang"]
+        parts = [self._pf_cache[p].read_row_groups(sorted(idxs),
+                                                   columns=cols)
+                 for p, idxs in sorted(by_path.items())]
+        got = pa.concat_tables(parts)
+        return got.filter(pc.is_in(got["url"],
+                                   value_set=pa.array(ws, pa.string())))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url_canon"].to_pylist()
@@ -114,17 +208,11 @@ class Fetcher:
             else:
                 denied.add(u)
 
-        # "network": row-group-pruned parquet probe for exactly these urls.
-        # The pages file is url-sorted, so the min/max range predicate lets
-        # the scanner skip every row group outside this batch's url span —
-        # the sandbox analogue of an indexed fetch.
+        # "network": indexed parquet probe for exactly these urls (the
+        # sandbox analogue of an indexed fetch) — see the index comment
+        # in __init__.
         if wanted:
-            lo, hi = min(wanted), max(wanted)
-            got = self.dataset.to_table(
-                columns=["url", "warc_ts", "html", "lang"],
-                filter=(pc.field("url") >= lo) & (pc.field("url") <= hi)
-                       & pc.field("url").isin(wanted),
-            )
+            got = self._probe(wanted)
         else:
             got = pa.table({"url": pa.array([], pa.string()),
                             "warc_ts": pa.array([], pa.timestamp("us")),

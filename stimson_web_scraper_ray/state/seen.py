@@ -184,7 +184,13 @@ def make_shard_actors(n_shards: int, capacity: int = 1 << 16):
     # never CPU-bound; reserving CPU would let them overcommit the
     # session when the crawl's worker pool fills every core
     remote_cls = ray.remote(num_cpus=0)(SeenShard)
-    return [remote_cls.remote(i, capacity) for i in range(n_shards)]
+    shards = [remote_cls.remote(i, capacity) for i in range(n_shards)]
+    # fire-and-forget warmup: actor process spawn + imports (~0.3-0.7 s)
+    # overlap pool creation and round-0 planning instead of landing on
+    # the first seen probe of the crawl
+    for s in shards:
+        s.size.remote()
+    return shards
 
 
 def route(hashes: np.ndarray, n_shards: int) -> np.ndarray:
