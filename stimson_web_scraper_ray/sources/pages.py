@@ -271,6 +271,7 @@ def _synthesize_pages_parallel(rows: list, seed: int = 42) -> pa.Table:
             out_text.append(golden)
             out_lang.append(lang)
         return pa.table({
+            "i": batch["i"],
             "url": pa.array(out_urls, pa.string()),
             "warc_ts": pa.array(out_ts, pa.timestamp("us")),
             "html": pa.array(out_html, pa.binary()),
@@ -283,7 +284,11 @@ def _synthesize_pages_parallel(rows: list, seed: int = 42) -> pa.Table:
               ds.map_batches(render, batch_format="pyarrow").to_arrow_refs()]
     import ray
 
-    return pa.concat_tables([ray.get(t) for t in tables])
+    # to_arrow_refs hands blocks back in COMPLETION order (build-dependent
+    # under the streaming executor); re-sort by the plan index so parallel
+    # synthesis is order-deterministic like the serial path
+    out = pa.concat_tables([ray.get(t) for t in tables])
+    return out.sort_by("i").drop_columns(["i"])
 
 
 def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
@@ -304,7 +309,7 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
     use_parallel = ray.is_initialized() and n_docs_meta * copies > 4000
     btag = "p" if use_parallel else "s"
     key = hashlib.md5(
-        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v7"
+        f"{doc_path}:{stat.st_size}:{stat.st_mtime_ns}:c{copies}:{btag}:v9"
         .encode()).hexdigest()[:16]
     out_path = os.path.join(cache_dir, f"pages_{key}.parquet")
     if os.path.exists(out_path):
@@ -324,8 +329,20 @@ def pages_path_for(sf_dir: str, cache_dir: str = "/tmp/swsr_pages",
         table = synthesize_pages(rows)
     # global url sort → contiguous per-file url ranges: fetch probes prune
     # whole files + row groups via min/max stats, and readers parallelize
-    # across files (a single file reads as ONE serial task in Ray Data)
-    table = table.sort_by("url")
+    # across files (a single file reads as ONE serial task in Ray Data).
+    # Synthesis-order tiebreak: arrow's multi-threaded sort is NOT stable,
+    # so duplicate urls (synthesis collisions at copies>1) otherwise land
+    # in a build-dependent order — and which copy is LAST decides which
+    # html a fetch returns, making rebuilds flip crawl outputs by a few
+    # pages (observed: 248 of 225k dup urls changed winners across two
+    # builds of identical input)
+    import pyarrow as _pa
+
+    table = table.append_column(
+        "_synth_order", _pa.array(range(table.num_rows), _pa.int64()))
+    table = table.sort_by([("url", "ascending"),
+                           ("_synth_order", "ascending")])
+    table = table.drop_columns(["_synth_order"])
     n_files = max(1, min(64, table.num_rows // 4096))
     tmp = out_path + f".tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
