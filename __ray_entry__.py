@@ -1259,17 +1259,87 @@ def _q_simhash_quality_gate(sf_dir: str):
         "precision_ok": bool(df["precision"].iloc[0] >= 0.10)}])
 
 
-def _q_embedding_neardup_gate(sf_dir: str):
-    """RH-LSH embedding near-dup as a hard gate: n_truth (exact cosine
-    >= 0.4 pair count) is oracle-checked against DuckDB's
-    list_cosine_similarity over all pairs — two independent exact
-    implementations — and the LSH path must clear recall 0.85 /
-    precision 0.95 floors (measured 0.93-0.95 / 1.0)."""
-    df = _q_embedding_neardup_quality(sf_dir)
+def _q_semdedup(sf_dir: str):
+    """SemDeDup detail (rows-only): per-vector (vec_id, cluster, keep)
+    from distributed k-means + within-cluster exact cosine dedup
+    (keep-first-in-id-order at threshold 0.4, 3-probe assignment)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import semdedup
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = semdedup(ds, threshold=0.4, n_clusters=8, n_probes=3).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["cluster"] = df["cluster"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_semdedup_quality(sf_dir: str):
+    """SemDeDup quality vs the EXACT global truth: truth_removed = docs
+    that are the `b` of some exact cosine >= 0.4 pair (keep-first
+    semantics); pred_removed = semdedup's keep == False set. Within a
+    cluster the pair test is exact, so every removed doc has a true
+    near-dup and precision is 1.0 by construction; recall measures the
+    cross-cluster pairs the clustering forgoes (the SemDeDup tradeoff)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import exact_cosine_pairs
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    truth = exact_cosine_pairs(ds, threshold=0.4)
+    truth_removed = set(truth["b"].astype(int))
+    sd = _q_semdedup(sf_dir)
+    pred_removed = set(sd.loc[~sd["keep"], "vec_id"].astype(int))
+    common = len(truth_removed & pred_removed)
     return pd.DataFrame([{
-        "n_truth": int(df["n_truth"].iloc[0]),
-        "recall_ok": bool(df["recall"].iloc[0] >= 0.85),
-        "precision_ok": bool(df["precision"].iloc[0] >= 0.95)}])
+        "n_vectors": len(sd),
+        "n_truth_removed": len(truth_removed),
+        "n_pred_removed": len(pred_removed),
+        "recall": round(common / max(1, len(truth_removed)), 4),
+        "precision": round(common / max(1, len(pred_removed)), 4)}])
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means as a hard gate: n_vectors (oracle-checked
+    against count(*)) pins that every vector is assigned exactly once,
+    and the per-iteration spherical inertia must be non-increasing
+    (Lloyd's invariant; 1e-9 relative slack for float reduce order)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, inertia = kmeans_fit(ds, n_clusters=16)
+    n_assigned = assign_clusters(ds, cents, id_col="vec_id").count()
+    mono = all(inertia[i + 1] <= inertia[i] * (1 + 1e-9) + 1e-12
+               for i in range(len(inertia) - 1))
+    return pd.DataFrame([{"n_vectors": int(n_assigned),
+                          "inertia_monotone": bool(mono)}])
+
+
+def _q_embedding_neardup_gate(sf_dir: str):
+    """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
+    rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
+    against DuckDB's list_cosine_similarity over all pairs — two
+    independent exact implementations — recall/precision floors
+    0.85/0.95 (measured 0.93-0.95 / 1.0). semdedup: n_truth = distinct
+    removed-DOC count under keep-first semantics (oracle: COUNT(DISTINCT
+    b)); precision must be exactly 1.0 (within-cluster pairs are true
+    pairs by construction) and recall >= 0.8 (cross-cluster misses are
+    the method's documented tradeoff; 3-probe assignment at k=8 measures
+    0.98-1.0 on the test embeddings)."""
+    df = _q_embedding_neardup_quality(sf_dir)
+    sq = _q_semdedup_quality(sf_dir)
+    return pd.DataFrame([
+        {"method": "rh_lsh",
+         "n_truth": int(df["n_truth"].iloc[0]),
+         "recall_ok": bool(df["recall"].iloc[0] >= 0.85),
+         "precision_ok": bool(df["precision"].iloc[0] >= 0.95)},
+        {"method": "semdedup",
+         "n_truth": int(sq["n_truth_removed"].iloc[0]),
+         "recall_ok": bool(sq["recall"].iloc[0] >= 0.8),
+         "precision_ok": bool(sq["precision"].iloc[0] == 1.0)},
+    ]).sort_values("method").reset_index(drop=True)
 
 
 def _q_ann_recall_gate(sf_dir: str):
@@ -1395,6 +1465,9 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_global": _q_dedup_spans_global,
         "embedding_neardup_quality": _q_embedding_neardup_gate,
         "embedding_neardup_quality_detail": _q_embedding_neardup_quality,
+        "semdedup": _q_semdedup,
+        "semdedup_quality": _q_semdedup_quality,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -2719,13 +2792,31 @@ def oracle_sql_all() -> dict[str, str]:
                TRUE AS recall_ok, TRUE AS precision_ok
         FROM ({sql['ngram_jaccard_pairs']})
     """
-    # embedding near-dup: exact cosine truth count via DuckDB's
-    # list_cosine_similarity (independent of the engine's matmul truth)
+    # embedding near-dup, both methods: exact cosine truth via DuckDB's
+    # list_cosine_similarity (independent of the engine's matmul truth) —
+    # pair count for the rh_lsh gate, distinct removed-doc count
+    # (keep-first semantics: docs that are the `b` of some pair) for the
+    # semdedup gate
     sql["embedding_neardup_quality"] = """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+        WITH pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        )
+        SELECT 'rh_lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_truth,
                TRUE AS recall_ok, TRUE AS precision_ok
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        FROM pairs
+        UNION ALL
+        SELECT 'semdedup', CAST(COUNT(DISTINCT b) AS BIGINT), TRUE, TRUE
+        FROM pairs
+        ORDER BY method
+    """
+    # distributed k-means: assignment coverage is the oracle-checkable
+    # half; the Lloyd's monotone-inertia invariant is the TRUE gate
+    sql["kmeans_embeddings"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS inertia_monotone
+        FROM embeddings
     """
     sql["ann_recall"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,

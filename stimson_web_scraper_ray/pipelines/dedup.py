@@ -1166,3 +1166,98 @@ def dedup_spans_global(ds, span_words: int = 8, id_col: str = "doc_id",
     return _salted_partition_apply(
         kept.union(docs), rebuild,
         combine_key=lambda t: t["doc_id"].to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster embeddings with distributed k-means, then dedup WITHIN each
+# cluster by exact pairwise cosine — the cluster step turns the O(n²)
+# all-pairs problem into k independent O((n/k)²) problems, each of which
+# fits one worker. Cross-cluster near-dups are the (measured, gated)
+# recall loss.
+# ---------------------------------------------------------------------------
+
+def semdedup(ds, threshold: float = 0.95, n_clusters: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_parts: int = 64, iters: int = 10, n_probes: int = 2):
+    """Returns a Dataset of (id_col, cluster:int32, keep:bool) — cluster is
+    the vector's NEAREST centroid. The keep rule is deterministic
+    keep-first-in-id-order: row j is removed iff some row i < j SHARING at
+    least one of j's ``n_probes`` nearest lists has cosine(i, j) >=
+    threshold — the same a < b semantics as the exact/LSH pair families,
+    so the removed set is directly comparable to the exact-cosine truth.
+    Multi-probe assignment (probe rank 0 = nearest) recovers the
+    near-boundary pairs single-assignment SemDeDup forgoes (measured on
+    the test embeddings at k=8: recall 0.4-0.6 at 1 probe → 0.83-0.87 at
+    2 probes, precision exactly 1.0 either way).
+
+    Scale shape: one whole-corpus k-means (broadcast centroids, partial
+    sums), one assignment pass, one key-functional exchange on cluster id
+    (`salted_partition_apply`, vectors duplicated n_probes× — keep probes
+    at 2-3), per-part blocked matmul, then a second ints-only exchange on
+    the id to OR the per-probe removal flags. The partitioning assumption
+    is the SemDeDup one: k is chosen so a cluster's vectors fit a worker
+    (n/k × dim); each part handles every cluster salted into it
+    independently."""
+    from .shuffle import salted_partition_apply
+    from .similarity import assign_clusters, kmeans_fit
+
+    cents, _ = kmeans_fit(ds, n_clusters=n_clusters, iters=iters,
+                          id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(ds, cents, id_col=id_col, vec_col=vec_col,
+                               n_probes=n_probes)
+
+    def part_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        outs = []
+        for cid, g in df.groupby("cluster", sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            m = np.array(g[vec_col].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            m = m / nrm
+            n = len(m)
+            removed = np.zeros(n, dtype=bool)
+            # blocked upper-triangle scan: block × cluster matmul, memory
+            # O(block × n) regardless of cluster size; removal is a pure
+            # earlier-row test (i < j), so one boolean reduce per block
+            blk = 2048
+            col = np.arange(n)
+            for s in range(0, n, blk):
+                e = min(s + blk, n)
+                sims = m[s:e] @ m[:e].T        # (e-s, e)
+                earlier = col[:e][None, :] < np.arange(s, e)[:, None]
+                removed[s:e] = np.any((sims >= threshold) & earlier, axis=1)
+            outs.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "cluster": np.full(n, cid, dtype=np.int32),
+                "probe": g["probe"].to_numpy(),
+                "removed": removed}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int32"),
+                                 "probe": pd.Series(dtype="int32"),
+                                 "removed": pd.Series(dtype="bool")})
+        return pd.concat(outs, ignore_index=True)
+
+    def cluster_key(t: "pa.Table") -> np.ndarray:
+        return t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    flags = salted_partition_apply(assigned, part_fn, cluster_key,
+                                   n_parts=n_parts)
+
+    # OR the removal flags across a vector's probe lists; the nearest
+    # (probe-0) list is the reported cluster. Ints-only exchange.
+    def merge_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(id_col, sort=False)
+        out = g.agg(removed=("removed", "any")).reset_index()
+        prim = df[df["probe"] == 0][[id_col, "cluster"]] \
+            .drop_duplicates(id_col)
+        out = out.merge(prim, on=id_col, how="left")
+        out["cluster"] = out["cluster"].fillna(-1).astype(np.int32)
+        out["keep"] = ~out["removed"]
+        return out[[id_col, "cluster", "keep"]]
+
+    def id_key(t: "pa.Table") -> np.ndarray:
+        return t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    return salted_partition_apply(flags, merge_fn, id_key, n_parts=n_parts)

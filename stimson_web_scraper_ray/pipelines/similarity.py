@@ -106,23 +106,15 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
     return centroids
 
 
-def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_clusters: int = 16,
-             n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", sample_rows: int = 2048
-             ) -> pd.DataFrame:
-    """IVF-bucketed ANN: assign every vector to its nearest coarse centroid
-    (map_batches), keep only vectors whose centroid is among the queries'
-    ``n_probe`` nearest lists, brute-force the survivors. The scan is cut to
-    ~n_probe/n_clusters of the corpus — the at-scale path."""
-    import ray
-
-    # DETERMINISTIC hash sample for the centroid fit — ds.limit() would
-    # take the first blocks only, which degenerates on sorted/clustered
-    # input (round-1 judge finding), and random_sample(seed=...) is still
-    # block-layout-dependent, so the fit drifted between runs. Keeping
-    # rows where a salted hash of the id falls under a threshold is
-    # corpus-representative, independent of block order/count, and a pure
-    # streaming filter (no shuffle) — the right systematic sample at scale.
+def hash_sample(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                sample_rows: int = 2048) -> np.ndarray:
+    """DETERMINISTIC hash sample of the vector column — ds.limit() would
+    take the first blocks only, which degenerates on sorted/clustered
+    input (round-1 judge finding), and random_sample(seed=...) is still
+    block-layout-dependent, so a fit over it drifted between runs. Keeping
+    rows where a salted hash of the id falls under a threshold is
+    corpus-representative, independent of block order/count, and a pure
+    streaming filter (no shuffle) — the right systematic sample at scale."""
     n_total = ds.count()
     keep_frac = min(1.0, (sample_rows * 1.25) / max(1, n_total))
     # float * (2**64-1) can round UP to 2**64 exactly (keep_frac == 1.0);
@@ -146,7 +138,20 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_clusters: int = 16,
         sample_df = ds.limit(sample_rows).to_pandas()
     sample_df = sample_df.sort_values(id_col, kind="mergesort") \
         .head(sample_rows)
-    sample = np.array(sample_df[vec_col].tolist(), dtype=np.float64)
+    return np.array(sample_df[vec_col].tolist(), dtype=np.float64)
+
+
+def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", sample_rows: int = 2048
+             ) -> pd.DataFrame:
+    """IVF-bucketed ANN: assign every vector to its nearest coarse centroid
+    (map_batches), keep only vectors whose centroid is among the queries'
+    ``n_probe`` nearest lists, brute-force the survivors. The scan is cut to
+    ~n_probe/n_clusters of the corpus — the at-scale path."""
+    import ray
+
+    sample = hash_sample(ds, id_col, vec_col, sample_rows)
     centroids = kmeans_lite(sample, n_clusters)
     cref = ray.put(centroids)
 
@@ -164,3 +169,132 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_clusters: int = 16,
     survivors = ds.map_batches(probe_filter, batch_format="pyarrow")
     return brute_force_topk(survivors, query_vectors, k=k,
                             id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means (Lloyd's) — the clustering backbone for
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540) and a
+# from-the-whole-corpus upgrade of the IVF coarse quantizer's sample fit.
+# ---------------------------------------------------------------------------
+
+class _KMeansPartials:
+    """Actor-pool batch op: centroids fetched from the object store once per
+    actor per iteration; each batch emits ONE row per non-empty centroid —
+    (cid, n, sse, vsum) — so the exchange after a full corpus pass carries
+    at most n_blocks × k tiny rows, never vectors-per-row."""
+
+    def __init__(self, cents_ref):
+        import ray
+
+        self.c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) \
+            else cents_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch["__vec__"]))
+        sims = vecs @ self.c.T
+        assign = np.argmax(sims, axis=1)
+        # spherical sse = sum(1 - cos) over members — the quantity Lloyd's
+        # monotonically decreases under cosine distance
+        err = 1.0 - sims[np.arange(len(vecs)), assign]
+        cids, inv = np.unique(assign, return_inverse=True)
+        n = np.bincount(inv)
+        sse = np.bincount(inv, weights=err)
+        vsum = np.zeros((len(cids), vecs.shape[1]), dtype=np.float64)
+        np.add.at(vsum, inv, vecs)
+        return pa.table({
+            "cid": pa.array(cids.astype(np.int32)),
+            "n": pa.array(n.astype(np.int64)),
+            "sse": pa.array(sse, pa.float64()),
+            "vsum": pa.array(vsum.tolist(),
+                             pa.list_(pa.float64())),
+        })
+
+
+def kmeans_fit(ds, n_clusters: int = 16, iters: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               sample_rows: int = 2048, tol: float = 1e-6
+               ) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's over the WHOLE corpus: init from kmeans_lite on a
+    deterministic hash sample, then per iteration broadcast the k × dim
+    centroid matrix (``ray.put`` once, read once per actor) and stream one
+    ``map_batches`` pass emitting per-batch partial sums. Only the partials
+    (≤ n_blocks × k rows of dim+3 floats) are reduced — at cluster scale
+    that reduce is itself a small exchange; here numpy on the driver is
+    exact and k × dim sized. Returns (centroids, per-iteration inertia).
+
+    Early-stops when max centroid movement (1 - cos) < ``tol``. Empty
+    clusters keep their previous centroid (standard Lloyd's fallback)."""
+    import ray
+
+    sample = hash_sample(ds, id_col, vec_col, sample_rows)
+    cents = kmeans_lite(sample, min(n_clusters, len(sample)))
+    # one cached pass over the vectors feeds every iteration; the id column
+    # is dropped — partials need only the vectors
+    vec_ds = ds.map_batches(
+        lambda t: pa.table({"__vec__": t[vec_col]}),
+        batch_format="pyarrow").materialize()
+    inertia: list[float] = []
+    for _ in range(iters):
+        cref = ray.put(cents)
+        parts = vec_ds.map_batches(
+            _KMeansPartials, batch_format="pyarrow",
+            concurrency=(1, 8), fn_constructor_kwargs={"cents_ref": cref},
+        ).to_pandas()
+        inertia.append(float(parts["sse"].sum()))
+        new = cents.copy()
+        for cid, g in parts.groupby("cid", sort=False):
+            v = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                new[int(cid)] = v / nrm
+        shift = float(np.max(1.0 - np.sum(new * cents, axis=1)))
+        cents = new
+        if shift < tol:
+            break
+    return cents, inertia
+
+
+def assign_clusters(ds, centroids: np.ndarray, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_probes: int = 1):
+    """Append the nearest-centroid id as ``cluster`` (int32) — broadcast
+    centroids, one matmul per batch, no shuffle. With ``n_probes`` > 1
+    each row is emitted once per probe (its ``n_probes`` nearest lists)
+    with a ``probe`` rank column — the IVF multi-probe trick applied to
+    clustering, so downstream within-cluster work also sees near-boundary
+    neighbors. Rows (vector included) are duplicated n_probes× through
+    any following exchange; keep n_probes small (2-3)."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_as_matrix(batch[vec_col]))
+            sims = vecs @ self.c.T
+            if n_probes == 1:
+                assign = np.argmax(sims, axis=1).astype(np.int32)
+                out = batch.append_column("cluster", pa.array(assign))
+                if "probe" not in out.column_names:
+                    out = out.append_column(
+                        "probe", pa.array(np.zeros(len(vecs), np.int32)))
+                return out
+            p = min(n_probes, sims.shape[1])
+            lists = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            # argpartition's top-p is unordered; rank them so probe 0 is
+            # the true nearest list
+            row_idx = np.arange(len(vecs))[:, None]
+            order = np.argsort(-sims[row_idx, lists], axis=1,
+                               kind="stable")
+            lists = lists[row_idx, order]
+            idx = np.repeat(np.arange(len(vecs)), p)
+            out = batch.take(pa.array(idx))
+            out = out.append_column(
+                "cluster", pa.array(lists.reshape(-1).astype(np.int32)))
+            return out.append_column(
+                "probe", pa.array(np.tile(np.arange(p, dtype=np.int32),
+                                          len(vecs))))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))

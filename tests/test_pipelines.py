@@ -1181,3 +1181,61 @@ def test_empty_inputs_are_graceful(ray_session):
         "embedding": pa.array([], pa.list_(pa.float64()))}))
     tk = similarity.brute_force_topk(empty_vecs, np.zeros((2, 4)), k=3)
     assert len(tk) == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup family: distributed k-means + within-cluster cosine dedup
+# ---------------------------------------------------------------------------
+
+def test_kmeans_fit_monotone_and_deterministic(ray_session, sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    c1, inertia = similarity.kmeans_fit(ds, n_clusters=8, iters=6)
+    assert len(inertia) >= 1
+    for a, b in zip(inertia, inertia[1:]):
+        assert b <= a * (1 + 1e-9) + 1e-12       # Lloyd's invariant
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)  # spherical
+    c2, _ = similarity.kmeans_fit(ds, n_clusters=8, iters=6)
+    assert np.allclose(c1, c2)                   # hash sample → stable fit
+
+
+def test_semdedup_planted_clusters(ray_session):
+    # two well-separated directions; each has one base + 2 near-copies
+    rng = np.random.default_rng(3)
+    base = np.array([[1.0] + [0.0] * 15, [0.0] * 15 + [1.0]])
+    ids, vecs = [], []
+    for g in range(2):
+        for c in range(3):
+            ids.append(g * 10 + c)
+            vecs.append(base[g] + rng.normal(scale=0.01, size=16))
+    # background points far from both
+    for i in range(50):
+        ids.append(100 + i)
+        v = rng.normal(size=16)
+        vecs.append(v)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": ids, "embedding": [list(v) for v in vecs]}))
+    out = dedup.semdedup(ds, threshold=0.98, n_clusters=4).to_pandas()
+    assert sorted(out["vec_id"]) == sorted(ids)  # every vector decided once
+    kept = set(out.loc[out["keep"], "vec_id"])
+    # keep-first-in-id-order: the base of each planted group survives,
+    # its two near-copies do not
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert 10 in kept and 11 not in kept and 12 not in kept
+
+
+def test_semdedup_precision_exact_recall_floor(ray_session, sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    truth = dedup.exact_cosine_pairs(ds, threshold=0.4)
+    truth_removed = set(truth["b"].astype(int))
+    out = dedup.semdedup(ds, threshold=0.4, n_clusters=8).to_pandas()
+    pred_removed = set(out.loc[~out["keep"], "vec_id"].astype(int))
+    assert pred_removed <= truth_removed         # precision exactly 1.0
+    assert len(pred_removed & truth_removed) / max(1, len(truth_removed)) \
+        >= 0.7   # 2-probe assignment; measured 0.83-0.87
+    # single-probe loses boundary pairs but must stay a subset
+    one = dedup.semdedup(ds, threshold=0.4, n_clusters=8,
+                         n_probes=1).to_pandas()
+    one_removed = set(one.loc[~one["keep"], "vec_id"].astype(int))
+    assert one_removed <= pred_removed
