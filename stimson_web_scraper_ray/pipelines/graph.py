@@ -92,23 +92,39 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             n_parts=16).materialize()
         n = nodes_ds.count()
 
-    # rename via an Arrow map (Dataset.rename_columns chokes on the
-    # pandas blocks a groupby emits in ray 2.49)
-    deg_ds = edges_ds.groupby("src").aggregate(Count(alias_name="deg")) \
-        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
-                     batch_format="pyarrow").materialize()
     if n > node_broadcast_limit:
+        # rename via an Arrow map (Dataset.rename_columns chokes on the
+        # pandas blocks a groupby emits in ray 2.49). The groupby degree
+        # form exists ONLY on this path — the broadcast path below gets
+        # degrees from a streamed bincount pass instead (one sort
+        # exchange + materialize cheaper; measured ~1 s at sf0.1)
+        deg_ds = edges_ds.groupby("src") \
+            .aggregate(Count(alias_name="deg")) \
+            .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                         batch_format="pyarrow").materialize()
         return _pagerank_distributed(edges_ds, n, nodes_ds, deg_ds,
                                      damping, iters)
     if nodes_ds is not None:             # discovered distributed, but |V|
         nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
                         .astype(np.int64))   # fits: pull for broadcast
 
-    deg_df = deg_ds.to_pandas()
+    # out-degrees via the same broadcast-partials shape as contrib: one
+    # streamed pass, per-batch bincount into the node order, driver sum
+    nref = ray.put(nodes)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nd = ray.get(nref)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.bincount(np.searchsorted(nd, src), minlength=len(nd))
+        hit = np.nonzero(sums)[0]
+        return pa.table({"idx": pa.array(hit.astype(np.int64)),
+                         "partial": pa.array(sums[hit].astype(np.float64),
+                                             pa.float64())})
+
+    deg_df = edges_ds.map_batches(deg_partial, batch_format="pyarrow") \
+        .to_pandas()
     deg = np.zeros(n, dtype=np.float64)
-    deg[np.searchsorted(nodes, deg_df["node"].to_numpy()
-                        .astype(np.int64))] = \
-        deg_df["deg"].to_numpy().astype(np.float64)
+    np.add.at(deg, deg_df["idx"].to_numpy(), deg_df["partial"].to_numpy())
     sinks = deg == 0.0
     safe_deg = np.where(sinks, 1.0, deg)
     ranks = np.full(n, 1.0 / n)
