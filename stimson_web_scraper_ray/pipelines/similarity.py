@@ -212,19 +212,25 @@ class _KMeansPartials:
 
 def kmeans_fit(ds, n_clusters: int = 16, iters: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               sample_rows: int = 2048, tol: float = 1e-6
+               sample_rows: int = 2048, tol: float = 1e-6,
+               partials_driver_limit: int = 2_000_000
                ) -> tuple[np.ndarray, list[float]]:
     """Distributed Lloyd's over the WHOLE corpus: init from kmeans_lite on a
     deterministic hash sample, then per iteration broadcast the k × dim
     centroid matrix (``ray.put`` once, read once per actor) and stream one
-    ``map_batches`` pass emitting per-batch partial sums. Only the partials
-    (≤ n_blocks × k rows of dim+3 floats) are reduced — at cluster scale
-    that reduce is itself a small exchange; here numpy on the driver is
-    exact and k × dim sized. Returns (centroids, per-iteration inertia).
+    ``map_batches`` pass emitting per-batch partial sums (≤ k rows of
+    dim+3 floats per block). The partials reduce follows the adaptive
+    pattern: when the n_blocks × k bound fits ``partials_driver_limit``
+    rows, numpy on the driver sums them (k × dim result either way);
+    above it, one salted exchange keyed on cid pre-reduces to exactly k
+    rows first, so nothing block-count-scaled ever reaches the driver.
+    Returns (centroids, per-iteration inertia).
 
     Early-stops when max centroid movement (1 - cos) < ``tol``. Empty
     clusters keep their previous centroid (standard Lloyd's fallback)."""
     import ray
+
+    from .shuffle import salted_partition_apply
 
     sample = hash_sample(ds, id_col, vec_col, sample_rows)
     cents = kmeans_lite(sample, min(n_clusters, len(sample)))
@@ -233,13 +239,40 @@ def kmeans_fit(ds, n_clusters: int = 16, iters: int = 10,
     vec_ds = ds.map_batches(
         lambda t: pa.table({"__vec__": t[vec_col]}),
         batch_format="pyarrow").materialize()
+    n_blocks = max(1, vec_ds.num_blocks())
+    pre_reduce = n_blocks * n_clusters > partials_driver_limit
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        # canonical order inside the part too (run-to-run determinism)
+        df = df.sort_values(["cid", "n", "sse"], kind="mergesort")
+        rows = []
+        for cid, g in df.groupby("cid", sort=True):
+            rows.append({
+                "cid": np.int32(cid),
+                "n": np.int64(g["n"].sum()),
+                "sse": float(g["sse"].sum()),
+                "vsum": np.sum(np.stack(g["vsum"].to_numpy()),
+                               axis=0).tolist()})
+        return pd.DataFrame(rows)
+
     inertia: list[float] = []
     for _ in range(iters):
         cref = ray.put(cents)
-        parts = vec_ds.map_batches(
+        parts_ds = vec_ds.map_batches(
             _KMeansPartials, batch_format="pyarrow",
-            concurrency=(1, 8), fn_constructor_kwargs={"cents_ref": cref},
-        ).to_pandas()
+            concurrency=(1, 8), fn_constructor_kwargs={"cents_ref": cref})
+        if pre_reduce:
+            parts_ds = salted_partition_apply(
+                parts_ds, reduce_part,
+                combine_key=lambda t: t["cid"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                n_parts=min(64, n_clusters))
+        parts = parts_ds.to_pandas()
+        # canonical row order: blocks arrive in completion order, and
+        # float sums depend on sequence — sort so the fit is
+        # bit-deterministic across runs (house rule; cf. pages builder)
+        parts = parts.sort_values(["cid", "n", "sse"], kind="mergesort") \
+            .reset_index(drop=True)
         inertia.append(float(parts["sse"].sum()))
         new = cents.copy()
         for cid, g in parts.groupby("cid", sort=False):

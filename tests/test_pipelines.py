@@ -1239,3 +1239,17 @@ def test_semdedup_precision_exact_recall_floor(ray_session, sf_dir):
                          n_probes=1).to_pandas()
     one_removed = set(one.loc[~one["keep"], "vec_id"].astype(int))
     assert one_removed <= pred_removed
+
+
+def test_kmeans_partials_exchange_path_matches_driver(ray_session, sf_dir):
+    """partials_driver_limit=0 forces the salted cid pre-reduce (the
+    path for block-counts where driver-side partials would not fit);
+    centroids and inertia must match the driver-reduce path to float
+    reduce-order noise."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    c1, i1 = similarity.kmeans_fit(ds, n_clusters=8, iters=4)
+    c2, i2 = similarity.kmeans_fit(ds, n_clusters=8, iters=4,
+                                   partials_driver_limit=0)
+    assert np.allclose(c1, c2, atol=1e-9)
+    assert np.allclose(i1, i2, atol=1e-6)
