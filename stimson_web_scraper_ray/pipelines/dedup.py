@@ -1202,6 +1202,14 @@ def semdedup(ds, threshold: float = 0.95, n_clusters: int = 16,
     from .shuffle import salted_partition_apply
     from .similarity import assign_clusters, kmeans_fit
 
+    # exchange width sized to the input (same rationale as
+    # analytics.read's block clamp: per-part map_groups dispatch is the
+    # fixed cost, so tiny corpora shouldn't fan out 64 ways); clusters
+    # bound the useful width of the first exchange anyway
+    n_rows = ds.count()
+    n_parts = int(min(n_parts, n_clusters,
+                      max(4, n_rows // 2000) if n_rows else 4))
+
     cents, _ = kmeans_fit(ds, n_clusters=n_clusters, iters=iters,
                           id_col=id_col, vec_col=vec_col)
     assigned = assign_clusters(ds, cents, id_col=id_col, vec_col=vec_col,

@@ -177,37 +177,38 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_clusters: int = 16,
 # from-the-whole-corpus upgrade of the IVF coarse quantizer's sample fit.
 # ---------------------------------------------------------------------------
 
-class _KMeansPartials:
-    """Actor-pool batch op: centroids fetched from the object store once per
-    actor per iteration; each batch emits ONE row per non-empty centroid —
-    (cid, n, sse, vsum) — so the exchange after a full corpus pass carries
-    at most n_blocks × k tiny rows, never vectors-per-row."""
+def _kmeans_partials(batch: pa.Table, cents_ref) -> pa.Table:
+    """Stateless batch task: centroids fetched from the object store
+    (zero-copy local get — broadcast once per iteration via ray.put);
+    each batch emits ONE row per non-empty centroid — (cid, n, sse,
+    vsum) — so the exchange after a full corpus pass carries at most
+    n_blocks × k tiny rows, never vectors-per-row. A task, NOT an actor
+    pool: the per-iteration centroid matrix changes, so a callable-class
+    pool would be torn down and respawned every iteration (measured:
+    ~1.5 s/iteration of pure actor startup at 10 iterations), while the
+    'state' is one cheap object-store get."""
+    import ray
 
-    def __init__(self, cents_ref):
-        import ray
-
-        self.c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) \
-            else cents_ref
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_as_matrix(batch["__vec__"]))
-        sims = vecs @ self.c.T
-        assign = np.argmax(sims, axis=1)
-        # spherical sse = sum(1 - cos) over members — the quantity Lloyd's
-        # monotonically decreases under cosine distance
-        err = 1.0 - sims[np.arange(len(vecs)), assign]
-        cids, inv = np.unique(assign, return_inverse=True)
-        n = np.bincount(inv)
-        sse = np.bincount(inv, weights=err)
-        vsum = np.zeros((len(cids), vecs.shape[1]), dtype=np.float64)
-        np.add.at(vsum, inv, vecs)
-        return pa.table({
-            "cid": pa.array(cids.astype(np.int32)),
-            "n": pa.array(n.astype(np.int64)),
-            "sse": pa.array(sse, pa.float64()),
-            "vsum": pa.array(vsum.tolist(),
-                             pa.list_(pa.float64())),
-        })
+    c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) \
+        else cents_ref
+    vecs = _normalize(_as_matrix(batch["__vec__"]))
+    sims = vecs @ c.T
+    assign = np.argmax(sims, axis=1)
+    # spherical sse = sum(1 - cos) over members — the quantity Lloyd's
+    # monotonically decreases under cosine distance
+    err = 1.0 - sims[np.arange(len(vecs)), assign]
+    cids, inv = np.unique(assign, return_inverse=True)
+    n = np.bincount(inv)
+    sse = np.bincount(inv, weights=err)
+    vsum = np.zeros((len(cids), vecs.shape[1]), dtype=np.float64)
+    np.add.at(vsum, inv, vecs)
+    return pa.table({
+        "cid": pa.array(cids.astype(np.int32)),
+        "n": pa.array(n.astype(np.int64)),
+        "sse": pa.array(sse, pa.float64()),
+        "vsum": pa.array(vsum.tolist(),
+                         pa.list_(pa.float64())),
+    })
 
 
 def kmeans_fit(ds, n_clusters: int = 16, iters: int = 10,
@@ -255,12 +256,14 @@ def kmeans_fit(ds, n_clusters: int = 16, iters: int = 10,
                                axis=0).tolist()})
         return pd.DataFrame(rows)
 
+    import functools
+
     inertia: list[float] = []
     for _ in range(iters):
         cref = ray.put(cents)
         parts_ds = vec_ds.map_batches(
-            _KMeansPartials, batch_format="pyarrow",
-            concurrency=(1, 8), fn_constructor_kwargs={"cents_ref": cref})
+            functools.partial(_kmeans_partials, cents_ref=cref),
+            batch_format="pyarrow")
         if pre_reduce:
             parts_ds = salted_partition_apply(
                 parts_ds, reduce_part,
@@ -295,39 +298,41 @@ def assign_clusters(ds, centroids: np.ndarray, id_col: str = "vec_id",
     with a ``probe`` rank column — the IVF multi-probe trick applied to
     clustering, so downstream within-cluster work also sees near-boundary
     neighbors. Rows (vector included) are duplicated n_probes× through
-    any following exchange; keep n_probes small (2-3)."""
+    any following exchange; keep n_probes small (2-3). Stateless tasks,
+    not an actor pool: the only 'state' is one local object-store get of
+    the (small) centroid matrix per task — pool startup would cost more
+    than it saves for a single pass."""
+    import functools
+
     import ray
 
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(cref)
+    def assign_batch(batch: pa.Table, cents_ref) -> pa.Table:
+        c = ray.get(cents_ref)
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        sims = vecs @ c.T
+        if n_probes == 1:
+            assign = np.argmax(sims, axis=1).astype(np.int32)
+            out = batch.append_column("cluster", pa.array(assign))
+            if "probe" not in out.column_names:
+                out = out.append_column(
+                    "probe", pa.array(np.zeros(len(vecs), np.int32)))
+            return out
+        p = min(n_probes, sims.shape[1])
+        lists = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        # argpartition's top-p is unordered; rank them so probe 0 is
+        # the true nearest list
+        row_idx = np.arange(len(vecs))[:, None]
+        order = np.argsort(-sims[row_idx, lists], axis=1, kind="stable")
+        lists = lists[row_idx, order]
+        idx = np.repeat(np.arange(len(vecs)), p)
+        out = batch.take(pa.array(idx))
+        out = out.append_column(
+            "cluster", pa.array(lists.reshape(-1).astype(np.int32)))
+        return out.append_column(
+            "probe", pa.array(np.tile(np.arange(p, dtype=np.int32),
+                                      len(vecs))))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(_as_matrix(batch[vec_col]))
-            sims = vecs @ self.c.T
-            if n_probes == 1:
-                assign = np.argmax(sims, axis=1).astype(np.int32)
-                out = batch.append_column("cluster", pa.array(assign))
-                if "probe" not in out.column_names:
-                    out = out.append_column(
-                        "probe", pa.array(np.zeros(len(vecs), np.int32)))
-                return out
-            p = min(n_probes, sims.shape[1])
-            lists = np.argpartition(-sims, p - 1, axis=1)[:, :p]
-            # argpartition's top-p is unordered; rank them so probe 0 is
-            # the true nearest list
-            row_idx = np.arange(len(vecs))[:, None]
-            order = np.argsort(-sims[row_idx, lists], axis=1,
-                               kind="stable")
-            lists = lists[row_idx, order]
-            idx = np.repeat(np.arange(len(vecs)), p)
-            out = batch.take(pa.array(idx))
-            out = out.append_column(
-                "cluster", pa.array(lists.reshape(-1).astype(np.int32)))
-            return out.append_column(
-                "probe", pa.array(np.tile(np.arange(p, dtype=np.int32),
-                                          len(vecs))))
-
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(functools.partial(assign_batch, cents_ref=cref),
+                          batch_format="pyarrow")
