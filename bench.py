@@ -29,6 +29,20 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _host_control() -> float:
+    """Same-minute single-threaded host-speed calibration (pages/s on an
+    engine-free stdlib parse loop). Stamped into every BENCH JSON so
+    cross-round comparisons can separate host drift (this shared box
+    swings 20-45% between minutes; BASELINE.md) from code changes."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        from saturation_control import single_rate
+        return single_rate(1.5)
+    except Exception:
+        return -1.0
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # ~16 pages per doc at sf0.1 → ~80k pages, ~200 MB html (enough work that
 # fixed pipeline overheads don't mask the scaling signal)
@@ -133,7 +147,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "dedup_spans_global", "heavy_hitter_words", "pack_sequences",
              "profile_events", "doc_classifier_score",
              "minhash_dedup_groups", "trade_pagerank_undirected",
-             "order_rank_windows"]
+             "order_rank_windows", "semdedup"]
     qs = entry_mod.queries_all()
     # warmup: the first Dataset execution pays Ray worker-pool spin-up
     # and module imports (~3 s measured on pricing_summary cold vs warm);
@@ -181,7 +195,8 @@ def run_crawl_only() -> dict:
         fetched = res.pages_fetched
     ray.shutdown()
     return {"sec": round(best, 3), "pages": fetched,
-            "pages_per_sec": round(fetched / best, 1)}
+            "pages_per_sec": round(fetched / best, 1),
+            "host_control_pages_per_sec": _host_control()}
 
 
 def run_bench(headline_only: bool = False) -> dict:
@@ -215,6 +230,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "num_cpus": NUM_CPUS,
         "pages": int(head["pages"]),
         "pages_per_sec": round(head["pages_per_sec"], 1),
+        "host_control_pages_per_sec": _host_control(),
     }
     ray.shutdown()
     return result
@@ -297,6 +313,7 @@ def run_scaling() -> dict:
         f"crawl_pages_per_sec_{n_lo}": clo["pages_per_sec"],
         f"crawl_pages_per_sec_{n_hi}": chi["pages_per_sec"],
         "crawl_pages": chi["pages"],
+        "host_control_pages_per_sec": _host_control(),
         "readings": {"bulk": head_readings, "crawl": crawl_readings},
     }
 
@@ -307,6 +324,8 @@ if __name__ == "__main__":
     elif "--crawl-only" in sys.argv:
         r = run_crawl_only()
         print(json.dumps({"value": r["sec"], "pages": r["pages"],
-                          "pages_per_sec": r["pages_per_sec"]}))
+                          "pages_per_sec": r["pages_per_sec"],
+                          "host_control_pages_per_sec":
+                          r["host_control_pages_per_sec"]}))
     else:
         print(json.dumps(run_bench(headline_only="--headline-only" in sys.argv)))

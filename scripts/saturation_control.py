@@ -31,6 +31,35 @@ PAGE = (
 DURATION = 6.0
 
 
+def single_rate(duration: float = 1.5) -> float:
+    """Single-threaded control rate (pages/s) — the in-process form used
+    by bench.py to stamp every BENCH JSON with a same-minute host-speed
+    calibration (this shared host drifts 20-45% between minutes)."""
+    from html.parser import HTMLParser
+
+    class Collect(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.nodes = []
+
+        def handle_starttag(self, tag, attrs):
+            self.nodes.append({"tag": tag, "attrib": dict(attrs),
+                               "children": []})
+
+        def handle_data(self, data):
+            if self.nodes:
+                self.nodes[-1]["children"].append(data)
+
+    t_end = time.time() + duration
+    n = 0
+    while time.time() < t_end:
+        p = Collect()
+        p.feed(PAGE)
+        p.close()
+        n += 1
+    return round(n / duration, 1)
+
+
 def worker(out_q):
     from html.parser import HTMLParser
 

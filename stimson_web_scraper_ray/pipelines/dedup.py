@@ -1202,13 +1202,14 @@ def semdedup(ds, threshold: float = 0.95, n_clusters: int = 16,
     from .shuffle import salted_partition_apply
     from .similarity import assign_clusters, kmeans_fit
 
-    # exchange width sized to the input (same rationale as
+    # exchange widths sized to the input (same rationale as
     # analytics.read's block clamp: per-part map_groups dispatch is the
-    # fixed cost, so tiny corpora shouldn't fan out 64 ways); clusters
-    # bound the useful width of the first exchange anyway
+    # fixed cost, so tiny corpora shouldn't fan out 64 ways). The
+    # cluster exchange is additionally bounded by k (more parts than
+    # clusters buys nothing); the id-keyed flag merge is not.
     n_rows = ds.count()
-    n_parts = int(min(n_parts, n_clusters,
-                      max(4, n_rows // 2000) if n_rows else 4))
+    row_parts = int(min(n_parts, max(4, n_rows // 2000) if n_rows else 4))
+    cluster_parts = min(row_parts, n_clusters)
 
     cents, _ = kmeans_fit(ds, n_clusters=n_clusters, iters=iters,
                           id_col=id_col, vec_col=vec_col)
@@ -1251,7 +1252,7 @@ def semdedup(ds, threshold: float = 0.95, n_clusters: int = 16,
         return t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     flags = salted_partition_apply(assigned, part_fn, cluster_key,
-                                   n_parts=n_parts)
+                                   n_parts=cluster_parts)
 
     # OR the removal flags across a vector's probe lists; the nearest
     # (probe-0) list is the reported cluster. Ints-only exchange.
@@ -1268,4 +1269,5 @@ def semdedup(ds, threshold: float = 0.95, n_clusters: int = 16,
     def id_key(t: "pa.Table") -> np.ndarray:
         return t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
 
-    return salted_partition_apply(flags, merge_fn, id_key, n_parts=n_parts)
+    return salted_partition_apply(flags, merge_fn, id_key,
+                                  n_parts=row_parts)
