@@ -1317,6 +1317,28 @@ def _q_kmeans_embeddings(sf_dir: str):
                           "inertia_monotone": bool(mono)}])
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE training as a hard gate: n_distinct_words is
+    oracle-checked against DuckDB's regexp re-derivation of the [a-z]+
+    word table (the trainer's actual input), n_merges must reach the
+    requested 20, and merges_applied asserts no merge rule repeats — a
+    repeated winning pair is exactly the signature of a merge that was
+    counted but never applied. Full rule-sequence parity (order, pairs
+    AND counts) vs an independent pure-python BPE is pinned in
+    tests/test_pipelines.py::test_bpe_train_matches_reference, plus a
+    block-layout-invariance test (canonical tie-breaks)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.bpe import bpe_train
+
+    ds = read(sf_dir, "documents", ["text"])
+    merges, n_words = bpe_train(ds, n_merges=20)
+    return pd.DataFrame([{
+        "n_distinct_words": int(n_words),
+        "n_merges": len(merges),
+        "merges_applied": bool(
+            len({(a, b) for a, b, _ in merges}) == len(merges))}])
+
+
 def _q_embedding_neardup_gate(sf_dir: str):
     """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
     rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
@@ -1468,6 +1490,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "semdedup_quality": _q_semdedup_quality,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "bpe_merges": _q_bpe_merges,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -2817,6 +2840,16 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
                TRUE AS inertia_monotone
         FROM embeddings
+    """
+    # BPE trainer: the distinct-word table (the trainer's actual input)
+    # re-derived by DuckDB's regexp engine; merge-rule parity vs an
+    # independent python BPE lives in pytest (iterative — not SQL)
+    sql["bpe_merges"] = """
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+               CAST(20 AS BIGINT) AS n_merges, TRUE AS merges_applied
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS w FROM documents) t
+        WHERE w <> ''
     """
     sql["ann_recall"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,

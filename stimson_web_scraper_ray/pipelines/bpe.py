@@ -1,0 +1,188 @@
+"""Distributed BPE training (Sennrich et al. 2016, arXiv:1508.07909) —
+the real version of the engine's "BPE-ish" token counting: learn merge
+rules from corpus statistics, Ray-Data-first.
+
+Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus: one
+streamed pass reduces the corpus to distinct (word, freq) rows, and every
+merge iteration then touches only that table. That is the scale shape —
+at 100 TB the corpus is ~10^11 words but the distinct-word table is
+~10^8 rows, lives as a Dataset across workers, and each merge is two
+small map_batches passes over it:
+
+  1. pair counting: per batch, adjacent-symbol-pair counts weighted by
+     word freq → partial (a, b, count) rows; reduced adaptively (driver
+     numpy below ``pairs_driver_limit``, one salted exchange keyed on
+     the pair above it — the kmeans_fit pattern) → global argmax pair
+     with a canonical tie-break (count desc, then (a, b) lexicographic),
+     so training is deterministic at any parallelism.
+  2. merge application: rows whose symbol string contains the pair are
+     prefiltered VECTORIZED (pandas str.contains on a joined form);
+     only those rewrite their symbol sequence. The per-word rewrite loop
+     is over the distinct-word table (vocabulary-scaled, never
+     corpus-scaled) — the standard algorithm's working set.
+
+Pre-tokenization is intentionally plain ``[a-z]+`` over lowercased text
+(NOT the reference's split_words): it is exactly reproducible in the
+DuckDB oracle via regexp_extract_all, so the word-table half of training
+is value-checked end to end.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"[a-z]+")
+END = "</w>"
+
+
+def word_freqs(ds, text_col: str = "text", n_parts: int = 32):
+    """Distinct (word, freq) over the corpus: per-batch Counter partials,
+    one salted exchange on a stable word hash, per-part vectorized sum.
+    The corpus never leaves its pass; the output is vocabulary-scaled."""
+    from .shuffle import salted_partition_apply
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t[text_col].to_pylist():
+            if not isinstance(txt, str):
+                continue
+            for w in _WORD_RE.findall(txt.lower()):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({
+            "word": pa.array(list(counts.keys()), pa.string()),
+            "freq": pa.array(list(counts.values()), pa.int64())})
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=True, as_index=False)["freq"].sum()
+
+    def word_key(t: pa.Table) -> np.ndarray:
+        h = pd.util.hash_array(np.asarray(t["word"].to_pylist(),
+                                          dtype=object))
+        return h.view(np.int64)
+
+    return salted_partition_apply(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        reduce_part, word_key, n_parts=n_parts)
+
+
+def _pair_partials(t: pa.Table) -> pa.Table:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, freq in zip(t["syms"].to_pylist(), t["freq"].to_pylist()):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + freq
+    if not counts:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64())})
+    a, b = zip(*counts.keys())
+    return pa.table({"a": pa.array(list(a), pa.string()),
+                     "b": pa.array(list(b), pa.string()),
+                     "count": pa.array(list(counts.values()), pa.int64())})
+
+
+def _best_pair(parts: pd.DataFrame) -> tuple[str, str, int] | None:
+    if parts.empty:
+        return None
+    g = parts.groupby(["a", "b"], sort=False, as_index=False)["count"].sum()
+    # canonical winner: max count, ties broken lexicographically on
+    # (a, b) — deterministic at any block layout / parallelism
+    g = g.sort_values(["count", "a", "b"],
+                      ascending=[False, True, True], kind="mergesort")
+    row = g.iloc[0]
+    return str(row["a"]), str(row["b"]), int(row["count"])
+
+
+def bpe_train(ds, n_merges: int = 30, text_col: str = "text",
+              min_pair_freq: int = 2, pairs_driver_limit: int = 2_000_000,
+              n_parts: int = 32):
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    (merges, n_distinct_words) where merges is the ordered list of
+    (a, b, count) rules. Early-stops when the best pair's count drops
+    below ``min_pair_freq``."""
+    from .shuffle import salted_partition_apply
+
+    wf = word_freqs(ds, text_col=text_col, n_parts=n_parts)
+
+    def to_symbols(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        syms = [list(w) + [END] for w in words]
+        return pa.table({
+            "word": t["word"], "freq": t["freq"],
+            "syms": pa.array(syms, pa.list_(pa.string()))})
+
+    words_ds = wf.map_batches(to_symbols, batch_format="pyarrow") \
+        .materialize()
+    n_words = words_ds.count()
+    n_blocks = max(1, words_ds.num_blocks())
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        ha = pd.util.hash_array(np.asarray(t["a"].to_pylist(), dtype=object))
+        hb = pd.util.hash_array(np.asarray(t["b"].to_pylist(), dtype=object))
+        with np.errstate(over="ignore"):
+            return (ha * np.uint64(0x9E3779B97F4A7C15) + hb).view(np.int64)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], sort=True,
+                          as_index=False)["count"].sum()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_ds = words_ds.map_batches(_pair_partials,
+                                       batch_format="pyarrow")
+        # adaptive reduce (kmeans_fit pattern): the partials bound is
+        # n_blocks × distinct-pairs-per-block; pre-reduce via one salted
+        # exchange when it could outgrow the driver
+        if n_blocks * 4096 > pairs_driver_limit:
+            pair_ds = salted_partition_apply(pair_ds, reduce_pairs,
+                                             pair_key, n_parts=n_parts)
+        best = _best_pair(pair_ds.to_pandas())
+        if best is None or best[2] < min_pair_freq:
+            break
+        a, b, cnt = best
+        merges.append((a, b, cnt))
+        # \x1f (unit separator) — can't appear in [a-z]+/</w> symbols;
+        # NOT \x00: numpy truncates a scalar at NUL when broadcasting
+        # scalar+Series, silently dropping the boundary sentinel
+        joined = f"\x1f{a}\x1f{b}\x1f"
+
+        def apply_merge(df: pd.DataFrame, a=a, b=b,
+                        joined=joined) -> pd.DataFrame:
+            # vectorized prefilter: only words whose sep-joined symbol
+            # string contains the pair rewrite their sequence
+            flat = ("\x1f" + df["syms"].map("\x1f".join) + "\x1f")
+            hit = flat.str.contains(joined, regex=False)
+            if hit.any():
+                ab = a + b
+
+                def rewrite(syms: list[str]) -> list[str]:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            out.append(ab)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    return out
+
+                df = df.copy()
+                df.loc[hit, "syms"] = df.loc[hit, "syms"].map(rewrite)
+            # arrow can't convert ndarray-of-object cells (the
+            # arrow→pandas round trip of list<string>) back to
+            # list<string>; normalize every cell to a plain list
+            df["syms"] = df["syms"].map(list)
+            return df
+
+        words_ds = words_ds.map_batches(
+            apply_merge, batch_format="pandas").materialize()
+    return merges, n_words
+
+
+def bpe_vocab(merges: list[tuple[str, str, int]]) -> list[str]:
+    """The learned subword units, in merge order."""
+    return [a + b for a, b, _ in merges]

@@ -1253,3 +1253,69 @@ def test_kmeans_partials_exchange_path_matches_driver(ray_session, sf_dir):
                                    partials_driver_limit=0)
     assert np.allclose(c1, c2, atol=1e-9)
     assert np.allclose(i1, i2, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE training
+# ---------------------------------------------------------------------------
+
+def _reference_bpe(texts, n_merges, min_pair_freq=2):
+    """Pure-python classic BPE (Sennrich-style) over [a-z]+ words —
+    the independent oracle for the distributed trainer."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(re.findall(r"[a-z]+", t.lower()))
+    words = {w: list(w) + ["</w>"] for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), cnt = best
+        if cnt < min_pair_freq:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, len(wf)
+
+
+def test_bpe_train_matches_reference(ray_session, sf_dir):
+    from stimson_web_scraper_ray.pipelines import bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = ds.to_pandas()["text"].tolist()
+    exp_merges, exp_words = _reference_bpe(texts, n_merges=12)
+    got_merges, got_words = bpe.bpe_train(ds, n_merges=12)
+    assert got_words == exp_words
+    assert got_merges == exp_merges          # order, pairs AND counts
+
+
+def test_bpe_train_parallelism_invariant(ray_session, sf_dir):
+    """Same merges regardless of block layout (canonical tie-break)."""
+    from stimson_web_scraper_ray.pipelines import bpe
+
+    ds1 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["text"], override_num_blocks=1)
+    ds7 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["text"], override_num_blocks=7)
+    m1, _ = bpe.bpe_train(ds1, n_merges=8)
+    m7, _ = bpe.bpe_train(ds7, n_merges=8)
+    assert m1 == m7
