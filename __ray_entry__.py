@@ -1339,6 +1339,39 @@ def _q_bpe_merges(sf_dir: str):
             len({(a, b) for a, b, _ in merges}) == len(merges))}])
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """Per-doc subword counts under the trained merges (stateful
+    actor-pool apply with a per-actor word memo). doc_id coverage is
+    oracle-checked; tokens_in_bounds pins the structural invariant
+    n_words <= bpe_tokens <= n_chars + n_words (every word is 1..len+1
+    subwords); exact per-word counts are pinned by the pytest
+    segmentation-parity test."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    merges, _ = bpe_train(ds, n_merges=20)
+    df = bpe_token_counts(ds, merges).to_pandas()
+    src = read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    import re as _re
+
+    words = src["text"].map(
+        lambda t: _re.findall(r"[a-z]+", t.lower()) if isinstance(t, str)
+        else [])
+    lo = words.map(len)
+    hi = words.map(lambda ws: sum(len(w) + 1 for w in ws))
+    bounds = src[["doc_id"]].assign(lo=lo, hi=hi)
+    df = df.merge(bounds, on="doc_id")
+    df["tokens_in_bounds"] = (df["bpe_tokens"] >= df["lo"]) \
+        & (df["bpe_tokens"] <= df["hi"])
+    out = df[["doc_id", "tokens_in_bounds"]].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_embedding_neardup_gate(sf_dir: str):
     """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
     rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
@@ -1491,6 +1524,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "semdedup_quality": _q_semdedup_quality,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -2850,6 +2884,12 @@ def oracle_sql_all() -> dict[str, str]:
         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
                   AS w FROM documents) t
         WHERE w <> ''
+    """
+    # BPE apply: one row per doc (coverage) + the structural bound gate
+    sql["bpe_token_counts"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               TRUE AS tokens_in_bounds
+        FROM documents ORDER BY doc_id
     """
     sql["ann_recall"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,

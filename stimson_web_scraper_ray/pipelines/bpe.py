@@ -186,3 +186,60 @@ def bpe_train(ds, n_merges: int = 30, text_col: str = "text",
 def bpe_vocab(merges: list[tuple[str, str, int]]) -> list[str]:
     """The learned subword units, in merge order."""
     return [a + b for a, b, _ in merges]
+
+
+class BpeTokenizer:
+    """Stateful apply stage: the learned merge table loads ONCE per actor
+    in ``__init__`` (rank dict — the standard greedy lowest-rank-first
+    application), ``__call__`` tokenizes one Arrow batch. The genuine
+    actor-pool case (contrast kmeans' per-iteration broadcast): the
+    merge table is fixed for the whole pass and per-word results are
+    memoized across batches in actor state, so each distinct word is
+    tokenized once per actor, not once per occurrence."""
+
+    def __init__(self, merges: list[tuple[str, str, int]] | None = None,
+                 merges_ref=None):
+        import ray
+
+        m = merges if merges is not None else ray.get(merges_ref)
+        self.ranks = {(a, b): i for i, (a, b, _) in enumerate(m)}
+        self.cache: dict[str, int] = {}
+
+    def _n_tokens(self, word: str) -> int:
+        hit = self.cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        n = len(syms)
+        self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = []
+        for txt in batch["text"].to_pylist():
+            words = _WORD_RE.findall(txt.lower()) \
+                if isinstance(txt, str) else []
+            counts.append(sum(self._n_tokens(w) for w in words))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bpe_tokens": pa.array(counts, pa.int64())})
+
+
+def bpe_token_counts(ds, merges: list[tuple[str, str, int]]):
+    """Per-doc subword token counts under the learned merges — merge
+    table broadcast once (ray.put), actor pool for the per-word memo."""
+    import ray
+
+    mref = ray.put(merges)
+    return ds.map_batches(
+        BpeTokenizer, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"merges_ref": mref})

@@ -1319,3 +1319,42 @@ def test_bpe_train_parallelism_invariant(ray_session, sf_dir):
     m1, _ = bpe.bpe_train(ds1, n_merges=8)
     m7, _ = bpe.bpe_train(ds7, n_merges=8)
     assert m1 == m7
+
+
+def test_bpe_tokenizer_matches_training_segmentation(ray_session, sf_dir):
+    """Greedy rank-order application must reproduce the training-time
+    segmentation: for every distinct corpus word, the tokenizer's count
+    equals the word's final symbol count in the reference trainer."""
+    import re
+    from collections import Counter
+
+    from stimson_web_scraper_ray.pipelines import bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = ds.to_pandas()["text"].tolist()
+    merges, _ = bpe.bpe_train(ds, n_merges=12)
+    # reference final segmentation (reuse the oracle trainer's loop)
+    wf = Counter()
+    for t in texts:
+        wf.update(re.findall(r"[a-z]+", t.lower()))
+    words = {w: list(w) + ["</w>"] for w in wf}
+    for a, b, _ in merges:
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    tok = bpe.BpeTokenizer(merges=merges)
+    for w, syms in words.items():
+        assert tok._n_tokens(w) == len(syms), w
+    # and the distributed batch path sums per-doc counts consistently
+    counts = bpe.bpe_token_counts(ds, merges).to_pandas()
+    assert len(counts) == len(texts)
+    exp_total = sum(len(words[w]) * f for w, f in wf.items())
+    assert int(counts["bpe_tokens"].sum()) == exp_total
