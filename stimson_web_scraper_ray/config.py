@@ -56,6 +56,20 @@ class EngineConfig:
     # skewed rounds (~10% at 4 cpus), hurts wide pools (fixed per-unit
     # dispatch+probe cost) — measured in crawl.py's dispatch comment.
     dynamic_dispatch: bool = False
+    # tail_holdback_frac: hybrid dispatch for the default sticky-LPT path.
+    # Each actor's round bucket keeps ~(1-frac) of its rows as ONE static
+    # head call (sticky pinning, one parquet probe span), while its
+    # smallest whole host-groups (~frac of rows) are held back in a shared
+    # tail pool fed late-binding to whichever actor finishes first —
+    # own-origin units preferred, stealing only under imbalance. Shrinks
+    # the round-barrier straggler tail (profiled at 10-14% of fetch wall
+    # with ~4% row imbalance: per-page cost variance, not packing) without
+    # paying dynamic_dispatch's per-unit probe cost on ALL work. Whole
+    # groups only, so a host never spans two actors within a round; active
+    # only when politeness_delay_s == 0 (a stolen group's politeness clock
+    # would not follow it mid-crawl), which is the simulated-network
+    # default. Set 0.0 to restore pure sticky LPT.
+    tail_holdback_frac: float = 0.25
     # indegree_priority scores each harvested candidate by how many
     # distinct fetched pages linked to it this round (citation count —
     # the classic crawl-ordering signal): priority = 1/(1+depth)

@@ -635,25 +635,34 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
             per_actor: dict[int, list] = {}
             for pk, grp in groups:
                 per_actor.setdefault(assign[pk], []).append(grp)
-            refs = []
-            ref_load = {}
-            for aid in sorted(per_actor):
-                df = pd.concat(per_actor[aid], ignore_index=True)
-                tbl = pa.Table.from_pandas(df, preserve_index=False)
-                ref = pool[aid].process.remote(tbl, round_dir, cand_dir)
-                refs.append(ref)
-                ref_load[ref] = (aid, len(df))
-            if phase_log:
-                # straggler forensics: per-actor completion offsets
-                t_d = _time.perf_counter()
-                remaining, comp = list(refs), []
-                while remaining:
-                    done, remaining = ray.wait(remaining, num_returns=1)
-                    aid, rows = ref_load[done[0]]
-                    comp.append((aid, rows,
-                                 round(_time.perf_counter() - t_d, 2)))
-                print(f"# round={rnd} actor_done={comp}", file=_sys.stderr)
-            plan_parts = [t for t in ray.get(refs) if t.num_rows]
+            if cfg.tail_holdback_frac > 0 and cfg.politeness_delay_s == 0 \
+                    and pool_size > 1:
+                # hybrid: static sticky head + late-binding tail pool
+                # (whole groups; see _dispatch_sticky_tail)
+                plan_parts = _dispatch_sticky_tail(
+                    pool, per_actor, cfg.tail_holdback_frac, round_dir,
+                    cand_dir, phase_log=phase_log, rnd=rnd)
+            else:
+                refs = []
+                ref_load = {}
+                for aid in sorted(per_actor):
+                    df = pd.concat(per_actor[aid], ignore_index=True)
+                    tbl = pa.Table.from_pandas(df, preserve_index=False)
+                    ref = pool[aid].process.remote(tbl, round_dir, cand_dir)
+                    refs.append(ref)
+                    ref_load[ref] = (aid, len(df))
+                if phase_log:
+                    # straggler forensics: per-actor completion offsets
+                    t_d = _time.perf_counter()
+                    remaining, comp = list(refs), []
+                    while remaining:
+                        done, remaining = ray.wait(remaining, num_returns=1)
+                        aid, rows = ref_load[done[0]]
+                        comp.append((aid, rows,
+                                     round(_time.perf_counter() - t_d, 2)))
+                    print(f"# round={rnd} actor_done={comp}",
+                          file=_sys.stderr)
+                plan_parts = [t for t in ray.get(refs) if t.num_rows]
         _stamp("fetch")
         if plan_parts:
             plan_df = pa.concat_tables(plan_parts).to_pandas()
@@ -793,6 +802,110 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     if ckpt_pending is not None:
         ckpt_pending.join()
     return total_fetched
+
+
+def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
+                          cand_dir, phase_log: bool = False,
+                          rnd: int = -1) -> list:
+    """Hybrid dispatch: one static sticky head call per actor plus a
+    late-binding tail pool (config.tail_holdback_frac). Per actor, the
+    smallest WHOLE host-groups totalling ~frac of its rows are held back
+    and coalesced (in part_key order, for probe locality) into ~512-row
+    units tagged with their origin actor; the rest ships as the usual
+    single head call. When any call completes, the freed actor takes its
+    own next unit first — identical placement to pure sticky LPT when
+    nothing straggles — and steals from the origin with the most backlog
+    only when its own queue is dry. Tail cost drops from one static
+    bucket (10-14% of fetch wall, per-page cost variance) to one unit,
+    while ~(1-frac) of the round still pays only one probe span per
+    actor. Whole groups only → a host never spans two actors within a
+    round (politeness invariant); callers gate on politeness_delay_s == 0
+    so cross-round clock migration is a no-op."""
+    import sys as _sys
+    import time as _time
+    from collections import deque
+
+    import ray
+
+    heads: dict[int, pd.DataFrame] = {}
+    own: dict[int, deque] = {}
+    for aid, grps in per_actor.items():
+        total = sum(len(g) for g in grps)
+        target = int(total * frac)
+        by_size = sorted(range(len(grps)), key=lambda i: len(grps[i]))
+        held: set[int] = set()
+        held_rows = 0
+        for i in by_size:
+            # always keep at least one (the largest) group in the head
+            if held_rows >= target or len(held) >= len(grps) - 1:
+                break
+            held.add(i)
+            held_rows += len(grps[i])
+        head = [g for i, g in enumerate(grps) if i not in held]
+        if head:
+            heads[aid] = (pd.concat(head, ignore_index=True)
+                          if len(head) > 1 else head[0])
+        cur: list[pd.DataFrame] = []
+        cur_rows = 0
+        for i, g in enumerate(grps):        # part_key order → url locality
+            if i not in held:
+                continue
+            cur.append(g)
+            cur_rows += len(g)
+            if cur_rows >= 512:
+                own.setdefault(aid, deque()).append(
+                    pd.concat(cur, ignore_index=True))
+                cur, cur_rows = [], 0
+        if cur:
+            own.setdefault(aid, deque()).append(
+                pd.concat(cur, ignore_index=True))
+
+    def take_unit(aid: int) -> pd.DataFrame | None:
+        q = own.get(aid)
+        if q:
+            return q.popleft()
+        best, best_rows = None, 0
+        for oid, oq in own.items():
+            rows = sum(len(d) for d in oq)
+            if rows > best_rows:
+                best, best_rows = oid, rows
+        if best is None:
+            return None
+        # steal from the BACK: the origin keeps eating its queue in order
+        return own[best].pop()
+
+    def submit(aid: int, df: pd.DataFrame):
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        pending[pool[aid].process.remote(tbl, round_dir, cand_dir)] = \
+            (aid, len(df))
+
+    pending: dict = {}
+    for aid, df in heads.items():
+        submit(aid, df)
+    for aid in range(len(pool)):            # head-less actors start on tail
+        if aid not in heads:
+            df = take_unit(aid)
+            if df is not None:
+                submit(aid, df)
+
+    plan_parts: list = []
+    comp: list = []
+    t_d = _time.perf_counter()
+    while pending:
+        done, _ = ray.wait(list(pending), num_returns=1)
+        ref = done[0]
+        aid, rows = pending.pop(ref)
+        nxt = take_unit(aid)
+        if nxt is not None:                 # refill BEFORE pulling result
+            submit(aid, nxt)
+        if phase_log:
+            comp.append((aid, rows, round(_time.perf_counter() - t_d, 2)))
+        t = ray.get(ref)
+        if t.num_rows:
+            plan_parts.append(t)
+    if phase_log:
+        print(f"# round={rnd} tail_done={comp}", file=_sys.stderr)
+    return plan_parts
 
 
 def _dispatch_units(pool, units, round_dir: str, cand_dir) -> list:

@@ -183,6 +183,33 @@ def test_dynamic_dispatch_parity(ray_session, pages_path, seeds,
     assert np.array_equal(seen_s, seen_d)
 
 
+def test_tail_holdback_parity(ray_session, pages_path, seeds,
+                              tmp_path_factory):
+    """Hybrid sticky-head + late-binding-tail dispatch
+    (cfg.tail_holdback_frac, the default path at politeness_delay_s == 0):
+    a forced-heavy tail (frac 0.5, every actor donating half its rows as
+    stealable units) must crawl the identical rounds and seen set as pure
+    sticky LPT (frac 0.0). Placement is a pure execution decision."""
+    import dataclasses
+
+    cfg_off = dataclasses.replace(CFG, round_budget=60,
+                                  tail_holdback_frac=0.0)
+    cfg_on = dataclasses.replace(CFG, round_budget=60,
+                                 tail_holdback_frac=0.5,
+                                 extract_concurrency=4)
+    out_off = str(tmp_path_factory.mktemp("crawl_notail"))
+    out_on = str(tmp_path_factory.mktemp("crawl_tail"))
+    res_off = crawl(pages_path, seeds, cfg_off, out_dir=out_off,
+                    max_rounds=3)
+    res_on = crawl(pages_path, seeds, cfg_on, out_dir=out_on, max_rounds=3)
+    assert res_off.pages_fetched == res_on.pages_fetched
+    assert _round_urls(res_off.articles_path) == \
+        _round_urls(res_on.articles_path)
+    seen_off = final_seen_hashes(res_off.checkpoint_dir, 2, CFG.seen_shards)
+    seen_on = final_seen_hashes(res_on.checkpoint_dir, 2, CFG.seen_shards)
+    assert np.array_equal(seen_off, seen_on)
+
+
 def test_indegree_priority_matches_simulator(ray_session, pages_path,
                                              tmp_path_factory):
     """Citation-count frontier priority (indegree_priority): the engine
