@@ -236,3 +236,38 @@ def test_textrank_cnn_keyword_parity():
               "roads", "delays", "parade", "people", "winds", "snow"}
     assert len(set(kws) & expect) >= 10
     assert all(k == k.lower() for k in kws)   # analyze(text.lower())
+
+
+def test_fast_date_parse_matches_dateutil():
+    """parse_date_str's regex fast path must agree with dateutil on every
+    string its grammar accepts (metadata.py::_FAST_DATE); anything else
+    falls through to dateutil by construction, so agreement on the
+    accepted set IS full parity."""
+    from dateutil.parser import parse as du
+
+    from stimson_web_scraper_ray.functions.metadata import (
+        _FAST_DATE,
+        parse_date_str,
+    )
+
+    accepted = [
+        "2014-06-01", "2014/06/01", "2014-6-1", "1999/12/31",
+        "2014-01-01T10:00:00Z", "2023-04-05T12:30:00+05:30",
+        "2023-04-05t12:30:00z", "2020-02-29 23:59:59",
+        "2020-07-01T00:00:00-08:00", "2020-07-01T00:00:00-0800",
+        "2021-11-03T04:05:06.123Z", "2021-11-03T04:05:06.123456+00:00",
+        "  2014-06-01  ", "2014-06-01T10:30",
+    ]
+    for s in accepted:
+        assert _FAST_DATE.match(s), s
+        assert parse_date_str(s) == du(s), s
+    # rejected by the fast grammar or by date validation → dateutil rules
+    fall_through = ["June 1, 2014", "2014-13-05", "01-06-2014",
+                    "2014-02-30", "20140601", "2014-06-01T10:00:00EST"]
+    for s in fall_through:
+        got = parse_date_str(s)
+        try:
+            want = du(s)
+        except (ValueError, OverflowError):
+            want = None
+        assert got == want, (s, got, want)
