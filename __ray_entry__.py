@@ -1372,6 +1372,44 @@ def _q_bpe_token_counts(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Top-50 inverted-index rows by (df desc, term asc): one salted
+    term-hash exchange assembling sorted distinct postings
+    (pipelines/index.py). Postings ship as a CSV string so the driver
+    value-hash pins the full posting lists, not just the df counts."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import build_inverted_index
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    top = build_inverted_index(ds) \
+        .sort(["df", "term"], descending=[True, False]).limit(50) \
+        .to_pandas()
+    top["postings"] = top["postings"].map(
+        lambda p: ",".join(str(int(x)) for x in p))
+    top["df"] = top["df"].astype("int64")
+    return top[["term", "df", "postings"]].reset_index(drop=True)
+
+
+def _q_index_search_and(sf_dir: str):
+    """Conjunctive boolean retrieval over the inverted index: docs
+    containing ALL of the top-3 df terms (deterministic pick shared with
+    the oracle). Posting lists explode where they live and intersect via
+    a count==k groupby — never a driver loop."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        search_and,
+        top_terms,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    idx = build_inverted_index(ds).materialize()
+    terms = top_terms(idx, 3)
+    hits = search_and(idx, terms).to_pandas()
+    hits["doc_id"] = hits["doc_id"].astype("int64")
+    return hits.reset_index(drop=True)
+
+
 def _q_embedding_neardup_gate(sf_dir: str):
     """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
     rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
@@ -1525,6 +1563,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
+        "inverted_index": _q_inverted_index,
+        "index_search_and": _q_index_search_and,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -2890,6 +2930,35 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                TRUE AS tokens_in_bounds
         FROM documents ORDER BY doc_id
+    """
+    # inverted index: full posting lists re-derived by DuckDB (same ascii
+    # tokenization as the unigram-LM oracles), CSV-joined so the value
+    # hash pins list contents and order
+    _PAIRS_CTE = """
+        SELECT DISTINCT doc_id, w AS term
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(regexp_replace(
+                         text, '[^a-zA-Z0-9_ ]', '', 'g')), ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+    """
+    sql["inverted_index"] = f"""
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM ({_PAIRS_CTE}) pairs
+        GROUP BY term ORDER BY df DESC, term LIMIT 50
+    """
+    sql["index_search_and"] = f"""
+        WITH pairs AS ({_PAIRS_CTE}),
+        top3 AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+            ) ORDER BY df DESC, term LIMIT 3
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id
+        FROM pairs WHERE term IN (SELECT term FROM top3)
+        GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+        ORDER BY doc_id
     """
     sql["ann_recall"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,

@@ -1,0 +1,112 @@
+"""Distributed inverted index: term -> sorted postings list, plus boolean
+(conjunctive) retrieval over it.
+
+The retrieval-side counterpart of the corpus statistics family (tfidf.py,
+lm.py): the same ascii tokenization and the same one-shuffle shape, but the
+artifact is the postings table itself — the thing a web-scale pipeline
+writes as partitioned parquet and serves lookups from.
+
+Scale shape:
+- build: per-batch DISTINCT (term, doc_id) pairs (combiner — a term
+  repeated in a doc ships once) -> ONE salted exchange keyed on a stable
+  64-bit term hash -> per-part vectorized assembly of sorted distinct
+  postings. Posting lists are distributed across parts; nothing
+  corpus-sized touches the driver.
+- search (AND of k terms): the k posting rows are filtered where they
+  live, exploded back to (doc_id) rows, and reduced by a count==k
+  groupby — the standard postings-intersection as a Dataset op, so a
+  hot term's million-doc posting list never lands on one node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .lm import ascii_words
+
+
+def _term_pairs(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    terms: list[str] = []
+    ids: list[int] = []
+    for did, txt in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+        for w in set(ascii_words(txt)):
+            terms.append(w)
+            ids.append(did)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+    })
+
+
+def _term_key(t: pa.Table) -> np.ndarray:
+    from .textstats import word_hash64
+
+    words = t["term"].to_pylist()
+    return np.fromiter((word_hash64(w) for w in words),
+                       dtype=np.uint64, count=len(words)).view(np.int64)
+
+
+def build_inverted_index(ds, id_col: str = "doc_id",
+                         text_col: str = "text", n_parts: int = 64):
+    """Dataset of (term, df, postings: list<int64> sorted asc, distinct).
+    df == len(postings) by construction (document frequency)."""
+    from .shuffle import salted_partition_apply
+
+    pairs = ds.map_batches(
+        lambda b: _term_pairs(b, id_col, text_col), batch_format="pyarrow")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["term", "doc_id"]) \
+               .sort_values(["term", "doc_id"], kind="mergesort")
+        g = df.groupby("term", sort=True)["doc_id"]
+        postings = g.agg(list)
+        out = pd.DataFrame({
+            "term": postings.index,
+            "df": postings.map(len).astype("int64"),
+            "postings": postings.values,
+        })
+        return out.reset_index(drop=True)
+
+    return salted_partition_apply(pairs, assemble, _term_key,
+                                  n_parts=n_parts)
+
+
+def top_terms(index_ds, k: int) -> list[str]:
+    """Top-k terms by (df desc, term asc) — the deterministic term pick
+    the search query and its SQL oracle share."""
+    top = index_ds.sort(["df", "term"], descending=[True, False]) \
+                  .limit(k).to_pandas()
+    return top["term"].tolist()
+
+
+def search_and(index_ds, terms: list[str]):
+    """Doc ids containing ALL of ``terms`` (conjunctive boolean search),
+    as a Dataset of (doc_id) sorted asc. Postings explode where they
+    live; the intersection is a count==k groupby, never a driver loop."""
+    import ray
+    from ray.data.aggregate import Count
+
+    want = ray.put(frozenset(terms))
+    k = len(set(terms))
+
+    def explode(t: pa.Table) -> pa.Table:
+        w = ray.get(want)
+        out: list[int] = []
+        for term, postings in zip(t["term"].to_pylist(),
+                                  t["postings"].to_pylist()):
+            if term in w:
+                out.extend(postings)
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+    hits = index_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Count(alias_name="n_terms"))
+
+    def keep_all(t: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(t["n_terms"], k)
+        return t.filter(mask).select(["doc_id"])
+
+    return hits.map_batches(keep_all, batch_format="pyarrow") \
+        .sort("doc_id")

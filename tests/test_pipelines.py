@@ -1358,3 +1358,42 @@ def test_bpe_tokenizer_matches_training_segmentation(ray_session, sf_dir):
     assert len(counts) == len(texts)
     exp_total = sum(len(words[w]) * f for w, f in wf.items())
     assert int(counts["bpe_tokens"].sum()) == exp_total
+
+
+def test_inverted_index_and_search(ray_session):
+    """Posting lists are sorted distinct doc ids; conjunctive search is
+    the exact AND set regardless of how postings explode across blocks
+    (duplicate terms within a doc ship once; a term in every doc
+    intersects to every doc)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        search_and,
+        top_terms,
+    )
+
+    docs = [
+        (0, "alpha beta gamma alpha"),
+        (1, "alpha beta"),
+        (2, "beta gamma delta"),
+        (3, "alpha gamma"),
+        (4, ""),
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=3)
+    idx = build_inverted_index(ds, n_parts=5).materialize()
+    rows = {r["term"]: (r["df"], list(r["postings"]))
+            for r in idx.take_all()}
+    assert rows["alpha"] == (3, [0, 1, 3])
+    assert rows["beta"] == (3, [0, 1, 2])
+    assert rows["gamma"] == (3, [0, 2, 3])
+    assert rows["delta"] == (1, [2])
+
+    assert top_terms(idx, 2) == ["alpha", "beta"]
+    got = [r["doc_id"] for r in search_and(idx, ["alpha", "beta"]).take_all()]
+    assert got == [0, 1]
+    got = [r["doc_id"]
+           for r in search_and(idx, ["alpha", "beta", "gamma"]).take_all()]
+    assert got == [0]
+    assert search_and(idx, ["delta", "alpha"]).count() == 0
