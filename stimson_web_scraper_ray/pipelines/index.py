@@ -74,6 +74,58 @@ def build_inverted_index(ds, id_col: str = "doc_id",
                                   n_parts=n_parts)
 
 
+def write_inverted_index(index_ds, out_dir: str, n_partitions: int = 64):
+    """Persist the index as term-hash-partitioned parquet
+    (``part=NN/*.parquet``): the resumable-sink shape — a failed build
+    re-runs only missing partitions, and lookups read only the partition
+    a term hashes to instead of scanning the whole index."""
+    import os
+
+    from .textstats import word_hash64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        words = t["term"].to_pylist()
+        part = np.fromiter(
+            (word_hash64(w) % np.uint64(n_partitions) for w in words),
+            dtype=np.uint64, count=len(words)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    os.makedirs(out_dir, exist_ok=True)
+    index_ds.map_batches(add_part, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["part"])
+    return out_dir
+
+
+def lookup_terms(out_dir: str, terms: list[str],
+                 n_partitions: int = 64) -> pd.DataFrame:
+    """Point lookups against a written index: hash each term to its
+    partition and read ONLY those directories (partition pruning — the
+    read cost is O(requested partitions), not O(index))."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .textstats import word_hash64
+
+    parts = sorted({int(word_hash64(t) % np.uint64(n_partitions))
+                    for t in terms})
+    want = set(terms)
+    frames = []
+    for p in parts:
+        for f in glob.glob(os.path.join(out_dir, f"part={p}", "*.parquet")):
+            t = pq.read_table(f, columns=["term", "df", "postings"])
+            mask = pa.compute.is_in(t["term"],
+                                    value_set=pa.array(sorted(want)))
+            hit = t.filter(mask)
+            if hit.num_rows:
+                frames.append(hit.to_pandas())
+    if not frames:
+        return pd.DataFrame({"term": [], "df": [], "postings": []})
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values("term").reset_index(drop=True)
+
+
 def top_terms(index_ds, k: int) -> list[str]:
     """Top-k terms by (df desc, term asc) — the deterministic term pick
     the search query and its SQL oracle share."""

@@ -1397,3 +1397,34 @@ def test_inverted_index_and_search(ray_session):
            for r in search_and(idx, ["alpha", "beta", "gamma"]).take_all()]
     assert got == [0]
     assert search_and(idx, ["delta", "alpha"]).count() == 0
+
+
+def test_inverted_index_partitioned_sink_and_pruned_lookup(ray_session,
+                                                           tmp_path):
+    """write_inverted_index persists term-hash partitions; lookup_terms
+    reads only the partitions its terms hash to and returns the same
+    postings the in-memory index holds."""
+    import os
+
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        lookup_terms,
+        write_inverted_index,
+    )
+
+    docs = [(i, f"common word{i % 3} tail{i}") for i in range(12)]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=3)
+    idx = build_inverted_index(ds, n_parts=4).materialize()
+    out = str(tmp_path / "idx")
+    write_inverted_index(idx, out, n_partitions=8)
+    assert any(n.startswith("part=") for n in os.listdir(out))
+
+    got = lookup_terms(out, ["common", "word1", "absent"], n_partitions=8)
+    rows = {r["term"]: (r["df"], list(r["postings"]))
+            for _, r in got.iterrows()}
+    assert set(rows) == {"common", "word1"}
+    assert rows["common"] == (12, list(range(12)))
+    assert rows["word1"] == (4, [1, 4, 7, 10])
