@@ -1410,6 +1410,27 @@ def _q_index_search_and(sf_dir: str):
     return hits.reset_index(drop=True)
 
 
+def _q_index_search_bm25(sf_dir: str):
+    """Ranked retrieval: BM25 top-20 for the top-3 df terms (same
+    deterministic term pick as index_search_and). Scores rank on the
+    4-dp rounding in BOTH engine and oracle so libm last-ulp drift
+    can't flip an order."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        bm25_topk,
+        build_inverted_index,
+        top_terms,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    idx = build_inverted_index(ds).materialize()
+    terms = top_terms(idx, 3)
+    out = bm25_topk(ds, idx, terms, k=20).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["bm25"] = out["bm25"].round(4)
+    return out[["doc_id", "bm25"]].reset_index(drop=True)
+
+
 def _q_embedding_neardup_gate(sf_dir: str):
     """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
     rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
@@ -1565,6 +1586,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "inverted_index": _q_inverted_index,
         "index_search_and": _q_index_search_and,
+        "index_search_bm25": _q_index_search_bm25,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -2947,6 +2969,41 @@ def oracle_sql_all() -> dict[str, str]:
                array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM ({_PAIRS_CTE}) pairs
         GROUP BY term ORDER BY df DESC, term LIMIT 50
+    """
+    # BM25: full re-derivation (token multiplicity, dl/avgdl, df, the
+    # Okapi formula) with the same 4-dp round-then-rank as the engine
+    sql["index_search_bm25"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9_ ]', '', 'g')), ' ')) AS term
+            FROM documents
+        ), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+        stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+                         / (SELECT COUNT(*) FROM documents) AS avgdl),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+               FROM tok2 GROUP BY term),
+        top3 AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
+        tf AS (SELECT t.doc_id, t.term, COUNT(*) AS tf
+               FROM tok2 t JOIN top3 USING(term)
+               GROUP BY t.doc_id, t.term),
+        scored AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln(1 + (s.n_docs - top3.df + 0.5)
+                              / (top3.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * dl.dl / s.avgdl))
+                   ), 4) AS bm25
+            FROM tf JOIN top3 USING(term) JOIN dl USING(doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
     """
     sql["index_search_and"] = f"""
         WITH pairs AS ({_PAIRS_CTE}),

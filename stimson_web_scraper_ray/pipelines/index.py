@@ -74,6 +74,75 @@ def build_inverted_index(ds, id_col: str = "doc_id",
                                   n_parts=n_parts)
 
 
+def bm25_topk(ds, index_ds, terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Okapi BM25 ranked retrieval (Robertson & Walker, public formula):
+    top-k docs for a bag-of-terms query.
+
+    Scale shape: the only per-term state is df for the QUERY terms — a
+    k-entry broadcast, fetched from the posting table where it lives (a
+    filter on the index Dataset, never a full read). Scoring is one
+    streamed pass over docs: tf comes from the doc text itself (no
+    positional index needed for bag-of-words BM25), dl/avgdl from a
+    cheap count pass. Ranking = sort on the 4-dp-rounded score (ties:
+    doc_id asc) + limit — the same ordering the SQL oracle computes.
+    """
+    import ray
+
+    want = sorted(set(terms))
+    n_docs = ds.count()
+
+    # dl per doc + corpus avgdl in one aggregate pass
+    def doc_len(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        dls = [len(ascii_words(x)) for x in t[text_col].to_pylist()]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "dl": pa.array(dls, pa.int64())})
+
+    lens = ds.map_batches(doc_len, batch_format="pyarrow")
+    total_dl = lens.sum("dl") or 0
+    avgdl = (total_dl / n_docs) if n_docs else 1.0
+
+    # df for the query terms only: filter the posting table in place
+    def df_rows(t: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(t["term"], value_set=pa.array(want))
+        hit = t.filter(mask)
+        return hit.select(["term", "df"])
+
+    df_tbl = index_ds.map_batches(df_rows, batch_format="pyarrow") \
+        .to_pandas()
+    dfs = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
+    idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5)
+                           / (dfs[t] + 0.5)))
+           for t in want if t in dfs}
+    idf_ref = ray.put((idf, float(avgdl)))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_map, avg = ray.get(idf_ref)
+        ids, scores = [], []
+        for did, txt in zip(t[id_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            ws = ascii_words(txt)
+            if not ws:
+                continue
+            dl = len(ws)
+            s = 0.0
+            for term, w_idf in idf_map.items():
+                tf = ws.count(term)
+                if tf:
+                    s += w_idf * tf * (k1 + 1) \
+                        / (tf + k1 * (1 - b + b * dl / avg))
+            if s > 0:
+                ids.append(did)
+                scores.append(round(s, 4))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "bm25": pa.array(scores, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["bm25", id_col], descending=[True, False]).limit(k)
+
+
 def write_inverted_index(index_ds, out_dir: str, n_partitions: int = 64):
     """Persist the index as term-hash-partitioned parquet
     (``part=NN/*.parquet``): the resumable-sink shape — a failed build

@@ -1428,3 +1428,41 @@ def test_inverted_index_partitioned_sink_and_pruned_lookup(ray_session,
     assert set(rows) == {"common", "word1"}
     assert rows["common"] == (12, list(range(12)))
     assert rows["word1"] == (4, [1, 4, 7, 10])
+
+
+def test_bm25_ranking_semantics(ray_session):
+    """BM25 orders by relevance, not raw tf: a rarer query term
+    outweighs a common one, and length normalization penalizes a match
+    diluted in a long document."""
+    import math
+
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    docs = [
+        (0, "rare common"),                      # rare term, short doc
+        (1, "common common common"),             # only the common term
+        (2, "rare " + "filler " * 60 + "common"),  # rare term, long doc
+        (3, "unrelated words only"),
+        (4, "common"),
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=2)
+    idx = build_inverted_index(ds, n_parts=4).materialize()
+    out = {r["doc_id"]: r["bm25"]
+           for r in bm25_topk(ds, idx, ["rare", "common"], k=10).take_all()}
+    assert 3 not in out                       # no query term -> no score
+    assert out[0] > out[1]                    # rare beats tf-heavy common
+    assert out[0] > out[2]                    # short doc beats diluted long
+    # hand-check doc 4: one common term, dl=1
+    n, df_c = 5, 4
+    dls = [2, 3, 62, 3, 1]
+    avgdl = sum(dls) / n
+    idf = math.log(1 + (n - df_c + 0.5) / (df_c + 0.5))
+    want = round(idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / avgdl)),
+                 4)
+    assert out[4] == want
