@@ -53,6 +53,10 @@ class CrawlResult:
     articles_path: str
     checkpoint_dir: str
     seen_size: int
+    # wall seconds from crawl() entry to the start of round execution
+    # (shard/pool creation; plus the spawn barrier under warm_pool) —
+    # lets steady-state measurements subtract the O(pool) setup cost
+    setup_sec: float = 0.0
 
 
 def _frontier_from_seeds(seeds: list[str]) -> pd.DataFrame:
@@ -382,12 +386,20 @@ def _find_resume_round(ckpt_dir: str) -> int | None:
 
 def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
           out_dir: str = "/tmp/swsr_crawl", max_rounds: int = 3,
-          resume: bool = False) -> CrawlResult:
-    """Run the crawl. Requires an initialised Ray session (caller owns it)."""
+          resume: bool = False, warm_pool: bool = False) -> CrawlResult:
+    """Run the crawl. Requires an initialised Ray session (caller owns it).
+
+    ``warm_pool=True`` blocks until every pool actor's process is up
+    before round 0 (steady-state mode: on a long-lived cluster the pool
+    outlives many crawls, so per-actor process spawn — ~1.2 s × pool
+    size, paid inside round 0's fetch otherwise — is a one-time cost,
+    not a per-crawl one)."""
     import ray
 
     import shutil
+    import time as _time
 
+    _t_entry = _time.perf_counter()
     cfg = cfg or EngineConfig()
     if cfg.dynamic_dispatch and cfg.politeness_delay_s != 0:
         # fail fast instead of silently falling back to sticky pinning:
@@ -454,6 +466,9 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
                 pages_path=pages_path, round_dir="", config=cfg,
                 politeness_delay_s=cfg.politeness_delay_s)
             for _ in range(pool_size)]
+    if warm_pool:
+        ray.get([a.ping.remote() for a in pool])
+    setup_sec = _time.perf_counter() - _t_entry
 
     try:
         total_fetched = _run_rounds(
@@ -467,7 +482,7 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     return CrawlResult(
         rounds=max_rounds, pages_fetched=total_fetched,
         articles_path=articles_dir, checkpoint_dir=ckpt_dir,
-        seen_size=seen_size)
+        seen_size=seen_size, setup_sec=round(setup_sec, 3))
 
 
 def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,

@@ -57,6 +57,12 @@ class CrawlRoundWorker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.process(batch, self.round_dir)
 
+    def ping(self) -> int:
+        """Warm-up barrier: returns once the actor process is spawned and
+        __init__ has run (worker spawn is ~1.2 s/actor of pure fixed cost
+        — the steady-state benchmark mode waits it out before timing)."""
+        return 0
+
     def process(self, batch: pa.Table, round_dir: str,
                 cand_dir: str | None = None) -> pa.Table:
         """Explicit-round entry point for the persistent-pool path (the
