@@ -1431,6 +1431,25 @@ def _q_index_search_bm25(sf_dir: str):
     return out[["doc_id", "bm25"]].reset_index(drop=True)
 
 
+def _q_index_search_phrase(sf_dir: str):
+    """Exact phrase search for the corpus's top bigram (freq desc,
+    bigram desc — the corpus_bigrams pick, shared with the oracle):
+    per-doc sliding-window occurrence counts, overlapping matches
+    included."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import phrase_search
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        corpus_top_bigrams,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    top1 = corpus_top_bigrams(ds, k=1).to_pandas()["bigram"].iloc[0]
+    out = phrase_search(ds, top1.split(" ")).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_embedding_neardup_gate(sf_dir: str):
     """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
     rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
@@ -1587,6 +1606,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "index_search_and": _q_index_search_and,
         "index_search_bm25": _q_index_search_bm25,
+        "index_search_phrase": _q_index_search_phrase,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -2969,6 +2989,31 @@ def oracle_sql_all() -> dict[str, str]:
                array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM ({_PAIRS_CTE}) pairs
         GROUP BY term ORDER BY df DESC, term LIMIT 50
+    """
+    # phrase search: the corpus_bigrams tokenization (empty/numeric
+    # filtered, adjacent pairs), top-1 bigram picked identically, per-doc
+    # occurrence counts via the same bigram expansion
+    sql["index_search_phrase"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                       x -> x <> ''
+                           AND NOT regexp_matches(x, '^[0-9]+$')) AS w
+            FROM documents),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM toks WHERE len(w) >= 2),
+        top1 AS (
+            SELECT bigram FROM (
+                SELECT bigram, COUNT(*) AS freq FROM big GROUP BY bigram
+            ) ORDER BY freq DESC, bigram DESC LIMIT 1)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM big WHERE bigram IN (SELECT bigram FROM top1)
+        GROUP BY doc_id ORDER BY doc_id
     """
     # BM25: full re-derivation (token multiplicity, dl/avgdl, df, the
     # Okapi formula) with the same 4-dp round-then-rank as the engine

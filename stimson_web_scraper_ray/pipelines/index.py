@@ -143,6 +143,38 @@ def bm25_topk(ds, index_ds, terms: list[str], k: int = 20,
         .sort(["bm25", id_col], descending=[True, False]).limit(k)
 
 
+def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Exact phrase occurrence counts per doc: sliding-window match of
+    the phrase terms over the SAME tokenization as the corpus bigram
+    pipeline (split_words, empty/numeric tokens dropped), overlapping
+    matches counted. One streamed pass over docs — adjacency is per-doc
+    local, so no positional index is required; at corpus scale prune
+    first with ``search_and`` over the phrase's terms and verify only
+    the candidates. Returns (doc_id, n_hits) sorted by doc_id."""
+    from ..functions.textutil import split_words
+
+    terms = list(phrase)
+    k = len(terms)
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        ids, hits = [], []
+        for did, txt in zip(t[id_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            ws = [w for w in split_words(txt or "")
+                  if w and not w.isnumeric()]
+            n = sum(1 for i in range(len(ws) - k + 1)
+                    if ws[i:i + k] == terms)
+            if n:
+                ids.append(did)
+                hits.append(n)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(hits, pa.int64())})
+
+    return ds.map_batches(count_hits, batch_format="pyarrow") \
+        .sort(id_col)
+
+
 def write_inverted_index(index_ds, out_dir: str, n_partitions: int = 64):
     """Persist the index as term-hash-partitioned parquet
     (``part=NN/*.parquet``): the resumable-sink shape — a failed build

@@ -1466,3 +1466,25 @@ def test_bm25_ranking_semantics(ray_session):
     want = round(idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / avgdl)),
                  4)
     assert out[4] == want
+
+
+def test_phrase_search_overlapping_and_filtered_tokens(ray_session):
+    """Phrase matching uses the bigram tokenization (empties and pure
+    numerics dropped BEFORE adjacency) and counts overlapping
+    occurrences: 'a b a b a' has two 'a b' hits and 'b a' bridges the
+    dropped numeric token."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import phrase_search
+
+    docs = [
+        (0, "a b a b a"),          # "a b" twice (overlap window)
+        (1, "a 42 b"),             # numeric dropped -> "a b" adjacency
+        (2, "a c b"),              # not adjacent
+        (3, "b a"),                # reversed
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=2)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in phrase_search(ds, ["a", "b"]).take_all()}
+    assert got == {0: 2, 1: 1}
