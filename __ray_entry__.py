@@ -1450,6 +1450,22 @@ def _q_index_search_phrase(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_dup_substring_spans(sf_dir: str):
+    """ExactSubstr-style duplicated spans (Lee et al. 2021): per doc,
+    merged intervals of positions covered by a 50-char gram occurring
+    >= 2 times corpus-wide. The DuckDB oracle re-derives the same set
+    with true substring equality (the engine matches 64-bit gram
+    hashes; collisions are ~2^-34 at this scale)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import dup_substring_spans
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_substring_spans(ds, gram_len=50).to_pandas()
+    for c in ("doc_id", "n_spans", "dup_chars"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_embedding_neardup_gate(sf_dir: str):
     """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
     rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
@@ -1607,6 +1623,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "index_search_and": _q_index_search_and,
         "index_search_bm25": _q_index_search_bm25,
         "index_search_phrase": _q_index_search_phrase,
+        "dup_substring_spans": _q_dup_substring_spans,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -2989,6 +3006,40 @@ def oracle_sql_all() -> dict[str, str]:
                array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM ({_PAIRS_CTE}) pairs
         GROUP BY term ORDER BY df DESC, term LIMIT 50
+    """
+    # ExactSubstr duplicated spans: true substring equality over all
+    # stride-1 50-char grams, then gaps-and-islands interval merging —
+    # the full re-derivation of the engine's two-exchange pipeline
+    sql["dup_substring_spans"] = """
+        WITH pos AS (
+            SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 50) AS g
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) - 48)) AS i
+                  FROM documents
+                  WHERE text IS NOT NULL AND length(text) >= 50)),
+        dup AS (
+            SELECT doc_id, i FROM pos
+            WHERE g IN (SELECT g FROM pos
+                        GROUP BY g HAVING COUNT(*) >= 2)),
+        marked AS (
+            SELECT doc_id, i,
+                   CASE WHEN LAG(i) OVER w IS NULL
+                             OR i > LAG(i) OVER w + 50
+                        THEN 1 ELSE 0 END AS is_start
+            FROM dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        isl AS (
+            SELECT doc_id, i,
+                   SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS island
+            FROM marked),
+        spans AS (
+            SELECT doc_id, island, MIN(i) AS s, MAX(i) + 49 AS e
+            FROM isl GROUP BY doc_id, island)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY doc_id ORDER BY doc_id
     """
     # phrase search: the corpus_bigrams tokenization (empty/numeric
     # filtered, adjacent pairs), top-1 bigram picked identically, per-doc

@@ -152,7 +152,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "dedup_spans_global", "heavy_hitter_words", "pack_sequences",
              "profile_events", "doc_classifier_score",
              "minhash_dedup_groups", "trade_pagerank_undirected",
-             "order_rank_windows", "semdedup", "inverted_index"]
+             "order_rank_windows", "semdedup", "inverted_index",
+             "dup_substring_spans"]
     qs = entry_mod.queries_all()
     # warmup: the first Dataset execution pays Ray worker-pool spin-up
     # and module imports (~3 s measured on pricing_summary cold vs warm);

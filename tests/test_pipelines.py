@@ -1488,3 +1488,37 @@ def test_phrase_search_overlapping_and_filtered_tokens(ray_session):
     got = {r["doc_id"]: r["n_hits"]
            for r in phrase_search(ds, ["a", "b"]).take_all()}
     assert got == {0: 2, 1: 1}
+
+
+def test_dup_substring_spans_planted(ray_session):
+    """ExactSubstr spans on planted duplicates: a 60-char string shared
+    by two docs marks its full extent in both (one merged span, 60
+    chars); a doc with an internal repeat of a 55-char block gets both
+    occurrences marked; unique text stays unmarked; sub-threshold
+    overlap (< 50 chars) is invisible."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import dup_substring_spans
+
+    shared = "S" * 10 + "the quick brown fox jumps over the lazy dog again!"
+    assert len(shared) == 60
+    block = "B" + "abcdefghij" * 5 + "CCCC"          # 55 chars
+    docs = [
+        (0, "x" * 30 + shared + "y" * 30),
+        (1, "p" * 10 + shared + "q" * 50),
+        (2, "m" * 20 + block + "n" * 20 + block + "o" * 20),
+        # non-repetitive filler: a constant run would self-duplicate
+        # (any 50-gram of "z"*60 occurs 11 times within the doc)
+        (3, "totally unique text " + "".join(
+            chr(ord("a") + (7 * i) % 26) + str(i % 10) for i in range(40))),
+        (4, "x" * 30 + "the quick brown fox jumps"),  # 25-char overlap only
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=3)
+    out = {r["doc_id"]: (r["n_spans"], r["dup_chars"])
+           for r in dup_substring_spans(ds, gram_len=50).take_all()}
+    assert out[0] == (1, 60)
+    assert out[1] == (1, 60)
+    assert out[2] == (2, 110)
+    assert 3 not in out
+    assert 4 not in out
