@@ -279,3 +279,17 @@ def test_empty_seed_list_is_graceful(ray_session, pages_path,
     assert _round_urls(res.articles_path) == {}
     sim = simulate_crawl(pages_path, [], CFG, max_rounds=3)
     assert len(sim) == 0
+
+
+def test_warm_pool_parity(ray_session, pages_path, seeds, tmp_path_factory):
+    """warm_pool=True (steady-state benchmark mode: spawn barrier before
+    round 0) is pure timing instrumentation — identical rounds, seen
+    set, and a positive setup_sec report."""
+    out = str(tmp_path_factory.mktemp("crawl_warm"))
+    res_w = crawl(pages_path, seeds, CFG, out_dir=out, max_rounds=3,
+                  warm_pool=True)
+    out_c = str(tmp_path_factory.mktemp("crawl_cold"))
+    res_c = crawl(pages_path, seeds, CFG, out_dir=out_c, max_rounds=3)
+    assert res_w.pages_fetched == res_c.pages_fetched
+    assert _round_urls(res_w.articles_path) == _round_urls(res_c.articles_path)
+    assert res_w.setup_sec > 0
