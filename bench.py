@@ -234,10 +234,17 @@ def run_bench(headline_only: bool = False) -> dict:
 
     pages_path = pages_path_for(SF_DIR, copies=BENCH_COPIES)
 
-    head = _headline_bulk_extract(pages_path, NUM_CPUS)
+    # crawl BEFORE the headline: the headline's 27-actor extract pool +
+    # write tasks leave session state that slows a following crawl ~38%
+    # (6.4 s vs 4.7 s fresh, reproduced), while the headline itself is
+    # insensitive to a preceding crawl (7.7 s after vs 8.1 s alone) —
+    # this order gives each stage the session state its isolated-run
+    # numbers reflect
     queries = {}
     if not headline_only:
         crawl_sec = _crawl_rounds(pages_path, NUM_CPUS)
+    head = _headline_bulk_extract(pages_path, NUM_CPUS)
+    if not headline_only:
         queries = _timed_queries(SF_DIR)
         queries["crawl_rounds"] = round(crawl_sec, 3)
 
