@@ -1364,11 +1364,9 @@ def dup_substring_spans(ds, gram_len: int = 50, id_col: str = "doc_id",
             # (fixed-length intervals sorted by start: running max end ==
             # previous end, so the adjacent comparison suffices)
             n_spans = int(starts.sum())
-            isl = np.cumsum(starts) - 1
             first = pos[starts]
             last = np.maximum.reduceat(pos, np.nonzero(starts)[0])
             dup_chars = int(((last + gram_len - 1) - first + 1).sum())
-            del isl
             rows.append({id_col: int(did), "n_spans": n_spans,
                          "dup_chars": dup_chars})
         return pd.DataFrame(rows, columns=[id_col, "n_spans", "dup_chars"])
