@@ -101,18 +101,10 @@ class MinHasher:
         self.k = shingle_k
         self.a, self.b = _hash_params(n_perm, seed)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k).astype(np.uint64)
-        if sh.size == 0:
-            return np.zeros(self.n_perm, dtype=np.uint64)
-        # (a*x + b) mod p, min over shingles, vectorized (n_perm × n_shingles)
-        x = sh.astype(object)  # avoid uint64 overflow via python ints
-        vals = np.empty((self.n_perm,), dtype=np.uint64)
-        sh64 = sh % _MERSENNE
-        for i in range(self.n_perm):
-            v = (int(self.a[i]) * sh64.astype(np.object_) + int(self.b[i])) % _MERSENNE
-            vals[i] = np.uint64(min(v))
-        return vals
+    def signature(self, text: str) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError(
+            "MinHasher is an abstract param-holder; use FastMinHasher "
+            "(the vectorized signature) in pipelines.")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t) for t in batch["text"].to_pylist()]
@@ -1284,45 +1276,162 @@ def semdedup(ds, threshold: float = 0.95, n_clusters: int = 16,
 # EXACTLY (no winnowing/sampling approximation; the suffix array of the
 # reference implementation is an execution strategy for the same set).
 # Grams are matched by 64-bit polynomial hash over CODEPOINTS (utf-32
-# view, so semantics equal SQL substr character slicing); collision
-# probability at 10^9 grams is ~2^-34 — documented, not corrected.
+# view, so semantics equal SQL substr character slicing). Collision risk
+# is the birthday bound ~n^2/2^65: ~2^-5 expected collisions at 10^9
+# grams, ~1 expected collision near 10^10 grams — documented, not
+# corrected (a collision can only ADD a false dup span; runs above 10^9
+# grams per shard should raise the hash width or verify spans).
 # ---------------------------------------------------------------------------
 
 _GRAM_B = np.uint64(0x100000001B3)          # FNV-ish odd multiplier
 
 
+# B is odd, so it is a unit mod 2^64 and has an exact inverse there —
+# the prefix-sum formulation below is algebraically identical to the
+# windowed polynomial in the wraparound ring.
+_GRAM_B_INV = np.uint64(pow(int(_GRAM_B), -1, 1 << 64))
+
+
 def _char_gram_hashes(text: str, gram_len: int) -> np.ndarray:
-    """uint64 hashes of all stride-1 char grams (len(text)-gram_len+1)."""
+    """uint64 hashes of all stride-1 char grams (len(text)-gram_len+1).
+
+    O(n) prefix-sum evaluation (not O(n*L) windowed multiply):
+    h[i] = sum_j c[i+j]*B^(L-1-j) = B^(i+L-1) * (S[i+L]-S[i]) where
+    S[k] = sum_{t<k} c[t]*B^(-t), all in the uint64 wraparound ring.
+    Temporaries are a handful of length-n uint64 arrays (~8 B/char),
+    not the ~8*L B/char sliding-window product of the naive form."""
     c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
         .astype(np.uint64)
     n = c.size - gram_len + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        powers = np.empty(gram_len, dtype=np.uint64)
-        powers[-1] = np.uint64(1)
-        for i in range(gram_len - 2, -1, -1):
-            powers[i] = powers[i + 1] * _GRAM_B
-        win = np.lib.stride_tricks.sliding_window_view(c, gram_len)
-        return (win * powers).sum(axis=1, dtype=np.uint64)
+        binv_pow = np.empty(c.size, dtype=np.uint64)
+        binv_pow[0] = np.uint64(1)
+        if c.size > 1:
+            np.cumprod(np.full(c.size - 1, _GRAM_B_INV, dtype=np.uint64),
+                       out=binv_pow[1:])
+        s = np.empty(c.size + 1, dtype=np.uint64)
+        s[0] = np.uint64(0)
+        np.cumsum(c * binv_pow, out=s[1:])
+        b_pow = np.empty(n, dtype=np.uint64)
+        b_pow[0] = np.uint64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _GRAM_B, dtype=np.uint64),
+                       out=b_pow[1:])
+        b_lm1 = np.uint64(pow(int(_GRAM_B), gram_len - 1, 1 << 64))
+        return (s[gram_len:] - s[:n]) * b_pow * b_lm1
 
 
 def dup_substring_spans(ds, gram_len: int = 50, id_col: str = "doc_id",
-                        text_col: str = "text", n_parts: int = 64):
+                        text_col: str = "text", n_parts: int = 64,
+                        broadcast_limit_bytes: int = 256 << 20,
+                        stats: dict | None = None):
     """Per-doc duplicated-substring spans: merged intervals of positions
     covered by an L-gram occurring >= 2 times corpus-wide (within-doc
     repeats count). Returns (doc_id, n_spans, dup_chars) for docs with
     any duplicated content, sorted by doc_id.
 
-    Scale shape — the inherent cost of exact substring dedup is one row
-    per character position, and it stays distributed end to end:
-    1. gram pass: (gram_hash, doc_id, pos) rows, corpus-sized;
-    2. ONE exchange keyed on gram_hash: per part, global occurrence
-       count (all rows of a hash co-locate) and filter to count >= 2 —
-       only duplicated positions survive, duplicate-volume-sized;
-    3. ONE exchange keyed on doc_id: per doc, sort positions and merge
-       the fixed-length intervals [pos, pos+L-1] (gaps-and-islands).
-    Nothing ever materializes on the driver."""
+    Scale shape (the node-local-compression form of Lee et al.'s
+    suffix-array strategy — each doc's text is one row, so all of a
+    doc's gram positions are computable locally, twice, instead of ever
+    being exchanged):
+    1. count scan: per batch, ``np.unique`` over the batch's gram
+       hashes -> (gh, cnt) rows — one row per DISTINCT hash per batch
+       (within-doc runs and within-batch duplicate blocks collapse), at
+       12 B/row vs the naive 24 B per character position;
+    2. ONE exchange keyed on gh: global counts, keep cnt >= 2 — the
+       distinct-duplicated-hash table, duplicate-volume-sized;
+    3. byte-probed broadcast: if the dup-hash set fits
+       ``broadcast_limit_bytes`` it ships once via ``ray.put`` and a
+       second scan re-derives each doc's positions (O(n) rolling hash),
+       membership-filters them against the sorted set (searchsorted)
+       and merges spans per doc IN PLACE — no second exchange at all;
+       otherwise fall back to the wide form (positions through a gh
+       exchange, spans through a doc exchange) which never needs the
+       set in one place.
+    ``stats`` (optional dict, test/bench instrumentation) gets
+    ``exchange_rows`` (count-scan output rows — the wide-exchange
+    volume; costs one extra scan), ``n_dup_hashes`` and ``path``."""
+    import ray
+
+    from .shuffle import salted_partition_apply
+
+    def gram_counts(t: pa.Table) -> pa.Table:
+        hs = [_char_gram_hashes(txt, gram_len)
+              for txt in t[text_col].to_pylist() if isinstance(txt, str)]
+        hs = [h for h in hs if h.size]
+        if not hs:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.concatenate(hs), return_counts=True)
+        return pa.table({"gh": pa.array(u.view(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(gram_counts, batch_format="pyarrow")
+
+    def dup_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("gh", sort=False)["cnt"].sum()
+        return pd.DataFrame({"gh": s.index.to_numpy()[s.to_numpy() >= 2]})
+
+    dup_gh = salted_partition_apply(
+        counts, dup_hashes, lambda t: t["gh"].to_numpy(),
+        n_parts=n_parts).materialize()
+    n_dup = dup_gh.count()
+    if stats is not None:
+        stats["exchange_rows"] = counts.count()
+        stats["n_dup_hashes"] = n_dup
+
+    if n_dup * 8 > broadcast_limit_bytes:
+        if stats is not None:
+            stats["path"] = "wide"
+        return _dup_substring_spans_wide(ds, gram_len, id_col, text_col,
+                                         n_parts)
+    if stats is not None:
+        stats["path"] = "broadcast"
+
+    blocks = [ray.get(r) for r in dup_gh.to_arrow_refs()]
+    ghs = np.sort(np.concatenate(
+        [b["gh"].to_numpy(zero_copy_only=False) for b in blocks
+         if "gh" in b.schema.names]
+        or [np.empty(0, dtype=np.int64)]).astype(np.int64).view(np.uint64))
+    ghs_ref = ray.put(ghs)
+
+    def span_rows(t: pa.Table) -> pa.Table:
+        dup_set = ray.get(ghs_ref)  # zero-copy shared-memory numpy read
+        ids, nsp, dch = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if not isinstance(txt, str):
+                continue
+            h = _char_gram_hashes(txt, gram_len)
+            if h.size == 0 or dup_set.size == 0:
+                continue
+            idx = np.searchsorted(dup_set, h)
+            np.clip(idx, 0, dup_set.size - 1, out=idx)
+            pos = np.nonzero(dup_set[idx] == h)[0]
+            if pos.size == 0:
+                continue
+            starts = np.ones(pos.size, dtype=bool)
+            starts[1:] = pos[1:] > pos[:-1] + gram_len
+            first = pos[starts]
+            last = np.maximum.reduceat(pos, np.nonzero(starts)[0])
+            ids.append(int(did))
+            nsp.append(int(starts.sum()))
+            dch.append(int(((last + gram_len - 1) - first + 1).sum()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_spans": pa.array(nsp, pa.int64()),
+                         "dup_chars": pa.array(dch, pa.int64())})
+
+    return ds.map_batches(span_rows, batch_format="pyarrow").sort(id_col)
+
+
+def _dup_substring_spans_wide(ds, gram_len: int = 50,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", n_parts: int = 64):
+    """Fallback when the distinct-duplicated-hash set exceeds the
+    broadcast budget: the fully-exchanged form. One row per character
+    position through the gh-keyed exchange (24 B/char), then a doc-keyed
+    exchange for the span merge; never holds the dup set in one place."""
     from .shuffle import salted_partition_apply
 
     def gram_rows(t: pa.Table) -> pa.Table:
