@@ -144,15 +144,28 @@ def bm25_topk(ds, index_ds, terms: list[str], k: int = 20,
 
 
 def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
-                  text_col: str = "text"):
+                  text_col: str = "text", index_ds=None,
+                  broadcast_limit_bytes: int = 64 << 20,
+                  stats: dict | None = None):
     """Exact phrase occurrence counts per doc: sliding-window match of
-    the phrase terms over the SAME tokenization as the corpus bigram
-    pipeline (split_words, empty/numeric tokens dropped), overlapping
-    matches counted. One streamed pass over docs — adjacency is per-doc
-    local, so no positional index is required; at corpus scale prune
-    first with ``search_and`` over the phrase's terms and verify only
-    the candidates. Returns (doc_id, n_hits) sorted by doc_id."""
-    from ..functions.textutil import split_words
+    the phrase terms, overlapping matches counted. Tokenization is
+    ``ascii_words`` with pure-digit tokens dropped — the SAME stream the
+    inverted index and the SQL oracle derive, so index pruning is a true
+    superset and engine/oracle parity is tokenizer-exact (not
+    corpus-dependent).
+
+    With ``index_ds`` (a ``build_inverted_index`` output): ONE
+    conjunctive probe over the phrase's distinct terms yields the
+    candidate doc ids (any doc with a phrase hit contains every term,
+    so candidates are a superset); the corpus is then semi-filtered to
+    candidates — byte-probed broadcast id set when it fits, else a
+    distributed semi hash-join — and the sliding-window verify runs
+    ONLY on candidate docs. Without ``index_ds``: one streamed pass
+    over the whole corpus. Returns (doc_id, n_hits) sorted by doc_id.
+    ``stats`` (optional, test instrumentation) gets ``n_candidates``,
+    ``verified_docs`` and ``path`` ('scan'|'broadcast'|'semi_join');
+    filling it costs extra count passes."""
+    import ray
 
     terms = list(phrase)
     k = len(terms)
@@ -161,8 +174,7 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
         ids, hits = [], []
         for did, txt in zip(t[id_col].to_pylist(),
                             t[text_col].to_pylist()):
-            ws = [w for w in split_words(txt or "")
-                  if w and not w.isnumeric()]
+            ws = [w for w in ascii_words(txt) if not w.isdigit()]
             n = sum(1 for i in range(len(ws) - k + 1)
                     if ws[i:i + k] == terms)
             if n:
@@ -171,7 +183,47 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "n_hits": pa.array(hits, pa.int64())})
 
-    return ds.map_batches(count_hits, batch_format="pyarrow") \
+    cand = ds
+    if index_ds is not None:
+        hits = search_and(index_ds, sorted(set(terms))).materialize()
+        n_cand = hits.count()
+        if stats is not None:
+            stats["n_candidates"] = n_cand
+        if n_cand * 8 <= broadcast_limit_bytes:
+            blocks = [ray.get(r) for r in hits.to_arrow_refs()]
+            cand_ids = np.sort(np.concatenate(
+                [b["doc_id"].to_numpy(zero_copy_only=False)
+                 for b in blocks if "doc_id" in b.schema.names]
+                or [np.empty(0, dtype=np.int64)]).astype(np.int64))
+            ids_ref = ray.put(cand_ids)
+
+            def keep_candidates(t: pa.Table) -> pa.Table:
+                cids = ray.get(ids_ref)
+                if cids.size == 0:
+                    return t.slice(0, 0)
+                rows = t[id_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                idx = np.searchsorted(cids, rows)
+                np.clip(idx, 0, cids.size - 1, out=idx)
+                return t.filter(pa.array(cids[idx] == rows))
+
+            cand = ds.map_batches(keep_candidates, batch_format="pyarrow")
+            if stats is not None:
+                stats["path"] = "broadcast"
+        else:
+            from .join import hash_join
+
+            right = hits if id_col == "doc_id" \
+                else hits.rename_columns({"doc_id": id_col})
+            cand = hash_join(ds, right, on=id_col, how="semi")
+            if stats is not None:
+                stats["path"] = "semi_join"
+    elif stats is not None:
+        stats["path"] = "scan"
+    if stats is not None:
+        stats["verified_docs"] = cand.count()
+
+    return cand.map_batches(count_hits, batch_format="pyarrow") \
         .sort(id_col)
 
 
