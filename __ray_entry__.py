@@ -270,9 +270,9 @@ def _q_ann_topk(sf_dir: str):
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.similarity import brute_force_topk
 
-    q = pq.read_table(f"{sf_dir}/embeddings.parquet") \
-        .filter(__import__("pyarrow").compute.equal(
-            pq.read_table(f"{sf_dir}/embeddings.parquet")["vec_id"], 0))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = t.filter(__import__("pyarrow").compute.equal(t["vec_id"], 0))
     qvec = np.array(q["embedding"].to_pylist(), dtype=np.float64)
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     df = brute_force_topk(ds, qvec, k=10)
@@ -1390,6 +1390,38 @@ def _q_inverted_index(sf_dir: str):
     return top[["term", "df", "postings"]].reset_index(drop=True)
 
 
+def _q_index_parquet_lookup(sf_dir: str):
+    """Round-trips the index through its term-hash-partitioned parquet
+    sink: build -> write_inverted_index (part=NN dirs, the resumable
+    sink) -> lookup_terms point-reads of the top-3 df terms, which open
+    ONLY the partitions those terms hash to. Pins the persisted-artifact
+    path end-to-end against the same SQL truth as inverted_index."""
+    import os
+    import shutil
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        lookup_terms,
+        top_terms,
+        write_inverted_index,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    idx = build_inverted_index(ds).materialize()
+    terms = top_terms(idx, 3)
+    out_dir = f"/tmp/swsr_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_inverted_index(idx, out_dir)
+    out = lookup_terms(out_dir, terms)
+    out["postings"] = out["postings"].map(
+        lambda p: ",".join(str(int(x)) for x in p))
+    out["df"] = out["df"].astype("int64")
+    # deterministic order: same (df desc, term asc) rank as the pick
+    out = out.sort_values(["df", "term"], ascending=[False, True])
+    return out[["term", "df", "postings"]].reset_index(drop=True)
+
+
 def _q_index_search_and(sf_dir: str):
     """Conjunctive boolean retrieval over the inverted index: docs
     containing ALL of the top-3 df terms (deterministic pick shared with
@@ -1433,18 +1465,24 @@ def _q_index_search_bm25(sf_dir: str):
 
 def _q_index_search_phrase(sf_dir: str):
     """Exact phrase search for the corpus's top bigram (freq desc,
-    bigram desc — the corpus_bigrams pick, shared with the oracle):
-    per-doc sliding-window occurrence counts, overlapping matches
-    included."""
+    bigram desc — the corpus_bigrams pick; the PICK shares the
+    documented single-space-ascii corpus precondition with the oracle,
+    the per-doc COUNTS are tokenizer-exact vs the oracle): conjunctive
+    index probe -> candidate-only sliding-window verify, overlapping
+    matches included."""
     from stimson_web_scraper_ray.pipelines.analytics import read
-    from stimson_web_scraper_ray.pipelines.index import phrase_search
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        phrase_search,
+    )
     from stimson_web_scraper_ray.pipelines.textstats import (
         corpus_top_bigrams,
     )
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     top1 = corpus_top_bigrams(ds, k=1).to_pandas()["bigram"].iloc[0]
-    out = phrase_search(ds, top1.split(" ")).to_pandas()
+    idx = build_inverted_index(ds).materialize()
+    out = phrase_search(ds, top1.split(" "), index_ds=idx).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_hits"] = out["n_hits"].astype("int64")
     return out.reset_index(drop=True)
@@ -1620,6 +1658,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "inverted_index": _q_inverted_index,
+        "index_parquet_lookup": _q_index_parquet_lookup,
         "index_search_and": _q_index_search_and,
         "index_search_bm25": _q_index_search_bm25,
         "index_search_phrase": _q_index_search_phrase,
@@ -3006,6 +3045,13 @@ def oracle_sql_all() -> dict[str, str]:
                array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM ({_PAIRS_CTE}) pairs
         GROUP BY term ORDER BY df DESC, term LIMIT 50
+    """
+    # parquet round-trip lookup: same truth, top-3 pick
+    sql["index_parquet_lookup"] = f"""
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM ({_PAIRS_CTE}) pairs
+        GROUP BY term ORDER BY df DESC, term LIMIT 3
     """
     # ExactSubstr duplicated spans: true substring equality over all
     # stride-1 50-char grams, then gaps-and-islands interval merging —

@@ -1490,6 +1490,46 @@ def test_phrase_search_overlapping_and_filtered_tokens(ray_session):
     assert got == {0: 2, 1: 1}
 
 
+def test_phrase_search_index_pruned(ray_session):
+    """Index-backed phrase search verifies ONLY the conjunctive
+    candidates (docs containing every phrase term), and both prune paths
+    (broadcast id set, distributed semi-join) return rows identical to
+    the full scan."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        phrase_search,
+    )
+
+    docs = [
+        (0, "x y filler " * 3 + "alpha beta done"),   # hit
+        (1, "alpha only here, no second term"),        # pruned out
+        (2, "beta without the first term at all"),     # pruned out
+        (3, "alpha beta alpha beta"),                  # two hits
+        (4, "beta alpha reversed order words"),        # candidate, 0 hits
+        (5, "totally unrelated text body"),            # pruned out
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=3)
+    idx = build_inverted_index(ds, n_parts=4).materialize()
+
+    scan = phrase_search(ds, ["alpha", "beta"]).take_all()
+    st_b, st_j = {}, {}
+    fast = phrase_search(ds, ["alpha", "beta"], index_ds=idx,
+                         stats=st_b).take_all()
+    joined = phrase_search(ds, ["alpha", "beta"], index_ds=idx,
+                           broadcast_limit_bytes=0, stats=st_j).take_all()
+    assert [dict(r) for r in fast] == [dict(r) for r in scan]
+    assert [dict(r) for r in joined] == [dict(r) for r in scan]
+    assert {r["doc_id"]: r["n_hits"] for r in scan} == {0: 1, 3: 2}
+    # the verify stage saw exactly the 3 candidate docs, not all 6
+    assert st_b["path"] == "broadcast" and st_j["path"] == "semi_join"
+    for st in (st_b, st_j):
+        assert st["n_candidates"] == 3
+        assert st["verified_docs"] == 3
+
+
 def test_dup_substring_spans_planted(ray_session):
     """ExactSubstr spans on planted duplicates: a 60-char string shared
     by two docs marks its full extent in both (one merged span, 60
@@ -1515,10 +1555,42 @@ def test_dup_substring_spans_planted(ray_session):
     ]
     ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
                        override_num_blocks=3)
+    stats = {}
     out = {r["doc_id"]: (r["n_spans"], r["dup_chars"])
-           for r in dup_substring_spans(ds, gram_len=50).take_all()}
+           for r in dup_substring_spans(ds, gram_len=50,
+                                        stats=stats).take_all()}
     assert out[0] == (1, 60)
     assert out[1] == (1, 60)
     assert out[2] == (2, 110)
     assert 3 not in out
     assert 4 not in out
+    # the count-scan exchange is per-batch-DISTINCT hashes: doc 2's
+    # internal repeat collapses, so exchange rows < total gram rows
+    corpus_grams = sum(max(0, len(t) - 49) for _, t in docs)
+    assert stats["path"] == "broadcast"
+    assert 0 < stats["exchange_rows"] < corpus_grams
+    assert stats["n_dup_hashes"] > 0
+
+
+def test_dup_substring_spans_wide_parity(ray_session):
+    """The over-budget fallback (positions through the wide exchange)
+    returns bit-identical spans to the broadcast path."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import dup_substring_spans
+
+    rng = __import__("random").Random(11)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(300))
+    dup_block = "".join(rng.choice("ijklmnop ") for _ in range(80))
+    docs = [(i, base[i:i + 120] + (dup_block if i % 3 == 0 else "")
+             + base[max(0, 200 - i):max(0, 200 - i) + 90])
+            for i in range(12)]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=4)
+    stats_b, stats_w = {}, {}
+    fast = dup_substring_spans(ds, gram_len=50, stats=stats_b).take_all()
+    wide = dup_substring_spans(ds, gram_len=50, broadcast_limit_bytes=0,
+                               stats=stats_w).take_all()
+    assert stats_b["path"] == "broadcast" and stats_w["path"] == "wide"
+    assert [dict(r) for r in fast] == [dict(r) for r in wide]
+    assert len(fast) > 0
