@@ -1326,7 +1326,8 @@ def _q_bpe_merges(sf_dir: str):
     counted but never applied. Full rule-sequence parity (order, pairs
     AND counts) vs an independent pure-python BPE is pinned in
     tests/test_pipelines.py::test_bpe_train_matches_reference, plus a
-    block-layout-invariance test (canonical tie-breaks)."""
+    block-layout-invariance test (canonical tie-breaks) and a batch-cap
+    sweep proving the batched merge rounds equal pure sequential."""
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.bpe import bpe_train
 

@@ -139,6 +139,23 @@ _TH = """
 พร้อม เพิ่ม ลด นาย นาง เดือน
 """.split()
 
+# Japanese function words (particles, auxiliaries, demonstratives,
+# pronouns — the SlothLib-derived core that spaCy's ja STOP_WORDS, the
+# reference's source via text.py:19-23, is built on). Doubles as the
+# longest-match segmentation lexicon for StopWordsJapanese below.
+_JA = """
+の に は を た が で て と し れ さ ある いる も する から な こと として い
+や れる など なっ ない この ため その あっ よう また もの という あり まで
+られ なる へ か だ これ によって により おり より による ず なり られる
+において ば なかっ なく しかし について せ だっ その後 できる それ う ので
+なお のみ でき き つ における および いう さらに でも ら たり その他
+に関する たち ます ん なら に対して 特に せる 及び これら とき では にて
+ほか ながら うち そして とともに ただし かつて それぞれ または お ほど
+ものの に対する ほとんど と共に といった です とも ところ ここ そこ あそこ
+どこ だれ 誰 なに 何 私 あなた 彼 彼女 わたし ぼく きみ みんな どの あの
+こう そう ああ どう しまう ください ちゃん くん さん もう やはり
+""".split()
+
 _LISTS = {
     "en": frozenset(_EN),
     "es": frozenset(_ES),
@@ -146,6 +163,7 @@ _LISTS = {
     "fr": frozenset(_FR),
     "zh": frozenset(_ZH) | frozenset(_ZH_WORDS),
     "ar": frozenset(_AR),
+    "ja": frozenset(_JA),
     "th": frozenset(_TH),
 }
 
@@ -290,14 +308,50 @@ class StopWordsHindi(_SuffixMatchStopWords):
 
 
 class StopWordsJapanese(StopWords):
-    """ja: per-character segmentation (stand-in for tinysegmenter,
-    text.py:199-210)."""
+    """ja: greedy longest-match segmentation over the bundled
+    function-word lexicon (stand-in for tinysegmenter, text.py:199-210,
+    unavailable here — same approach as the th path). A run containing
+    Japanese script is consumed lexicon-word by lexicon-word; the spans
+    between matches (the content words) become single unknown tokens.
+    This reproduces tinysegmenter's published segmentations at the
+    function-word boundaries — the only splits stopword COUNTING (the
+    best-node signal) consumes."""
 
     def __init__(self, language="ja"):
         super().__init__("ja")
+        self._maxlen = max((len(w) for w in self.STOP_WORDS), default=1)
+
+    @staticmethod
+    def _is_ja(c: str) -> bool:
+        return ("぀" <= c <= "ヿ" or "一" <= c <= "鿿"
+                or c == "々")
 
     def candidate_words(self, stripped_input: str):
-        return [c for c in stripped_input if not c.isspace()]
+        tokens: list[str] = []
+        for run in stripped_input.split():
+            if not any(self._is_ja(c) for c in run):
+                tokens.append(run)
+                continue
+            i, n = 0, len(run)
+            unk: list[str] = []
+            while i < n:
+                matched = None
+                for ln in range(min(self._maxlen, n - i), 0, -1):
+                    if run[i:i + ln] in self.STOP_WORDS:
+                        matched = run[i:i + ln]
+                        break
+                if matched is not None:
+                    if unk:
+                        tokens.append("".join(unk))
+                        unk = []
+                    tokens.append(matched)
+                    i += len(matched)
+                else:
+                    unk.append(run[i])
+                    i += 1
+            if unk:
+                tokens.append("".join(unk))
+        return tokens
 
 
 class StopWordsThai(StopWords):

@@ -85,25 +85,84 @@ def _pair_partials(t: pa.Table) -> pa.Table:
                      "count": pa.array(list(counts.values()), pa.int64())})
 
 
-def _best_pair(parts: pd.DataFrame) -> tuple[str, str, int] | None:
+def _select_merge_batch(parts: pd.DataFrame, n_max: int,
+                        min_pair_freq: int) -> list[tuple[str, str, int]]:
+    """Pick the largest batch of merges applicable in ONE distributed
+    round that is provably identical to running them sequentially.
+
+    Selection: walk the snapshot's canonical order (count desc, then
+    (a, b) lex — the sequential tie-break) and take pairs while each is
+    symbol-disjoint from everything taken and its merged output is a
+    string that exists neither in the snapshot's symbol alphabet nor
+    among the other outputs; STOP at the first pair excluded for any
+    reason (count ``c_Q``), then trim the batch to counts strictly
+    above ``c_Q``.
+
+    Why this equals sequential BPE exactly:
+    - batch pairs are mutually disjoint, so applying one neither
+      creates nor destroys occurrences of another — their counts at
+      every intermediate sequential step equal the snapshot counts;
+    - every snapshot pair NOT in the batch ranks canonically after the
+      stop point; applying batch merges can only shrink such a pair's
+      count (growth would need a new adjacency, i.e. a merged output
+      string-equal to one of its symbols — excluded by the alphabet
+      check), so it still ranks after every remaining batch element;
+    - a CREATED pair (x, ab) / (ab, y) needs x (resp. y) adjacent to
+      the merged site, so its count is bounded by the snapshot count of
+      (x, a) (resp. (b, y)) — pairs that share a symbol with the batch,
+      hence excluded, hence counted ≤ c_Q; the strict trim puts every
+      remaining batch element above that bound (ties included).
+    Therefore at each intermediate step the canonical argmax over
+    {remaining batch, other existing, created} is the next batch
+    element — the sequential trainer would pick exactly this sequence.
+    The fallback batch of one IS a sequential step, so progress and
+    exactness hold unconditionally."""
     if parts.empty:
-        return None
+        return []
     g = parts.groupby(["a", "b"], sort=False, as_index=False)["count"].sum()
-    # canonical winner: max count, ties broken lexicographically on
-    # (a, b) — deterministic at any block layout / parallelism
     g = g.sort_values(["count", "a", "b"],
                       ascending=[False, True, True], kind="mergesort")
-    row = g.iloc[0]
-    return str(row["a"]), str(row["b"]), int(row["count"])
+    snapshot_syms = set(g["a"]) | set(g["b"])
+    taken: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    outs: set[str] = set()
+    c_q = min_pair_freq - 1   # nothing excluded yet: only the floor binds
+    for a, b, cnt in g.itertuples(index=False):
+        a, b, cnt = str(a), str(b), int(cnt)
+        if cnt < min_pair_freq:
+            break             # below floor: sequential would stop here too
+        ab = a + b
+        if (len(taken) >= n_max or a in used or b in used
+                or ab in snapshot_syms or ab in outs):
+            c_q = cnt
+            break
+        taken.append((a, b, cnt))
+        used.update((a, b))
+        outs.add(ab)
+    kept = [t for t in taken if t[2] > c_q]
+    if kept:
+        return kept
+    # a batch of ONE is a plain sequential step — exact even when the
+    # top pair failed the batching checks (alphabet collision, trim)
+    top = g.iloc[0]
+    a, b, cnt = str(top["a"]), str(top["b"]), int(top["count"])
+    return [(a, b, cnt)] if cnt >= min_pair_freq else []
 
 
 def bpe_train(ds, n_merges: int = 30, text_col: str = "text",
               min_pair_freq: int = 2, pairs_driver_limit: int = 2_000_000,
-              n_parts: int = 32):
+              n_parts: int = 32, max_round_merges: int = 64,
+              stats: dict | None = None):
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     (merges, n_distinct_words) where merges is the ordered list of
-    (a, b, count) rules. Early-stops when the best pair's count drops
-    below ``min_pair_freq``."""
+    (a, b, count) rules, bit-identical to the sequential trainer.
+    Early-stops when the best pair's count drops below
+    ``min_pair_freq``.
+
+    Each distributed round applies a BATCH of provably-commuting merges
+    (``_select_merge_batch``) instead of one, so a realistic 32k-vocab
+    train is hundreds of count exchanges, not 32k; ``max_round_merges``
+    caps the batch. ``stats`` (optional) gets ``rounds``."""
     from .shuffle import salted_partition_apply
 
     wf = word_freqs(ds, text_col=text_col, n_parts=n_parts)
@@ -131,7 +190,8 @@ def bpe_train(ds, n_merges: int = 30, text_col: str = "text",
                           as_index=False)["count"].sum()
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         pair_ds = words_ds.map_batches(_pair_partials,
                                        batch_format="pyarrow")
         # adaptive reduce (kmeans_fit pattern): the partials bound is
@@ -140,29 +200,38 @@ def bpe_train(ds, n_merges: int = 30, text_col: str = "text",
         if n_blocks * 4096 > pairs_driver_limit:
             pair_ds = salted_partition_apply(pair_ds, reduce_pairs,
                                              pair_key, n_parts=n_parts)
-        best = _best_pair(pair_ds.to_pandas())
-        if best is None or best[2] < min_pair_freq:
+        batch = _select_merge_batch(pair_ds.to_pandas(),
+                                    n_max=min(max_round_merges,
+                                              n_merges - len(merges)),
+                                    min_pair_freq=min_pair_freq)
+        if not batch:
             break
-        a, b, cnt = best
-        merges.append((a, b, cnt))
+        rounds += 1
+        merges.extend(batch)
+        pair2out = {(a, b): a + b for a, b, _ in batch}
         # \x1f (unit separator) — can't appear in [a-z]+/</w> symbols;
         # NOT \x00: numpy truncates a scalar at NUL when broadcasting
         # scalar+Series, silently dropping the boundary sentinel
-        joined = f"\x1f{a}\x1f{b}\x1f"
+        joined = [f"\x1f{a}\x1f{b}\x1f" for a, b, _ in batch]
 
-        def apply_merge(df: pd.DataFrame, a=a, b=b,
+        def apply_batch(df: pd.DataFrame, pair2out=pair2out,
                         joined=joined) -> pd.DataFrame:
             # vectorized prefilter: only words whose sep-joined symbol
-            # string contains the pair rewrite their sequence
+            # string contains some batch pair rewrite their sequence
             flat = ("\x1f" + df["syms"].map("\x1f".join) + "\x1f")
-            hit = flat.str.contains(joined, regex=False)
+            hit = flat.str.contains(joined[0], regex=False)
+            for j in joined[1:]:
+                hit |= flat.str.contains(j, regex=False)
             if hit.any():
-                ab = a + b
-
+                # one left-to-right pass applies every batch pair: the
+                # pairs are symbol-disjoint, so greedy scanning equals
+                # applying them one-by-one in any order
                 def rewrite(syms: list[str]) -> list[str]:
                     out, i, n = [], 0, len(syms)
                     while i < n:
-                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        ab = pair2out.get((syms[i], syms[i + 1])) \
+                            if i + 1 < n else None
+                        if ab is not None:
                             out.append(ab)
                             i += 2
                         else:
@@ -179,7 +248,9 @@ def bpe_train(ds, n_merges: int = 30, text_col: str = "text",
             return df
 
         words_ds = words_ds.map_batches(
-            apply_merge, batch_format="pandas").materialize()
+            apply_batch, batch_format="pandas").materialize()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges, n_words
 
 

@@ -210,6 +210,32 @@ def test_tail_holdback_parity(ray_session, pages_path, seeds,
     assert np.array_equal(seen_off, seen_on)
 
 
+def test_flagship_config_matches_simulator(ray_session, pages_path, seeds,
+                                           tmp_path_factory):
+    """entry()'s EXACT configuration (per_host_budget=40,
+    round_budget=2000, planning_table_limit=0 forcing distributed
+    planning, 3 rounds) against the simulator — the driver window's two
+    rows-only flagships (crawl_flagship, web_train_set) are gated by
+    crawl_parity's shared 2-round config; this pins the flagship's own
+    config to the same per-round fetch-set + seen-superset invariant."""
+    cfg = EngineConfig(per_host_budget=40, round_budget=2000,
+                       seen_shards=4, extract_concurrency=4,
+                       fetch_concurrency=2, planning_table_limit=0)
+    out = str(tmp_path_factory.mktemp("crawl_flagship_cfg"))
+    res = crawl(pages_path, seeds, cfg, out_dir=out, max_rounds=3)
+    sim = simulate_crawl(pages_path, seeds, cfg, max_rounds=3)
+
+    engine_rounds = _round_urls(res.articles_path)
+    sim_rounds = sim.groupby("round")["url"].apply(set).to_dict()
+    assert set(engine_rounds) == set(sim_rounds)
+    for rnd in sim_rounds:
+        assert engine_rounds[rnd] == sim_rounds[rnd], f"round {rnd} differs"
+    last = max(engine_rounds)
+    eng_seen = final_seen_hashes(res.checkpoint_dir, last, cfg.seen_shards)
+    sim_seen = np.sort(sim["url_hash"].to_numpy().astype(np.uint64))
+    assert np.isin(sim_seen, eng_seen).all()
+
+
 def test_indegree_priority_matches_simulator(ray_session, pages_path,
                                              tmp_path_factory):
     """Citation-count frontier priority (indegree_priority): the engine

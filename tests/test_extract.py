@@ -201,6 +201,26 @@ def test_thai_stopword_segmentation():
     assert ws.get_word_count() > ws.get_stopword_count()
 
 
+def test_japanese_stopword_segmentation():
+    """ja longest-match segmentation reproduces tinysegmenter's
+    published example splits (the upstream library's README sentence
+    and the basic-copula pattern), and counts function words on prose."""
+    from stimson_web_scraper_ray.functions.stopwords import (
+        StopWordsJapanese,
+    )
+
+    s = StopWordsJapanese()
+    # tinysegmenter's canonical README example
+    assert s.candidate_words("私の名前は中野です") == \
+        ["私", "の", "名前", "は", "中野", "です"]
+    assert s.candidate_words("これは本です") == ["これ", "は", "本", "です"]
+    ws = s.get_stopword_count("私の名前は中野です")
+    assert ws.get_stopword_count() == 4          # 私 の は です
+    assert ws.get_word_count() == 6
+    # mixed latin/ja: non-ja runs pass through whole
+    assert s.candidate_words("hello 世界です") == ["hello", "世界", "です"]
+
+
 def test_extract_stage_poisoned_rows_isolated(ray_session):
     """A poisoned page (None html, binary garbage) becomes an error/empty
     row — it must never kill its Arrow block or its neighbors."""

@@ -1303,9 +1303,25 @@ def test_bpe_train_matches_reference(ray_session, sf_dir):
                          columns=["doc_id", "text"])
     texts = ds.to_pandas()["text"].tolist()
     exp_merges, exp_words = _reference_bpe(texts, n_merges=12)
-    got_merges, got_words = bpe.bpe_train(ds, n_merges=12)
+    stats = {}
+    got_merges, got_words = bpe.bpe_train(ds, n_merges=12, stats=stats)
     assert got_words == exp_words
     assert got_merges == exp_merges          # order, pairs AND counts
+    # the batched schedule actually batches: fewer exchanges than merges
+    assert stats["rounds"] < len(got_merges)
+
+
+def test_bpe_batched_schedule_equals_sequential(ray_session, sf_dir):
+    """Every batch cap (1 = pure sequential … unbounded) yields the
+    identical merge sequence — the commuting-batch selection is exact,
+    not approximate."""
+    from stimson_web_scraper_ray.pipelines import bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    seq, _ = bpe.bpe_train(ds, n_merges=15, max_round_merges=1)
+    for cap in (2, 5, 64):
+        got, _ = bpe.bpe_train(ds, n_merges=15, max_round_merges=cap)
+        assert got == seq, f"cap={cap}"
 
 
 def test_bpe_train_parallelism_invariant(ray_session, sf_dir):
