@@ -1494,7 +1494,8 @@ def _q_dup_substring_spans(sf_dir: str):
     merged intervals of positions covered by a 50-char gram occurring
     >= 2 times corpus-wide. The DuckDB oracle re-derives the same set
     with true substring equality (the engine matches 64-bit gram
-    hashes; collisions are ~2^-34 at this scale)."""
+    hashes; expected collisions ~n²/2⁶⁵ ≈ 2⁻²⁵ at the oracle corpus's
+    ~10⁶ grams — see the birthday-bound note in dedup.py)."""
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.dedup import dup_substring_spans
 

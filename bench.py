@@ -208,9 +208,11 @@ def run_crawl_only() -> dict:
                     warm_pool=warm)
         dt = time.time() - t0
         if warm:
-            # steady-state: exclude the pre-round setup (pool spawn
-            # barrier + shard creation) the warm barrier just measured
-            dt -= res.setup_sec
+            # steady-state: exclude ONLY the pool creation→ping spawn
+            # barrier — the one-time cost a long-lived cluster pool
+            # amortizes. The rest of setup (out-dir reset, seen shards,
+            # frontier build) recurs per crawl and stays in the timing.
+            dt -= res.spawn_sec
         best = min(best, dt)
         fetched = res.pages_fetched
     ray.shutdown()
@@ -258,6 +260,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "pages": int(head["pages"]),
         "pages_per_sec": round(head["pages_per_sec"], 1),
         "host_control_pages_per_sec": _host_control(),
+        # the two modes measure the headline under different session
+        # states (full bench: after the crawl, ~5% faster; headline-only:
+        # fresh) — stamped so numbers across modes compare honestly
+        "headline_session": "fresh" if headline_only else "crawl_warmed",
     }
     ray.shutdown()
     return result

@@ -54,9 +54,15 @@ class CrawlResult:
     checkpoint_dir: str
     seen_size: int
     # wall seconds from crawl() entry to the start of round execution
-    # (shard/pool creation; plus the spawn barrier under warm_pool) —
-    # lets steady-state measurements subtract the O(pool) setup cost
+    # (output-dir reset, shard/pool creation, frontier build; plus the
+    # spawn barrier under warm_pool)
     setup_sec: float = 0.0
+    # wall seconds of ONLY the worker-pool creation→ping window — the
+    # one-time actor-process spawn barrier a long-lived cluster pool
+    # would not re-pay per crawl. Steady-state measurements subtract
+    # THIS, not setup_sec: the rest of setup (rmtree, seen shards,
+    # frontier) recurs on every crawl even with a warm cluster.
+    spawn_sec: float = 0.0
 
 
 def _frontier_from_seeds(seeds: list[str]) -> pd.DataFrame:
@@ -462,12 +468,14 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     worker_cls = ray.remote(CrawlRoundWorker)
     opts = ({"num_cpus": 0, "scheduling_strategy": "SPREAD"}
             if cfg.distributed_planning else {"num_cpus": 1})
+    _t_spawn = _time.perf_counter()
     pool = [worker_cls.options(**opts).remote(
                 pages_path=pages_path, round_dir="", config=cfg,
                 politeness_delay_s=cfg.politeness_delay_s)
             for _ in range(pool_size)]
     if warm_pool:
         ray.get([a.ping.remote() for a in pool])
+    spawn_sec = _time.perf_counter() - _t_spawn
     setup_sec = _time.perf_counter() - _t_entry
 
     try:
@@ -482,7 +490,8 @@ def crawl(pages_path: str, seeds: list[str], cfg: EngineConfig | None = None,
     return CrawlResult(
         rounds=max_rounds, pages_fetched=total_fetched,
         articles_path=articles_dir, checkpoint_dir=ckpt_dir,
-        seen_size=seen_size, setup_sec=round(setup_sec, 3))
+        seen_size=seen_size, setup_sec=round(setup_sec, 3),
+        spawn_sec=round(spawn_sec, 3))
 
 
 def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
@@ -503,6 +512,13 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     # only keys not yet pinned (advisor finding: per-round LPT let hosts
     # migrate between actors, resetting their politeness accounting)
     sticky: dict[int, int] = {}
+    # per-actor throughput EWMA (rows/sec, measured from each round's
+    # dispatch completions): actor PROCESSES have persistent ~40% speed
+    # differences (host scheduling — BASELINE.md round-3 forensics), so
+    # equal-size heads finish ~1 s apart at 13 actors and the slowest
+    # sets the round barrier. Used only on the zero-politeness tail
+    # path, where placement never changes outputs (parity-tested).
+    speed: dict[int, float] = {}
     # ≤1 outstanding async checkpoint (driver path): joined before the
     # next round's checkpoint and on every exit, so failures surface and
     # checkpoints stay ordered
@@ -631,32 +647,57 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
                 units.append(cur)
             plan_parts = _dispatch_units(pool, units, round_dir, cand_dir)
         else:
-            loads = [0] * pool_size
+            use_tail = (cfg.tail_holdback_frac > 0
+                        and cfg.politeness_delay_s == 0 and pool_size > 1)
             assign: dict[int, int] = {}
-            # first honor sticky pins (and account their load) ...
-            for pk, sz in sizes.items():
-                aid = sticky.get(pk)
-                if aid is not None:
+            if use_tail and speed:
+                # speed-weighted LPT over ALL groups: minimize each
+                # actor's projected finish time rows/speed. Only on the
+                # zero-politeness tail path — host→actor pinning buys
+                # nothing there (clocks are no-ops) and placement never
+                # changes outputs (whole groups, per-page-unique
+                # harvest; parity-tested vs the simulator and vs
+                # frac=0). With equal weights this IS plain LPT.
+                med = float(np.median(list(speed.values())))
+                w = [max(speed.get(a, med), 1e-6)
+                     for a in range(pool_size)]
+                fin = [0.0] * pool_size
+                for pk, sz in sizes.items():
+                    aid = min(range(pool_size),
+                              key=lambda a: (fin[a] + int(sz)) / w[a])
+                    assign[pk] = aid
+                    fin[aid] += int(sz)
+            else:
+                loads = [0] * pool_size
+                # first honor sticky pins (and account their load) ...
+                for pk, sz in sizes.items():
+                    aid = sticky.get(pk)
+                    if aid is not None:
+                        assign[pk] = aid
+                        loads[aid] += int(sz)
+                # ... then LPT-pack only new keys onto least-loaded
+                # actors
+                for pk, sz in sizes.items():
+                    if pk in assign:
+                        continue
+                    aid = loads.index(min(loads))
                     assign[pk] = aid
                     loads[aid] += int(sz)
-            # ... then LPT-pack only new keys onto least-loaded actors
-            for pk, sz in sizes.items():
-                if pk in assign:
-                    continue
-                aid = loads.index(min(loads))
-                assign[pk] = aid
-                loads[aid] += int(sz)
-            sticky.update(assign)
+                sticky.update(assign)
             per_actor: dict[int, list] = {}
             for pk, grp in groups:
                 per_actor.setdefault(assign[pk], []).append(grp)
-            if cfg.tail_holdback_frac > 0 and cfg.politeness_delay_s == 0 \
-                    and pool_size > 1:
+            if use_tail:
                 # hybrid: static sticky head + late-binding tail pool
                 # (whole groups; see _dispatch_sticky_tail)
-                plan_parts = _dispatch_sticky_tail(
+                plan_parts, disp_stats = _dispatch_sticky_tail(
                     pool, per_actor, cfg.tail_holdback_frac, round_dir,
                     cand_dir, phase_log=phase_log, rnd=rnd)
+                for aid, (rows, busy) in disp_stats.items():
+                    if rows > 0 and busy > 0.05:
+                        v = rows / busy
+                        speed[aid] = (0.5 * speed[aid] + 0.5 * v
+                                      if aid in speed else v)
             else:
                 refs = []
                 ref_load = {}
@@ -860,6 +901,17 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
         if head:
             heads[aid] = (pd.concat(head, ignore_index=True)
                           if len(head) > 1 else head[0])
+        # adaptive unit size: ~3 tail units per actor, clamped to
+        # [128, 512]. At small pools the per-actor tail is large and
+        # 512-row units already give ≥4 drain steps; at 13+ actors a
+        # fixed 512 left ONE unit per actor and the last unit (~1 s of
+        # work) set the round barrier — measured ~8% of the hi-leg
+        # fetch wall. Floor 128: each unit pays a parquet range probe
+        # per 512-row chunk remainder, so thinner units trade balance
+        # for probe overhead (pure late-binding at 16-32 cpus measured
+        # 10-30% slower on exactly that cost).
+        unit_rows = int(os.environ.get("GRAFT_TAIL_UNIT", "0")) or \
+            min(512, max(128, held_rows // 3))
         cur: list[pd.DataFrame] = []
         cur_rows = 0
         for i, g in enumerate(grps):        # part_key order → url locality
@@ -867,7 +919,7 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
                 continue
             cur.append(g)
             cur_rows += len(g)
-            if cur_rows >= 512:
+            if cur_rows >= unit_rows:
                 own.setdefault(aid, deque()).append(
                     pd.concat(cur, ignore_index=True))
                 cur, cur_rows = [], 0
@@ -905,6 +957,8 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
 
     plan_parts: list = []
     comp: list = []
+    rows_done: dict[int, int] = {}
+    last_done: dict[int, float] = {}
     t_d = _time.perf_counter()
     while pending:
         done, _ = ray.wait(list(pending), num_returns=1)
@@ -913,14 +967,22 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
         nxt = take_unit(aid)
         if nxt is not None:                 # refill BEFORE pulling result
             submit(aid, nxt)
+        off = _time.perf_counter() - t_d
+        rows_done[aid] = rows_done.get(aid, 0) + rows
+        last_done[aid] = off
         if phase_log:
-            comp.append((aid, rows, round(_time.perf_counter() - t_d, 2)))
+            comp.append((aid, rows, round(off, 2)))
         t = ray.get(ref)
         if t.num_rows:
             plan_parts.append(t)
     if phase_log:
         print(f"# round={rnd} tail_done={comp}", file=_sys.stderr)
-    return plan_parts
+    # per-actor (rows, busy-span) for the caller's speed EWMA: every
+    # actor's first call is submitted at t≈0, so its last completion
+    # offset approximates its busy span (small driver dispatch gaps
+    # inflate all actors uniformly)
+    stats = {aid: (rows_done[aid], last_done[aid]) for aid in rows_done}
+    return plan_parts, stats
 
 
 def _dispatch_units(pool, units, round_dir: str, cand_dir) -> list:

@@ -53,6 +53,11 @@ class CrawlRoundWorker:
         self.fetcher = Fetcher(pages_path, politeness_delay_s)
         self.extract = ExtractArticles(self.cfg)
         self.round_dir = round_dir
+        # warm pyarrow's lazy parquet-writer machinery at spawn (an
+        # in-memory write; first real write otherwise pays ~0.34 s of
+        # one-time module init on round 0's critical path — measured)
+        import io
+        pq.write_table(PLAN_SCHEMA.empty_table(), io.BytesIO())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.process(batch, self.round_dir)

@@ -154,6 +154,18 @@ class SeenShard:
     def size(self) -> int:
         return len(self.exact)
 
+    def warm(self) -> int:
+        """Warm pyarrow's lazy parquet-writer init (an in-memory write):
+        the first REAL ``snapshot`` otherwise pays ~0.34 s of one-time
+        module init inside the actor process, and the round-0 checkpoint
+        enqueues snapshots just ahead of round 1's seen probe — measured
+        as a 0.38 s serial stall at the round boundary."""
+        import io
+        pq.write_table(
+            pa.table({"url_hash": pa.array([], type=pa.uint64())}),
+            io.BytesIO())
+        return 0
+
     def snapshot(self, path: str) -> int:
         """Exact keys → parquet; the cuckoo filter is rebuilt on restore."""
         keys = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
@@ -185,11 +197,12 @@ def make_shard_actors(n_shards: int, capacity: int = 1 << 16):
     # session when the crawl's worker pool fills every core
     remote_cls = ray.remote(num_cpus=0)(SeenShard)
     shards = [remote_cls.remote(i, capacity) for i in range(n_shards)]
-    # fire-and-forget warmup: actor process spawn + imports (~0.3-0.7 s)
-    # overlap pool creation and round-0 planning instead of landing on
-    # the first seen probe of the crawl
+    # fire-and-forget warmup: actor process spawn + imports + parquet
+    # writer init (~0.3-0.7 s) overlap pool creation and round-0
+    # planning instead of landing on the first seen probe / the first
+    # checkpoint snapshot of the crawl
     for s in shards:
-        s.size.remote()
+        s.warm.remote()
     return shards
 
 
