@@ -1489,6 +1489,181 @@ def _q_index_search_phrase(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_index_search_or(sf_dir: str):
+    """Disjunctive boolean retrieval: docs containing ANY of the top-3
+    df terms with the matched-term count (deterministic pick shared
+    with index_search_and). Same postings-explode shape; the groupby
+    count IS the result."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        search_or,
+        top_terms,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    idx = build_inverted_index(ds).materialize()
+    terms = top_terms(idx, 3)
+    out = search_or(idx, terms).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_matched"] = out["n_matched"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_index_search_phrase_pos(sf_dir: str):
+    """Phrase search resolved ENTIRELY from the positional index — the
+    corpus text is never re-read at query time (contrast
+    index_search_phrase, which prunes then re-tokenizes candidates).
+    Same top-bigram pick, same oracle truth: per-doc overlapping
+    occurrence counts of the corpus's top bigram."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_positional_index,
+        phrase_search_positional,
+    )
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        corpus_top_bigrams,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    top1 = corpus_top_bigrams(ds, k=1).to_pandas()["bigram"].iloc[0]
+    pos = build_positional_index(ds).materialize()
+    out = phrase_search_positional(pos, top1.split(" ")).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_bloom_decontaminate(sf_dir: str):
+    """Incremental-decontamination hard gate: even doc_ids are the
+    HISTORY corpus, odd doc_ids the increment; the engine builds a
+    distributed Bloom filter over history word-8-gram hashes (tree-OR'd
+    bitmaps — the history side never broadcasts its gram set) and
+    streams the increment through it. Gate row: the oracle re-derives
+    n_new_docs and the string-exact contaminated count; the Bloom's
+    no-false-negative guarantee and a 2%-of-docs false-positive bound
+    are engine-verified booleans the oracle pins TRUE. The engine-side
+    exact truth is a labeled broadcast baseline (same precedent as
+    exact_cosine_pairs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        _gram_hashes,
+        bloom_decontaminate,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_parity(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    hist = ds.map_batches(keep_parity(0), batch_format="pyarrow")
+    inc = ds.map_batches(keep_parity(1), batch_format="pyarrow")
+    res = bloom_decontaminate(hist, inc, n=8).to_pandas()
+    n_new = len(res)
+    bloom_flagged = set(res.loc[res["flagged"], "doc_id"].astype(int))
+
+    # exact truth — labeled broadcast baseline (test-scale only; the
+    # scale path re-verifies flagged docs with a gram-hash semi-join)
+    import ray
+
+    def hist_grams(t: pa.Table) -> pa.Table:
+        parts = [_gram_hashes(x, 8) for x in t["text"].to_pylist()]
+        u = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+        return pa.table({"g": pa.array(u, pa.uint64())})
+
+    hg = hist.map_batches(hist_grams, batch_format="pyarrow").to_pandas()
+    hset = np.unique(hg["g"].to_numpy(dtype=np.uint64, na_value=0))
+    href = ray.put(hset)
+
+    def true_flag(t: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        ids, f = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            g = _gram_hashes(txt, 8)
+            ids.append(did)
+            f.append(bool(np.isin(g, hs, assume_unique=True).any()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "true_flag": pa.array(f, pa.bool_())})
+
+    truth = inc.map_batches(true_flag, batch_format="pyarrow").to_pandas()
+    true_set = set(truth.loc[truth["true_flag"], "doc_id"].astype(int))
+    fp_bound = max(2, int(round(0.02 * n_new)))
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_new_docs": pd.array([n_new], dtype="int64"),
+        "n_true_contaminated": pd.array([len(true_set)], dtype="int64"),
+        "no_false_negatives": [true_set <= bloom_flagged],
+        "fp_within_bound": [len(bloom_flagged - true_set) <= fp_bound],
+    })
+
+
+def _q_kmv_bottomk(sf_dir: str):
+    """KMV sketch over documents: global bottom-64 ids by the
+    md5_number_lower hash plus the (k-1)/h_k distinct estimate — sample
+    membership and estimate both oracle-exact (the hash is the
+    corpus_mix-proven DuckDB-compatible one)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sketch import kmv_bottomk
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    out = kmv_bottomk(ds, k=64)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def _q_asof_join_generic(sf_dir: str):
+    """The generic distributed AS-OF join (pipelines/join.py): each
+    purchase event aligned to the same user's most recent at-or-before
+    view (right side pre-aggregated to one row per (user, ts) for the
+    deterministic pick SQL ASOF also requires). One union-pad exchange
+    keyed on user, per-part merge_asof — the reusable operator behind
+    the asof_* event queries."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import asof_join
+
+    ev = read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pa.compute.equal(t["event_type"], "purchase")
+        return t.filter(m).select(["event_id", "user_id", "ts"])
+
+    def views(t: pa.Table) -> pa.Table:
+        m = pa.compute.equal(t["event_type"], "view")
+        return t.filter(m).select(["user_id", "ts", "value"])
+
+    def shape_right(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "prior_view_ts": t["ts"],
+            "prior_view_value": t["max(value)"],
+        })
+
+    left = ev.map_batches(purchases, batch_format="pyarrow")
+    right = ev.map_batches(views, batch_format="pyarrow") \
+        .groupby(["user_id", "ts"]).max("value") \
+        .map_batches(shape_right, batch_format="pyarrow")
+    out = asof_join(left, right, on="ts", by="user_id",
+                    direction="backward").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True) \
+        [["event_id", "user_id", "ts", "prior_view_ts",
+          "prior_view_value"]]
+
+
 def _q_dup_substring_spans(sf_dir: str):
     """ExactSubstr-style duplicated spans (Lee et al. 2021): per doc,
     merged intervals of positions covered by a 50-char gram occurring
@@ -1664,7 +1839,10 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "index_search_and": _q_index_search_and,
         "index_search_bm25": _q_index_search_bm25,
         "index_search_phrase": _q_index_search_phrase,
+        "index_search_or": _q_index_search_or,
+        "index_search_phrase_pos": _q_index_search_phrase_pos,
         "dup_substring_spans": _q_dup_substring_spans,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_groups": _q_minhash_dedup_groups,
@@ -1690,6 +1868,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
             .to_pandas().sort_values("event_id").reset_index(drop=True),
         "asof_next_click": lambda sf: _mk("asof_next_click")(sf)
             .to_pandas().sort_values("event_id").reset_index(drop=True),
+        "asof_join_generic": _q_asof_join_generic,
+        "kmv_bottomk": _q_kmv_bottomk,
         "event_type_stats": _q_event_type_stats,
         "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf)
             .to_pandas().sort_values(["user_id", "ts", "event_id"])
@@ -3160,6 +3340,99 @@ def oracle_sql_all() -> dict[str, str]:
         FROM pairs WHERE term IN (SELECT term FROM top3)
         GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
         ORDER BY doc_id
+    """
+    sql["index_search_or"] = f"""
+        WITH pairs AS ({_PAIRS_CTE}),
+        top3 AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+            ) ORDER BY df DESC, term LIMIT 3
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched
+        FROM pairs WHERE term IN (SELECT term FROM top3)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    # the positional-index phrase path answers the SAME question as
+    # index_search_phrase (top-bigram per-doc occurrence counts) — the
+    # oracle is shared verbatim; only the engine algebra differs
+    # (postings-only position alignment vs candidate re-tokenization)
+    sql["index_search_phrase_pos"] = sql["index_search_phrase"]
+    # bloom incremental decontamination gate: history = even doc_ids,
+    # increment = odd; the oracle re-derives the exact contaminated
+    # count (string 8-grams, the decontaminate tokenization) and pins
+    # the engine's no-false-negative / bounded-false-positive booleans
+    sql["bloom_decontaminate"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                             '[^a-z0-9_]+'), x -> x <> '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) < 8 THEN []
+                      ELSE list_distinct(list_transform(
+                          generate_series(1, len(ws) - 7),
+                          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '
+                               ||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]
+                               ||' '||ws[i+6]||' '||ws[i+7]))
+                 END AS s
+          FROM toks
+        ), hist AS (
+          SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0
+        ), inc AS (
+          SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 2 = 1
+        ), flagged AS (
+          SELECT DISTINCT doc_id FROM inc JOIN hist USING (g)
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 2 = 1) AS n_new_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged)
+                   AS n_true_contaminated,
+               TRUE AS no_false_negatives,
+               TRUE AS fp_within_bound
+    """
+    # generic as-of join: each purchase aligned to the same user's most
+    # recent at-or-before view (right side one row per (user, ts) by
+    # max(value) — the determinism precondition both sides share)
+    sql["asof_join_generic"] = """
+        WITH v AS (
+            SELECT user_id, ts, MAX(value) AS prior_view_value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ), p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   (SELECT MAX(v.ts) FROM v
+                    WHERE v.user_id = p.user_id AND v.ts <= p.ts)
+                       AS prior_view_ts
+            FROM p
+        )
+        SELECT m.event_id, m.user_id, m.ts, m.prior_view_ts,
+               v.prior_view_value
+        FROM m LEFT JOIN v ON v.user_id = m.user_id
+                          AND v.ts = m.prior_view_ts
+        ORDER BY m.event_id
+    """
+    # KMV: same md5_number_lower hash as corpus_mix; the estimate
+    # mirrors the engine's float ops exactly (UBIGINT->DOUBLE cast,
+    # divide by 2^64, (k-1)/h_k, 4-dp round)
+    sql["kmv_bottomk"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   md5_number_lower(CAST(doc_id AS VARCHAR)) AS hv
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, hv,
+                   row_number() OVER (ORDER BY hv, doc_id) AS rank
+            FROM h
+        ), topk AS (SELECT * FROM ranked WHERE rank <= 64)
+        SELECT CAST(rank AS BIGINT) AS rank,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               ROUND(63.0 / (CAST((SELECT MAX(hv) FROM topk) AS DOUBLE)
+                     / 18446744073709551616.0), 4) AS kmv_estimate
+        FROM topk ORDER BY rank
     """
     sql["ann_recall"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,

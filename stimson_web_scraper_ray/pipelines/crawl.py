@@ -622,6 +622,8 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         groups = salted.groupby("part_key", sort=True)
         sizes = groups.size().sort_values(ascending=False, kind="mergesort")
         _stamp("pack")
+        fold = None                         # set by the tail path only
+        plan_parts: list = []
         if cfg.dynamic_dispatch and cfg.politeness_delay_s == 0:
             grp_by_key = dict(list(groups))
             # unit size: ~1/3 of a static per-actor bucket (tail shrinks
@@ -689,10 +691,13 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
                 per_actor.setdefault(assign[pk], []).append(grp)
             if use_tail:
                 # hybrid: static sticky head + late-binding tail pool
-                # (whole groups; see _dispatch_sticky_tail)
+                # (whole groups; see _dispatch_sticky_tail). The fold
+                # runs the post-fetch split/redirect scan during the
+                # dispatcher's ray.wait idle — see _PlanFold.
+                fold = _PlanFold()
                 plan_parts, disp_stats = _dispatch_sticky_tail(
                     pool, per_actor, cfg.tail_holdback_frac, round_dir,
-                    cand_dir, phase_log=phase_log, rnd=rnd)
+                    cand_dir, phase_log=phase_log, rnd=rnd, fold=fold)
                 for aid, (rows, busy) in disp_stats.items():
                     if rows > 0 and busy > 0.05:
                         v = rows / busy
@@ -720,15 +725,12 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
                           file=_sys.stderr)
                 plan_parts = [t for t in ray.get(refs) if t.num_rows]
         _stamp("fetch")
-        if plan_parts:
-            plan_df = pa.concat_tables(plan_parts).to_pandas()
-        else:
-            plan_df = pd.DataFrame({c: [] for c in (
-                "kind", "url", "status", "canonical_link",
-                "meta_refresh_url", "url_canon", "url_hash", "host")})
+        if fold is None:                    # non-tail paths: batch fold
+            fold = _PlanFold()
+            for t in plan_parts:
+                fold.add(t)
 
-        cand_df = plan_df[plan_df["kind"] == "cand"][
-            ["url_canon", "url_hash", "host"]]
+        cand_df = fold.cand_df()
         if not cand_df.empty:
             if cfg.indegree_priority:
                 # citation count per candidate (workers preserve per-page
@@ -742,19 +744,10 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
         # 421-424, one extra round instead of recursion) and meta-refresh
         # follow (utils.py:111-131, ≤1 hop). Bypass valid_url — redirects
         # are not subject to the article-url predicate — but not the seen
-        # set. Planning table, bounded by the round budget.
-        round_df = plan_df[plan_df["kind"] == "page"][
-            ["url", "status", "canonical_link", "meta_refresh_url"]] \
-            .reset_index(drop=True)
-        redirects = []
-        for url_v, canonical, refresh in zip(round_df["url"],
-                                             round_df["canonical_link"],
-                                             round_df["meta_refresh_url"]):
-            for target in (canonical, refresh):
-                if target and target != url_v:
-                    prepared = prepare_url(target, url_v)
-                    if prepared:
-                        redirects.append(prepared)
+        # set. Scanned per unit inside the fold (overlapped with the
+        # round tail on the dispatch path); bounded by the round budget.
+        round_df = fold.page_df()
+        redirects = fold.redirects
         n_fetched = len(round_df)
         fetched_hashes = budget["url_hash"].to_numpy()
         total_fetched += n_fetched
@@ -860,9 +853,63 @@ def _run_rounds(pool, pool_size, shards, frontier, start_round, max_rounds,
     return total_fetched
 
 
+class _PlanFold:
+    """Incremental fold of per-unit plan tables. The driver's post-fetch
+    work on each unit's result — the kind split, the arrow→pandas
+    conversion, and the per-page redirect/meta-refresh scan (the bulk of
+    the serial 'post' phase, ~0.2 s/round at 16 cpus) — runs while the
+    dispatcher is idle in ``ray.wait`` on the round's remaining units,
+    instead of serially after the round barrier. Parity-safe by
+    construction: the fold outputs are insensitive to unit completion
+    order in exactly the way the batch form already was — candidate
+    rows are later deduped by url_hash with identical payloads across
+    duplicates, redirect targets get ``sorted(set(...))`` downstream,
+    and counts are sums."""
+
+    def __init__(self) -> None:
+        self.cand: list[pa.Table] = []
+        self.page: list[pa.Table] = []
+        self.redirects: list[str] = []
+
+    def add(self, t: pa.Table) -> None:
+        import pyarrow.compute as pc
+
+        tc = t.filter(pc.equal(t["kind"], "cand"))
+        if tc.num_rows:
+            self.cand.append(tc.select(["url_canon", "url_hash", "host"]))
+        tp = t.filter(pc.equal(t["kind"], "page"))
+        if tp.num_rows:
+            tp = tp.select(["url", "status", "canonical_link",
+                            "meta_refresh_url"])
+            self.page.append(tp)
+            for url_v, canonical, refresh in zip(
+                    tp["url"].to_pylist(),
+                    tp["canonical_link"].to_pylist(),
+                    tp["meta_refresh_url"].to_pylist()):
+                for target in (canonical, refresh):
+                    if target and target != url_v:
+                        prepared = prepare_url(target, url_v)
+                        if prepared:
+                            self.redirects.append(prepared)
+
+    def cand_df(self) -> pd.DataFrame:
+        if self.cand:
+            return pa.concat_tables(self.cand).to_pandas()
+        return pd.DataFrame({"url_canon": pd.array([], dtype="object"),
+                             "url_hash": pd.array([], dtype="uint64"),
+                             "host": pd.array([], dtype="object")})
+
+    def page_df(self) -> pd.DataFrame:
+        if self.page:
+            return pa.concat_tables(self.page).to_pandas()
+        return pd.DataFrame({c: [] for c in (
+            "url", "status", "canonical_link", "meta_refresh_url")})
+
+
 def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
                           cand_dir, phase_log: bool = False,
-                          rnd: int = -1) -> list:
+                          rnd: int = -1, fold: "_PlanFold | None" = None
+                          ) -> list:
     """Hybrid dispatch: one static sticky head call per actor plus a
     late-binding tail pool (config.tail_holdback_frac). Per actor, the
     smallest WHOLE host-groups totalling ~frac of its rows are held back
@@ -883,7 +930,6 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
 
     import ray
 
-    heads: dict[int, pd.DataFrame] = {}
     own: dict[int, deque] = {}
     for aid, grps in per_actor.items():
         total = sum(len(g) for g in grps)
@@ -897,11 +943,35 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
                 break
             held.add(i)
             held_rows += len(grps[i])
-        head = [g for i, g in enumerate(grps) if i not in held]
-        if head:
-            heads[aid] = (pd.concat(head, ignore_index=True)
-                          if len(head) > 1 else head[0])
-        # adaptive unit size: ~3 tail units per actor, clamped to
+        q = own.setdefault(aid, deque())
+
+        def pack(idxs, unit_rows: int):
+            cur: list[pd.DataFrame] = []
+            cur_rows = 0
+            for i in idxs:                  # part_key order → url locality
+                cur.append(grps[i])
+                cur_rows += len(grps[i])
+                if cur_rows >= unit_rows:
+                    q.append(pd.concat(cur, ignore_index=True)
+                             if len(cur) > 1 else cur[0])
+                    cur, cur_rows = [], 0
+            if cur:
+                q.append(pd.concat(cur, ignore_index=True)
+                         if len(cur) > 1 else cur[0])
+
+        # GRAFT_HEAD_UNIT chunks the head into stealable sub-units
+        # (experimental knob): with a single head call a host-scheduling
+        # straggler strands (1-frac) of its round behind one actor
+        # (measured: round-2 heads finishing 2.8-4.8 s apart at 16
+        # cpus), and chunks queued on the OWNING actor in order would be
+        # back-stealable once any actor runs dry. MEASURED A/B at 16
+        # cpus though: 3-chunk heads are ~5-10% SLOWER (per-unit probe
+        # remainders + queue gaps cost more than the straggler win —
+        # same lesson as pure late-binding), 2048-row chunks a wash — so
+        # the DEFAULT stays one monolithic head call per actor.
+        head_unit = int(os.environ.get("GRAFT_HEAD_UNIT", "0")) or (1 << 30)
+        pack([i for i in range(len(grps)) if i not in held], head_unit)
+        # adaptive tail unit size: ~3 tail units per actor, clamped to
         # [128, 512]. At small pools the per-actor tail is large and
         # 512-row units already give ≥4 drain steps; at 13+ actors a
         # fixed 512 left ONE unit per actor and the last unit (~1 s of
@@ -909,23 +979,11 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
         # fetch wall. Floor 128: each unit pays a parquet range probe
         # per 512-row chunk remainder, so thinner units trade balance
         # for probe overhead (pure late-binding at 16-32 cpus measured
-        # 10-30% slower on exactly that cost).
+        # 10-30% slower on exactly that cost). Tail units sit at the
+        # BACK of the queue, so back-steals lift the cheap units first.
         unit_rows = int(os.environ.get("GRAFT_TAIL_UNIT", "0")) or \
             min(512, max(128, held_rows // 3))
-        cur: list[pd.DataFrame] = []
-        cur_rows = 0
-        for i, g in enumerate(grps):        # part_key order → url locality
-            if i not in held:
-                continue
-            cur.append(g)
-            cur_rows += len(g)
-            if cur_rows >= unit_rows:
-                own.setdefault(aid, deque()).append(
-                    pd.concat(cur, ignore_index=True))
-                cur, cur_rows = [], 0
-        if cur:
-            own.setdefault(aid, deque()).append(
-                pd.concat(cur, ignore_index=True))
+        pack(sorted(held), unit_rows)
 
     def take_unit(aid: int) -> pd.DataFrame | None:
         q = own.get(aid)
@@ -947,10 +1005,12 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
             (aid, len(df))
 
     pending: dict = {}
-    for aid, df in heads.items():
-        submit(aid, df)
-    for aid in range(len(pool)):            # head-less actors start on tail
-        if aid not in heads:
+    # depth-2 initial fill (the _dispatch_units pattern): one unit
+    # executing + one queued per actor, so an actor starts its next
+    # chunk while the driver pulls the finished result — without it,
+    # chunked heads would pay a driver round-trip of idle per chunk
+    for _ in range(2):
+        for aid in range(len(pool)):
             df = take_unit(aid)
             if df is not None:
                 submit(aid, df)
@@ -974,7 +1034,10 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
             comp.append((aid, rows, round(off, 2)))
         t = ray.get(ref)
         if t.num_rows:
-            plan_parts.append(t)
+            if fold is not None:            # overlap post-fold with wait
+                fold.add(t)
+            else:
+                plan_parts.append(t)
     if phase_log:
         print(f"# round={rnd} tail_done={comp}", file=_sys.stderr)
     # per-actor (rows, busy-span) for the caller's speed EWMA: every

@@ -1483,3 +1483,113 @@ def _dup_substring_spans_wide(ds, gram_len: int = 50,
     return salted_partition_apply(
         dup_pos, merge_spans,
         lambda t: t[id_col].to_numpy(), n_parts=n_parts).sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental decontamination (the eleventh dedup method)
+# ---------------------------------------------------------------------------
+
+def _bloom_bit_idx(h: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """k bit indices per 64-bit gram hash via Kirsch–Mitzenmacher double
+    hashing (idx_j = h1 + j*h2 mod m): one int64 array of shape (n*k,),
+    vectorized. h2 is forced odd so the k probes never collapse."""
+    h1 = h
+    h2 = (h >> np.uint64(32)) ^ (h << np.uint64(17)) | np.uint64(1)
+    j = np.arange(k_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        idx = (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return idx.ravel().astype(np.int64)
+
+
+def build_gram_bloom(ds, n: int = 8, text_col: str = "text",
+                     m_bits: int = 1 << 22, k_hashes: int = 7,
+                     fanin: int = 8) -> np.ndarray:
+    """Distributed Bloom filter over a corpus's distinct word-n-gram
+    hashes (the `_gram_hashes` space shared with decontaminate /
+    ngram_jaccard). Each map task folds its batch into a local m-bit
+    bitmap; bitmaps tree-OR via remote tasks (log_fanin rounds), so the
+    driver touches O(1) bitmaps, never the gram stream. Returns the
+    m/8-byte uint8 bitmap.
+
+    Scale: size m ≈ 14 bits per distinct history gram for ~1e-4
+    false-positive rate; a 10^10-gram history is a ~17 GB bitmap — still
+    a once-per-node object-store broadcast, NOT per-batch. Beyond node
+    memory the same algebra shards the filter by hash prefix and routes
+    probes by the same prefix (a keyed exchange instead of a broadcast);
+    the test scales exercise the broadcast form."""
+    import ray
+
+    nbytes = m_bits // 8
+
+    def to_bitmap(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for txt in batch[text_col].to_pylist():
+            g = _gram_hashes(txt, n)
+            if g.size:
+                idx = _bloom_bit_idx(g, m_bits, k_hashes)
+                np.bitwise_or.at(bits, idx >> 3,
+                                 (1 << (idx & 7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bits.tobytes()], pa.binary())})
+
+    @ray.remote
+    def or_tables(*tbls: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for t in tbls:
+            for buf in t["bm"].to_pylist():
+                np.bitwise_or(acc, np.frombuffer(buf, np.uint8), out=acc)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    refs = list(ds.map_batches(to_bitmap, batch_format="pyarrow")
+                .to_arrow_refs())
+    if not refs:
+        return np.zeros(nbytes, dtype=np.uint8)
+    while len(refs) > 1:
+        refs = [or_tables.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    final = ray.get(refs[0])
+    return np.frombuffer(final["bm"].to_pylist()[0], np.uint8).copy()
+
+
+def bloom_decontaminate(history_ds, new_ds, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        m_bits: int = 1 << 22, k_hashes: int = 7):
+    """Incremental decontamination: flag docs in ``new_ds`` sharing any
+    word-n-gram with ``history_ds`` — the case where the HISTORY side is
+    corpus-scale, so `decontaminate`'s broadcast-the-gram-set shape
+    inverts into broadcast-a-Bloom-of-the-gram-set (CCNet/Dolma-style
+    incremental dedup). One distributed bitmap build over history, one
+    streamed probe pass over the increment; no exchange carries grams.
+
+    Guarantees: NO false negatives (every truly-shared gram hash is in
+    the filter), false positives bounded by the (m, k, n_grams) load —
+    callers that need exactness re-verify the flagged minority against
+    the history (a semi-join on a now-tiny candidate set). Returns
+    (id_col, n_flagged_grams, flagged) per new doc."""
+    import ray
+
+    bits = build_gram_bloom(history_ds, n=n, text_col=text_col,
+                            m_bits=m_bits, k_hashes=k_hashes)
+    bref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        ids, hits = [], []
+        for did, txt in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            g = _gram_hashes(txt, n)
+            if g.size:
+                idx = _bloom_bit_idx(g, m_bits, k_hashes)
+                bit = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+                nhit = int(bit.reshape(-1, k_hashes).all(axis=1).sum())
+            else:
+                nhit = 0
+            ids.append(did)
+            hits.append(nhit)
+        h = np.asarray(hits, dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_flagged_grams": pa.array(h, pa.int64()),
+            "flagged": pa.array(h > 0, pa.bool_()),
+        })
+
+    return new_ds.map_batches(probe, batch_format="pyarrow")

@@ -227,6 +227,158 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
         .sort(id_col)
 
 
+def search_or(index_ds, terms: list[str]):
+    """Disjunctive boolean search: docs containing ANY of ``terms``, as
+    a Dataset of (doc_id, n_matched) with n_matched = how many of the
+    query terms the doc contains, sorted by doc_id asc. Same
+    explode-where-the-postings-live shape as ``search_and`` — the
+    groupby count IS the answer instead of a ==k filter, so a hot
+    term's posting list still never lands on one node."""
+    import ray
+    from ray.data.aggregate import Count
+
+    want = ray.put(frozenset(terms))
+
+    def explode(t: pa.Table) -> pa.Table:
+        w = ray.get(want)
+        out: list[int] = []
+        for term, postings in zip(t["term"].to_pylist(),
+                                  t["postings"].to_pylist()):
+            if term in w:
+                out.extend(postings)
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+    return index_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Count(alias_name="n_matched")) \
+        .sort("doc_id")
+
+
+def phrase_tokens(text: str | None) -> list[str]:
+    """The phrase-search token stream: ``ascii_words`` with pure-digit
+    tokens dropped — the same stream the bigram pick (corpus_bigrams)
+    and the phrase SQL oracle derive, so positions computed over it are
+    oracle-aligned."""
+    return [w for w in ascii_words(text) if not w.isdigit()]
+
+
+def build_positional_index(ds, id_col: str = "doc_id",
+                           text_col: str = "text", n_parts: int = 64):
+    """Positional inverted index: one row per (term, doc_id) with the
+    sorted int32 positions of the term in the doc's ``phrase_tokens``
+    stream. Same one-salted-exchange build shape as
+    ``build_inverted_index`` (term-hash partitioned, assembled where the
+    term lives); the artifact answers phrase queries WITHOUT touching
+    the corpus text again (see ``phrase_search_positional``). Index
+    volume is one int32 per corpus token — the classic positional-index
+    cost, paid once at build so every phrase query is postings-only."""
+    from .shuffle import salted_partition_apply
+
+    def pos_pairs(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        ids: list[int] = []
+        poss: list[list[int]] = []
+        for did, txt in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            by_term: dict[str, list[int]] = {}
+            for i, w in enumerate(phrase_tokens(txt)):
+                by_term.setdefault(w, []).append(i)
+            for w, ps in by_term.items():
+                terms.append(w)
+                ids.append(did)
+                poss.append(ps)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "positions": pa.array(poss, pa.list_(pa.int32())),
+        })
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["term", "doc_id"], kind="mergesort")
+
+    pairs = ds.map_batches(pos_pairs, batch_format="pyarrow")
+    return salted_partition_apply(pairs, assemble, _term_key,
+                                  n_parts=n_parts)
+
+
+def phrase_search_positional(pos_index_ds, phrase: list[str],
+                             n_parts: int = 64):
+    """Exact phrase counts per doc resolved ENTIRELY from the
+    positional index — the corpus text is never read at query time
+    (contrast ``phrase_search``, which prunes via the boolean index
+    then re-tokenizes candidate docs).
+
+    Algebra: a phrase hit starts at token position p iff slot i's term
+    sits at p+i for every slot. Each filtered index row (term, doc,
+    positions) emits, per phrase slot i with that term, the aligned
+    start candidates ``positions - i``; a (doc, aligned) key then holds
+    at most ONE row per slot (the slot fixes the position), so a plain
+    count == len(phrase) is exact even with repeated phrase terms.
+    One doc-functional salted exchange does both the alignment count
+    and the per-doc hit count. Returns (doc_id, n_hits) sorted by
+    doc_id, overlapping matches counted — the ``phrase_search``
+    contract."""
+    import pyarrow.compute as pc
+
+    from .shuffle import salted_partition_apply
+
+    slots = list(enumerate(phrase))
+    k = len(slots)
+    want = sorted({t for _, t in slots})
+
+    def explode_aligned(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["term"], value_set=pa.array(want))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "aligned": pa.array([], pa.int64())})
+        pos_col = t["positions"].combine_chunks()
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = (pos_col.chunk(0) if pos_col.num_chunks == 1
+                       else pa.concat_arrays(pos_col.chunks))
+        if not isinstance(pos_col, (pa.ListArray, pa.LargeListArray)):
+            # the pandas exchange re-types ragged cells as Ray's
+            # variable-shaped tensor extension; rebuild the plain list
+            # array (cheap: runs AFTER the phrase-term filter)
+            pos_col = pa.array([np.asarray(x, dtype=np.int64)
+                                for x in pos_col.to_pylist()],
+                               type=pa.list_(pa.int64()))
+        flat = pos_col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent = pc.list_parent_indices(pos_col) \
+            .to_numpy(zero_copy_only=False)
+        doc_all = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[parent]
+        term_all = np.asarray(t["term"].to_pylist(), dtype=object)[parent]
+        docs_out, aligned_out = [], []
+        for i, term in slots:
+            m = term_all == term
+            a = flat[m] - i
+            keep = a >= 0
+            docs_out.append(doc_all[m][keep])
+            aligned_out.append(a[keep])
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+            "aligned": pa.array(np.concatenate(aligned_out), pa.int64()),
+        })
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        per_start = df.groupby(["doc_id", "aligned"], sort=False) \
+                      .size().reset_index(name="n_slots")
+        hit = per_start[per_start["n_slots"] == k]
+        out = hit.groupby("doc_id", sort=True).size() \
+                 .reset_index(name="n_hits")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    rows = pos_index_ds.map_batches(explode_aligned,
+                                    batch_format="pyarrow")
+    return salted_partition_apply(
+        rows, count_part,
+        lambda t: t["doc_id"].to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        n_parts=n_parts).sort("doc_id")
+
+
 def write_inverted_index(index_ds, out_dir: str, n_partitions: int = 64):
     """Persist the index as term-hash-partitioned parquet
     (``part=NN/*.parquet``): the resumable-sink shape — a failed build

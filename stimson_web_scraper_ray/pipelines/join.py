@@ -180,3 +180,68 @@ def adaptive_join(big, small, on: str, *, right_on: str | None = None,
                          for n, typ in out_fields})
 
     return big.map_batches(merge, batch_format="pandas")
+
+
+def asof_join(left, right, *, on: str, by: str,
+              direction: str = "backward",
+              allow_exact_matches: bool = True, n_parts: int = 64):
+    """Distributed AS-OF join: for every left row, the single right row
+    of the same ``by`` key whose ``on`` value is the nearest at-or-before
+    (backward) / at-or-after (forward) the left's — SQL's ASOF JOIN, the
+    standard event-to-latest-state alignment. Left rows with no
+    qualifying right row keep nulls (left-join semantics).
+
+    Shape: the same ONE union-pad exchange as ``hash_join``, keyed on
+    ``by`` (key-functional: every row of a key lands in one part), then
+    a per-part ``pandas.merge_asof`` over the part sorted by ``on`` —
+    the inequality matching never crosses parts, so no global sort and
+    no driver materialization. Skewed keys follow the hash_join story.
+    Right-side ties on (by, on) must be pre-aggregated away by the
+    caller (one row per (by, on)) for a deterministic pick — the same
+    precondition SQL ASOF imposes for a well-defined result."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    overlap = (set(lcols) & set(rcols)) - {on, by}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    rkeep = [n for n in rcols if n not in (on, by)]
+    out_fields = ([(n, ltypes[n]) for n in lcols]
+                  + [(n, rtypes[n]) for n in rkeep])
+
+    def pad(side_flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for name, typ in out_fields:
+                names.append(name)
+                if name in t.column_names:
+                    arrays.append(pc.cast(t[name], typ))
+                else:
+                    arrays.append(pa.nulls(len(t), typ))
+            names.append(_SIDE)
+            arrays.append(pa.array(np.full(len(t), side_flag, np.int8)))
+            return pa.table(dict(zip(names, arrays)))
+        return fn
+
+    both = left.map_batches(pad(0), batch_format="pyarrow") \
+        .union(right.map_batches(pad(1), batch_format="pyarrow"))
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df[_SIDE] == 0][lcols].sort_values(on, kind="mergesort")
+        r = df[df[_SIDE] == 1][[by, on] + rkeep] \
+            .sort_values(on, kind="mergesort")
+        if l.empty:
+            # right-only part: emit the full output shape, zero rows
+            return l.reindex(columns=[n for n, _ in out_fields])
+        return pd.merge_asof(l, r, on=on, by=by, direction=direction,
+                             allow_exact_matches=allow_exact_matches)
+
+    joined = salted_partition_apply(
+        both, merge_part,
+        combine_key=lambda t: _key_to_int64(t, by),
+        n_parts=n_parts)
+    return joined.map_batches(_normalize_to(out_fields),
+                              batch_format="pyarrow")

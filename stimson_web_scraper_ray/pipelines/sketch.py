@@ -218,3 +218,46 @@ def heavy_hitter_words(ds, k: int = 20, k_prime: int = 256,
             f"{int(top['freq'].iloc[-1])} < N/k' = {n_total / k_prime:.0f}"
             " — raise k_prime")
     return top[["word", "freq"]]
+
+
+def kmv_bottomk(ds, k: int = 64, id_col: str = "doc_id"):
+    """KMV (k-minimum-values) sketch: the k ids with the globally
+    smallest md5 hash, plus the standard (k-1)/h_(k) distinct-count
+    estimate (Bar-Yossef et al. 2002). The hash is md5 of the decimal id
+    string, low 8 bytes little-endian — bit-compatible with DuckDB's
+    ``md5_number_lower(CAST(id AS VARCHAR))`` (the corpus_mix hash), so
+    the sample membership AND the estimate are oracle-exact.
+
+    Scale shape: each batch emits only its local bottom-k (a combiner —
+    the exchange carries k rows per block, never the id stream); the
+    global bottom-k is a k-row sort+limit. The bottom-k set doubles as a
+    deterministic, mergeable uniform sample (resumable: re-runs pick
+    identical rows), the KMV analogue of the HLL registers above.
+    Returns k rows (rank, id_col, kmv_estimate) ordered by rank."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.empty(len(ids), dtype=np.uint64)
+        for i, v in enumerate(ids):
+            d = hashlib.md5(str(v).encode("ascii")).digest()
+            h[i] = int.from_bytes(d[8:16], "little")
+        take = min(k, len(ids))
+        idx = np.argsort(h, kind="stable")[:take]
+        return pa.table({
+            id_col: pa.array([ids[i] for i in idx]),
+            "hv": pa.array(h[idx], pa.uint64()),
+        })
+
+    top = ds.map_batches(partial, batch_format="pyarrow") \
+        .sort(["hv", id_col]).limit(k).to_pandas()
+    hk = float(top["hv"].iloc[-1]) / float(1 << 64)
+    est = round((len(top) - 1) / hk, 4) if hk > 0 else float("inf")
+    return pd.DataFrame({
+        "rank": pd.array(np.arange(1, len(top) + 1), dtype="int64"),
+        id_col: top[id_col].to_numpy(),
+        "kmv_estimate": np.full(len(top), est, dtype=np.float64),
+    })

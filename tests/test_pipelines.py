@@ -1610,3 +1610,128 @@ def test_dup_substring_spans_wide_parity(ray_session):
     assert stats_b["path"] == "broadcast" and stats_w["path"] == "wide"
     assert [dict(r) for r in fast] == [dict(r) for r in wide]
     assert len(fast) > 0
+
+
+def test_phrase_search_positional_matches_scan(ray_session):
+    """Positional-index phrase search (postings-only alignment, corpus
+    never re-read) returns exactly the full-scan counts, including a
+    REPEATED-term phrase where the (doc, aligned) key receives one row
+    per slot and overlap counting matters."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_positional_index,
+        phrase_search,
+        phrase_search_positional,
+    )
+
+    docs = [
+        (0, "a b a b a"),          # "a b" twice; "a b a" twice
+        (1, "a 42 b"),             # numeric dropped -> adjacency bridges
+        (2, "a c b"),
+        (3, "b a"),
+        (4, "a a a a"),            # "a a" three overlapping hits
+        (5, "x y a b a z"),
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=3)
+    pos = build_positional_index(ds, n_parts=4).materialize()
+    for phrase in (["a", "b"], ["a", "b", "a"], ["a", "a"]):
+        scan = {r["doc_id"]: r["n_hits"]
+                for r in phrase_search(ds, phrase).take_all()}
+        via_index = {r["doc_id"]: r["n_hits"]
+                     for r in phrase_search_positional(
+                         pos, phrase, n_parts=4).take_all()}
+        assert via_index == scan, phrase
+
+
+def test_search_or_counts(ray_session):
+    """Disjunctive search returns every doc with >=1 query term and the
+    matched-term count (distinct terms, not occurrences)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        search_or,
+    )
+
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "alpha alpha alpha"),    # repeated term counts once
+        (2, "gamma delta"),
+        (3, "nothing relevant"),
+    ]
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs],
+                       override_num_blocks=2)
+    idx = build_inverted_index(ds, n_parts=4).materialize()
+    got = {r["doc_id"]: r["n_matched"]
+           for r in search_or(idx, ["alpha", "beta"]).take_all()}
+    assert got == {0: 2, 1: 1}
+
+
+def test_bloom_decontaminate_no_false_negatives(ray_session):
+    """The Bloom probe flags every doc that truly shares an 8-gram with
+    the history (no false negatives — the filter's hard guarantee), and
+    at test sizing produces no false positives either."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        _gram_hashes,
+        bloom_decontaminate,
+    )
+
+    shared = ("one two three four five six seven eight nine ten "
+              "eleven twelve")
+    hist_docs = [(0, shared + " history tail words here"),
+                 (2, "entirely separate history text body with many "
+                     "unique words going on and on for a while longer")]
+    new_docs = [(1, "prefix words then " + shared),          # true dup
+                (3, "no overlap at all in this new document "
+                    "completely fresh tokens everywhere")]
+    hist = rd.from_items([{"doc_id": d, "text": t} for d, t in hist_docs],
+                         override_num_blocks=2)
+    new = rd.from_items([{"doc_id": d, "text": t} for d, t in new_docs],
+                        override_num_blocks=2)
+    out = {r["doc_id"]: r["flagged"]
+           for r in bloom_decontaminate(hist, new, n=8).take_all()}
+    assert out == {1: True, 3: False}
+    # sanity: the planted overlap really is an 8-gram-level overlap
+    assert np.intersect1d(_gram_hashes(hist_docs[0][1], 8),
+                          _gram_hashes(new_docs[0][1], 8)).size > 0
+
+
+def test_asof_join_directions_and_nulls(ray_session):
+    """Generic asof_join: backward picks the latest at-or-before row per
+    key, forward the earliest at-or-after, unmatched left rows keep
+    nulls, and non-key column collisions raise."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.join import asof_join
+
+    left = rd.from_items([
+        {"k": 1, "t": 10, "lv": "a"},
+        {"k": 1, "t": 20, "lv": "b"},
+        {"k": 2, "t": 5, "lv": "c"},     # no right row at-or-before
+        {"k": 3, "t": 7, "lv": "d"},     # key absent on the right
+    ], override_num_blocks=2)
+    right = rd.from_items([
+        {"k": 1, "t": 10, "rv": 100.0},
+        {"k": 1, "t": 15, "rv": 150.0},
+        {"k": 2, "t": 8, "rv": 200.0},
+    ], override_num_blocks=2)
+    back = {(r["k"], r["t"]): r["rv"]
+            for r in asof_join(left, right, on="t", by="k",
+                               n_parts=4).take_all()}
+    assert back[(1, 10)] == 100.0       # exact match allowed
+    assert back[(1, 20)] == 150.0       # latest at-or-before
+    assert back[(2, 5)] is None
+    assert back[(3, 7)] is None
+    fwd = {(r["k"], r["t"]): r["rv"]
+           for r in asof_join(left, right, on="t", by="k",
+                              direction="forward", n_parts=4).take_all()}
+    assert fwd[(1, 10)] == 100.0
+    assert fwd[(1, 20)] is None         # nothing at-or-after
+    assert fwd[(2, 5)] == 200.0
+    with pytest.raises(ValueError):
+        bad = rd.from_items([{"k": 1, "t": 1, "lv": "x"}])
+        asof_join(bad, bad, on="t", by="k")
