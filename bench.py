@@ -153,7 +153,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "profile_events", "doc_classifier_score",
              "minhash_dedup_groups", "trade_pagerank_undirected",
              "order_rank_windows", "semdedup", "inverted_index",
-             "dup_substring_spans"]
+             "dup_substring_spans", "bloom_decontaminate",
+             "index_search_phrase_pos"]
     qs = entry_mod.queries_all()
     # warmup: the first Dataset execution pays Ray worker-pool spin-up
     # and module imports (~3 s measured on pricing_summary cold vs warm);
