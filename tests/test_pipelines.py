@@ -1735,3 +1735,63 @@ def test_asof_join_directions_and_nulls(ray_session):
     with pytest.raises(ValueError):
         bad = rd.from_items([{"k": 1, "t": 1, "lv": "x"}])
         asof_join(bad, bad, on="t", by="k")
+
+
+def test_new_ops_block_layout_invariant(ray_session):
+    """kmv_bottomk / asof_join / bloom_decontaminate /
+    phrase_search_positional return identical results regardless of
+    input block layout — the determinism bar every operator here meets
+    (re-runs and retried blocks must not change outputs)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import bloom_decontaminate
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_positional_index,
+        phrase_search_positional,
+    )
+    from stimson_web_scraper_ray.pipelines.join import asof_join
+    from stimson_web_scraper_ray.pipelines.sketch import kmv_bottomk
+
+    rng = np.random.default_rng(5)
+    vocab = "aa bb cc dd ee ff gg hh".split()
+    docs = [(i, " ".join(rng.choice(vocab, size=40))) for i in range(60)]
+
+    def mk(n_blocks):
+        return rd.from_items(
+            [{"doc_id": d, "text": t} for d, t in docs],
+            override_num_blocks=n_blocks)
+
+    # kmv: same bottom-k rows and estimate for 1 vs 7 blocks
+    k1 = kmv_bottomk(mk(1), k=16)
+    k7 = kmv_bottomk(mk(7), k=16)
+    pd.testing.assert_frame_equal(k1, k7)
+
+    # positional phrase: same counts for 2 vs 6 blocks
+    p2 = build_positional_index(mk(2), n_parts=4).materialize()
+    p6 = build_positional_index(mk(6), n_parts=4).materialize()
+    for phrase in (["aa", "bb"], ["cc", "cc"]):
+        a = {r["doc_id"]: r["n_hits"] for r in
+             phrase_search_positional(p2, phrase, n_parts=4).take_all()}
+        b = {r["doc_id"]: r["n_hits"] for r in
+             phrase_search_positional(p6, phrase, n_parts=4).take_all()}
+        assert a == b
+
+    # bloom: identical flags for 1 vs 5 history blocks (bitmap OR is
+    # commutative/associative — the tree reduce order can't matter)
+    hist1, hist5, new = mk(1), mk(5), mk(3)
+    f1 = sorted((r["doc_id"], r["flagged"]) for r in
+                bloom_decontaminate(hist1, new, n=3).take_all())
+    f5 = sorted((r["doc_id"], r["flagged"]) for r in
+                bloom_decontaminate(hist5, new, n=3).take_all())
+    assert f1 == f5
+
+    # asof: same alignment for different part counts
+    left = rd.from_items([{"k": i % 4, "t": i, "lv": i} for i in range(40)],
+                         override_num_blocks=3)
+    right = rd.from_items([{"k": i % 4, "t": i * 2, "rv": float(i)}
+                           for i in range(10)], override_num_blocks=2)
+    a = sorted(tuple(sorted(r.items())) for r in
+               asof_join(left, right, on="t", by="k", n_parts=2).take_all())
+    b = sorted(tuple(sorted(r.items())) for r in
+               asof_join(left, right, on="t", by="k", n_parts=16).take_all())
+    assert a == b
