@@ -1606,6 +1606,20 @@ def _q_bloom_decontaminate(sf_dir: str):
     })
 
 
+def _q_trade_components(sf_dir: str):
+    """Connected components of the trade graph (the public
+    graph.connected_components operator — large-star/small-star edge
+    rewriting, the same machinery behind minhash_dedup_groups). The
+    oracle re-derives component labels with a recursive reachability
+    closure over the identically-encoded edge set."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_components
+
+    out = trade_components(sf_dir)
+    out["node_id"] = out["node_id"].astype("int64")
+    out["component_id"] = out["component_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_kmv_bottomk(sf_dir: str):
     """KMV sketch over documents: global bottom-64 ids by the
     md5_number_lower hash plus the (k-1)/h_k distinct estimate — sample
@@ -1870,6 +1884,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
             .to_pandas().sort_values("event_id").reset_index(drop=True),
         "asof_join_generic": _q_asof_join_generic,
         "kmv_bottomk": _q_kmv_bottomk,
+        "trade_components": _q_trade_components,
         "event_type_stats": _q_event_type_stats,
         "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf)
             .to_pandas().sort_values(["user_id", "ts", "event_id"])
@@ -3414,6 +3429,27 @@ def oracle_sql_all() -> dict[str, str]:
         FROM m LEFT JOIN v ON v.user_id = m.user_id
                           AND v.ts = m.prior_view_ts
         ORDER BY m.event_id
+    """
+    # connected components: recursive reachability closure over the
+    # trade edge set (same node encoding as trade_pagerank's oracle);
+    # component label = min node id reachable (incl. self)
+    sql["trade_components"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS c,
+                            l.l_suppkey * 2 + 1 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ), w(node, r) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT w.node, e.dst FROM w JOIN edges e ON w.r = e.src
+        )
+        SELECT CAST(node AS BIGINT) AS node_id,
+               CAST(LEAST(node, MIN(r)) AS BIGINT) AS component_id
+        FROM w GROUP BY node ORDER BY node_id
     """
     # KMV: same md5_number_lower hash as corpus_mix; the estimate
     # mirrors the engine's float ops exactly (UBIGINT->DOUBLE cast,

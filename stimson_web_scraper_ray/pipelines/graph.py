@@ -330,3 +330,35 @@ def trade_pagerank_directed(sf_dir: str, damping: float = 0.85,
                   iters=iters)
     df["score"] = df["score"].round(6)
     return df.sort_values("node_id").reset_index(drop=True)
+
+
+def connected_components(edges_ds, n_parts: int = 32,
+                         max_rounds: int = 30) -> pd.DataFrame:
+    """Public connected-components operator over a directed-or-symmetric
+    (src:int64, dst:int64) edge Dataset: returns (node_id, component_id)
+    with component_id = the component's minimum node id, one row per
+    node that appears in any edge.
+
+    Engine: the alternating large-star/small-star edge rewriting the
+    minhash dedup-group resolver runs (Kiveris et al. SoCC'14 — see
+    dedup.resolve_duplicate_groups_distributed); the graph stays an edge
+    Dataset end to end, O(log n) salted exchanges, loud failure on
+    non-convergence. This wrapper is the crawl-scale entry point (host
+    clusters over the outlink graph); the SQL oracle re-derives the same
+    labels with a recursive reachability closure."""
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["src"], "b": t["dst"]})
+
+    from .dedup import resolve_duplicate_groups_distributed
+
+    out = resolve_duplicate_groups_distributed(
+        edges_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        max_rounds=max_rounds, n_parts=n_parts)
+    return out.rename(columns={"doc_id": "node_id",
+                               "keep_doc_id": "component_id"})
+
+
+def trade_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the bidirectional customer↔supplier trade
+    graph (same edge derivation as trade_pagerank)."""
+    return connected_components(trade_edges(sf_dir))
