@@ -1606,6 +1606,17 @@ def _q_bloom_decontaminate(sf_dir: str):
     })
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (long-format label/dim/centroid):
+    vector-combiner partials + one tiny groupby — vectors never leave
+    their block. 6-dp round shared with the oracle's double mean."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import label_centroids
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroids(ds)
+
+
 def _q_trade_components(sf_dir: str):
     """Connected components of the trade graph (the public
     graph.connected_components operator — large-star/small-star edge
@@ -1885,6 +1896,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "asof_join_generic": _q_asof_join_generic,
         "kmv_bottomk": _q_kmv_bottomk,
         "trade_components": _q_trade_components,
+        "label_centroids": _q_label_centroids,
         "event_type_stats": _q_event_type_stats,
         "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf)
             .to_pandas().sort_values(["user_id", "ts", "event_id"])
@@ -3429,6 +3441,18 @@ def oracle_sql_all() -> dict[str, str]:
         FROM m LEFT JOIN v ON v.user_id = m.user_id
                           AND v.ts = m.prior_view_ts
         ORDER BY m.event_id
+    """
+    # per-label embedding centroids: DuckDB lockstep-unnests the vector
+    # and a range() for 1-based dims; double mean rounded 6dp both sides
+    sql["label_centroids"] = """
+        WITH u AS (
+            SELECT label, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS dim
+            FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 6) AS centroid
+        FROM u GROUP BY label, dim ORDER BY label, dim
     """
     # connected components: recursive reachability closure over the
     # trade edge set (same node encoding as trade_pagerank's oracle);

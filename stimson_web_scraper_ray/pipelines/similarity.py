@@ -336,3 +336,49 @@ def assign_clusters(ds, centroids: np.ndarray, id_col: str = "vec_id",
 
     return ds.map_batches(functools.partial(assign_batch, cents_ref=cref),
                           batch_format="pyarrow")
+
+
+def label_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding") -> "pd.DataFrame":
+    """Per-label mean embedding — the combiner pattern on VECTOR columns:
+    each batch reduces to one (label, dim, sum, n) partial row set
+    (labels × dims rows, vectors never leave the block), one tiny
+    groupby finishes. The class-centroid primitive behind SemDeDup-style
+    clustering summaries and per-source embedding drift checks. Output
+    is long-format (label, dim, centroid) with centroid = round(sum/n, 6)
+    so the oracle's double arithmetic hashes identically."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t[label_col].to_pylist(), dtype=np.int64)
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            s = vecs[m].sum(axis=0)
+            d = np.arange(1, s.size + 1, dtype=np.int64)
+            out_l.append(np.full(s.size, lab, np.int64))
+            out_d.append(d)
+            out_s.append(s)
+            out_n.append(np.full(s.size, int(m.sum()), np.int64))
+        return pa.table({
+            "label": pa.array(np.concatenate(out_l), pa.int64()),
+            "dim": pa.array(np.concatenate(out_d), pa.int64()),
+            "s": pa.array(np.concatenate(out_s), pa.float64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+        .to_pandas()
+    agg["centroid"] = (agg["s"] / agg["n"]).round(6)
+    return agg[["label", "dim", "centroid"]] \
+        .sort_values(["label", "dim"]).reset_index(drop=True) \
+        .astype({"label": "int64", "dim": "int64"})
