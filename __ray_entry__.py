@@ -1617,6 +1617,34 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def _q_part_triangles(sf_dir: str):
+    """Per-node triangle counts of the part co-order graph (parts that
+    ship in the same order are adjacent): the degree-ordered-orientation
+    distributed triangle algorithm (graph.triangle_counts). The oracle
+    re-derives the same counts with the classic 3-way self-join over the
+    distinct canonical pair set."""
+    from stimson_web_scraper_ray.pipelines.graph import part_triangles
+
+    out = part_triangles(sf_dir)
+    out["node_id"] = out["node_id"].astype("int64")
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_weighted_sample_topk(sf_dir: str):
+    """Efraimidis-Spirakis weighted sample without replacement: 50 docs
+    drawn with probability proportional to n_chars via key = -ln(u)/w
+    over the md5_number_lower bridge uniform — the deterministic,
+    resumable corpus-sampling primitive (no RNG state; re-runs and
+    failed-shard retries pick the identical set)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sampling import (
+        weighted_reservoir_topk)
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_reservoir_topk(ds, k=50)
+
+
 def _q_trade_components(sf_dir: str):
     """Connected components of the trade graph (the public
     graph.connected_components operator — large-star/small-star edge
@@ -1897,6 +1925,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "kmv_bottomk": _q_kmv_bottomk,
         "trade_components": _q_trade_components,
         "label_centroids": _q_label_centroids,
+        "part_triangles": _q_part_triangles,
+        "weighted_sample_topk": _q_weighted_sample_topk,
         "event_type_stats": _q_event_type_stats,
         "user_event_deltas": lambda sf: _mk("user_event_deltas")(sf)
             .to_pandas().sort_values(["user_id", "ts", "event_id"])
@@ -3453,6 +3483,46 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
                ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 6) AS centroid
         FROM u GROUP BY label, dim ORDER BY label, dim
+    """
+    # triangle counts: classic 3-way self-join over the distinct
+    # canonical (u < v) part co-order pair set; per-node participation
+    # by unnesting the 3 corners of each closed triple
+    sql["part_triangles"] = """
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ), t AS (
+            SELECT p1.u AS a, p1.v AS b, p2.v AS c
+            FROM e p1
+            JOIN e p2 ON p2.u = p1.u AND p2.v > p1.v
+            JOIN e p3 ON p3.u = p1.v AND p3.v = p2.v
+        ), corners AS (
+            SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t
+        )
+        SELECT CAST(node AS BIGINT) AS node_id,
+               CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node ORDER BY node_id
+    """
+    # A-ES weighted sample: same -ln(u)/w keys over the
+    # md5_number_lower bridge uniform, k smallest, listed by doc_id
+    sql["weighted_sample_topk"] = """
+        WITH keys AS (
+            SELECT doc_id, n_chars,
+                   -ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                             AS DOUBLE) + 0.5) / 18446744073709551616.0)
+                   / CAST(n_chars AS DOUBLE) AS key
+            FROM documents
+        ), topk AS (
+            SELECT * FROM keys ORDER BY key, doc_id LIMIT 50
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS weight,
+               ROUND(key, 6) AS key
+        FROM topk ORDER BY doc_id
     """
     # connected components: recursive reachability closure over the
     # trade edge set (same node encoding as trade_pagerank's oracle);

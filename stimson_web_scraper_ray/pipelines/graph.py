@@ -362,3 +362,206 @@ def trade_components(sf_dir: str) -> pd.DataFrame:
     """Connected components of the bidirectional customer↔supplier trade
     graph (same edge derivation as trade_pagerank)."""
     return connected_components(trade_edges(sf_dir))
+
+
+def triangle_counts(edges_ds, n_parts: int = 64) -> pd.DataFrame:
+    """Per-node triangle counts over an undirected simple graph given as
+    a CANONICAL edge Dataset (u:int64, v:int64, u < v, distinct rows).
+    Returns pandas (node_id, n_triangles) for every node in ≥1 triangle,
+    sorted by node_id — node-scaled, the quantity any consumer holds.
+
+    Engine shape (the standard distributed triangle scheme — degree-
+    ordered orientation, cf. Suri & Vassilvitskii WWW'11 "Counting
+    triangles and the curse of the last reducer"): orienting every edge
+    from its lower-(degree, id) endpoint to the higher bounds per-node
+    out-degree at O(sqrt(m)), so the wedge blowup is O(m^1.5) total and
+    immune to hub skew — a raw groupby(src) pairing without the
+    orientation is quadratic in the hottest node's degree.
+
+      1. degrees — one salted exchange over edge endpoints;
+      2. orientation — degrees attach via two hash_join exchanges
+         (node-scaled right side; nothing node-scaled on the driver);
+      3. wedges — oriented edges group by src (salted exchange), each
+         src emits its out-neighbor pairs, canonicalized (a < b);
+      4. close — wedges ⋈ canonical edges, partitioned by the pair HASH
+         but matched inside each part on the exact (a, b) ints (the
+         house collision-only-co-locates pattern), each surviving wedge
+         being exactly one triangle, counted once;
+      5. per-node counts — flat-emit the 3 corners, salted count.
+    """
+    from .shuffle import salted_partition_apply
+    from .join import hash_join
+
+    edges_ds = edges_ds.materialize()  # reused: degrees, orientation, close
+
+    # 1. degrees (one row per endpoint occurrence -> count per node)
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["v"].to_numpy(zero_copy_only=False).astype(np.int64)]),
+            pa.int64())})
+
+    def count_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False).size().reset_index(name="deg")
+        return out.astype({"node": "int64", "deg": "int64"})
+
+    degrees = salted_partition_apply(
+        edges_ds.map_batches(endpoints, batch_format="pyarrow"),
+        count_nodes, lambda t: t["node"].to_numpy().astype(np.int64),
+        n_parts=n_parts)
+
+    # 2. orientation: low (deg, id) -> high (deg, id)
+    du = degrees.map_batches(
+        lambda t: t.rename_columns(["u", "du"]), batch_format="pyarrow")
+    dv = degrees.map_batches(
+        lambda t: t.rename_columns(["v", "dv"]), batch_format="pyarrow")
+    e = hash_join(hash_join(edges_ds, du, on="u", n_parts=n_parts),
+                  dv, on="v", n_parts=n_parts)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        duv = t["du"].to_numpy(zero_copy_only=False)
+        dvv = t["dv"].to_numpy(zero_copy_only=False)
+        u_first = (duv < dvv) | ((duv == dvv) & (u < v))
+        return pa.table({
+            "src": pa.array(np.where(u_first, u, v), pa.int64()),
+            "dst": pa.array(np.where(u_first, v, u), pa.int64())})
+
+    oriented = e.map_batches(orient, batch_format="pyarrow")
+
+    # 3. wedges: per src, all out-neighbor pairs (canonical a < b), src rides
+    def emit_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, a_out, b_out, s_out = df["src"].to_numpy(), [], [], []
+        dsts = df["dst"].to_numpy()
+        order = np.argsort(srcs, kind="mergesort")
+        srcs, dsts = srcs[order], dsts[order]
+        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1], True])
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            nb = np.sort(dsts[lo:hi])
+            ia, ib = np.triu_indices(n, k=1)
+            a_out.append(nb[ia]); b_out.append(nb[ib])
+            s_out.append(np.full(ia.size, srcs[lo], np.int64))
+        if not a_out:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(a_out),
+                             "b": np.concatenate(b_out),
+                             "s": np.concatenate(s_out)})
+
+    wedges = salted_partition_apply(
+        oriented, emit_wedges,
+        lambda t: t["src"].to_numpy().astype(np.int64), n_parts=n_parts)
+
+    # 4. close the wedges against the edge set: one pair-hash-keyed
+    # exchange each side, exact (a, b) merge inside the part
+    def pair_hash(t: pa.Table, ca: str, cb: str) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t[ca].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t[cb].to_numpy().astype(np.uint64))
+        return k.view(np.int64)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_edge", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    def edge_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["u"], "b": t["v"],
+                         "s": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    both = wedges.map_batches(tag(0), batch_format="pyarrow").union(
+        edges_ds.map_batches(edge_ab, batch_format="pyarrow")
+        .map_batches(tag(1), batch_format="pyarrow"))
+
+    def close_part(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["is_edge"] == 0]
+        eset = df[df["is_edge"] == 1][["a", "b"]]
+        hit = w.merge(eset, on=["a", "b"], how="inner")
+        return hit[["a", "b", "s"]].reset_index(drop=True)
+
+    tri = salted_partition_apply(
+        both, close_part, lambda t: pair_hash(t, "a", "b"),
+        n_parts=n_parts)
+
+    # 5. per-node participation counts
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+            t["s"].to_numpy(zero_copy_only=False)]), pa.int64())})
+
+    def count_tri(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False).size() \
+            .reset_index(name="n_triangles")
+        return out.astype({"node": "int64", "n_triangles": "int64"})
+
+    per_node = salted_partition_apply(
+        tri.map_batches(corners, batch_format="pyarrow"),
+        count_tri, lambda t: t["node"].to_numpy().astype(np.int64),
+        n_parts=n_parts).to_pandas()
+    return per_node.rename(columns={"node": "node_id"}) \
+        .sort_values("node_id").reset_index(drop=True)
+
+
+def part_coorder_edges(sf_dir: str, n_parts: int = 64):
+    """Canonical distinct (u < v) part co-order edges: parts that ship in
+    the same order. One exchange on l_orderkey generates in-order pairs
+    (per-order fan-out is order-line-bounded, ~4-7 lines in TPC-H-ish
+    data), a second pair-hash exchange makes them globally distinct."""
+    from .analytics import read
+    from .shuffle import salted_partition_apply
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_in_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = df["l_orderkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy().astype(np.int64)
+        bounds = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1], True])
+        a_out, b_out = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            a_out.append(pk[lo:hi][ia]); b_out.append(pk[lo:hi][ib])
+        if not a_out:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"u": np.concatenate(a_out),
+                             "v": np.concatenate(b_out)}).drop_duplicates()
+
+    in_order = salted_partition_apply(
+        li, pairs_in_order,
+        lambda t: t["l_orderkey"].to_numpy().astype(np.int64),
+        n_parts=n_parts)
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"]).reset_index(drop=True)
+
+    def uv_hash(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t["u"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t["v"].to_numpy().astype(np.uint64))
+        return k.view(np.int64)
+
+    return salted_partition_apply(in_order, distinct, uv_hash,
+                                  n_parts=n_parts)
+
+
+def part_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-part triangle counts of the part co-order graph — the
+    co-occurrence-network form of triangle counting (node_id = partkey,
+    n_triangles = closed co-order triples through it)."""
+    return triangle_counts(part_coorder_edges(sf_dir))

@@ -106,3 +106,44 @@ def epoch_order(ds, seed: int = 7, k: int = 100, id_col: str = "doc_id"):
         .sort(["h", id_col]).limit(k).to_pandas()
     out["pos"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["pos", id_col]]
+
+
+def weighted_reservoir_topk(ds, k: int = 50, id_col: str = "doc_id",
+                            weight_col: str = "n_chars"):
+    """Weighted sampling WITHOUT replacement of exactly k rows
+    (Efraimidis-Spirakis A-ES): each row draws key = -ln(u)/w with u a
+    fixed uniform from its id, and the k SMALLEST keys win — inclusion
+    probability proportional to weight, deterministic and resumable
+    because u is the engine's md5_number_lower bridge hash, never RNG
+    state. Scale shape: one streaming pass emits at most k candidates
+    per block (argpartition, no global sort of the corpus), then the
+    blocks×k survivors take one tiny sort+limit. Returns pandas
+    (id, weight, key rounded 6dp) sorted by id.
+
+    The u = (md5_number_lower(str(id)) + 0.5) / 2^64 form is chosen so
+    DuckDB re-derives the identical doubles (the +0.5 also keeps
+    u > 0); the SQL oracle is a 3-line window over the same formula."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.empty(len(ids), dtype=np.uint64)
+        for i, v in enumerate(ids):
+            d = hashlib.md5(str(v).encode("ascii")).digest()
+            h[i] = int.from_bytes(d[8:16], "little")
+        u = (h.astype(np.float64) + 0.5) / float(1 << 64)
+        w = np.asarray(batch[weight_col].to_pylist(), dtype=np.float64)
+        key = -np.log(u) / w
+        take = min(k, len(ids))
+        idx = np.argpartition(key, take - 1)[:take] if take else \
+            np.array([], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array([ids[i] for i in idx]),
+            "weight": pa.array(w[idx], pa.float64()),
+            "key": pa.array(key[idx], pa.float64()),
+        })
+
+    import pandas as pd
+    top = ds.map_batches(partial, batch_format="pyarrow") \
+        .sort(["key", id_col]).limit(k).to_pandas()
+    top["key"] = top["key"].round(6)
+    top["weight"] = top["weight"].astype("int64")
+    return top.sort_values(id_col).reset_index(drop=True)

@@ -1795,3 +1795,48 @@ def test_new_ops_block_layout_invariant(ray_session):
     b = sorted(tuple(sorted(r.items())) for r in
                asof_join(left, right, on="t", by="k", n_parts=16).take_all())
     assert a == b
+
+
+def test_triangle_counts_known_graph(ray_session):
+    """triangle_counts on a hand-checked graph: K4 on {0,1,2,3} (4
+    triangles, every node in 3) plus a pendant edge (4,5) and a chord
+    path 3-4 (no new triangle) — and the result is block-layout
+    invariant."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import triangle_counts
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    extra = [(3, 4), (4, 5)]
+    edges = [{"u": u, "v": v} for u, v in k4 + extra]
+
+    def run(n_blocks, n_parts):
+        ds = rd.from_items(edges, override_num_blocks=n_blocks)
+        return triangle_counts(ds, n_parts=n_parts)
+
+    out = run(2, 8)
+    assert dict(zip(out["node_id"], out["n_triangles"])) == \
+        {0: 3, 1: 3, 2: 3, 3: 3}
+    pd.testing.assert_frame_equal(out, run(5, 3))
+
+
+def test_weighted_reservoir_topk_properties(ray_session):
+    """A-ES sample: block-layout invariant, exactly k rows, and heavier
+    rows are picked far more often (w=1000 vs w=1 strata)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.sampling import (
+        weighted_reservoir_topk)
+
+    rows = [{"doc_id": i, "n_chars": 1000 if i % 2 == 0 else 1}
+            for i in range(400)]
+
+    def run(n_blocks):
+        return weighted_reservoir_topk(
+            rd.from_items(rows, override_num_blocks=n_blocks), k=40)
+
+    a, b = run(1), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 40
+    heavy = (a["doc_id"] % 2 == 0).sum()
+    assert heavy >= 35    # weight ratio 1000:1 -> light picks are rare
