@@ -943,6 +943,18 @@ def _q_order_rank_windows(sf_dir: str):
     return df.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
 
 
+def _q_trade_hits(sf_dir: str):
+    """Fixed-iteration HITS hubs & authorities (3 rounds, L2 norms)
+    over the one-way customer→supplier trade graph — the second classic
+    link-analysis frontier signal next to PageRank, with both the
+    broadcast and the Dataset-resident execution paths behind the same
+    node-count switch. Oracle: chained-CTE SQL re-deriving every
+    half-iteration (join + groupby + norm)."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_hits
+
+    return trade_hits(sf_dir)
+
+
 def _q_trade_pagerank(sf_dir: str):
     """Distributed PageRank power iteration (3 rounds, d=0.85) over the
     bidirectional customer↔supplier trade graph — the crawl-side
@@ -1912,6 +1924,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": lambda sf: _mk("top_revenue_orders")(sf),
         "customer_nation_rollup": lambda sf: _mk("customer_nation_rollup")(sf),
         "events_tumbling_1h": lambda sf: _mk("events_tumbling_window")(sf),
+        "events_hopping_15m": lambda sf: _mk("events_hopping_window")(sf),
         "sessionize_events": lambda sf: _mk("sessionize_events")(sf)
             .select_columns(["user_id", "session_start", "n_events"]),
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
@@ -1943,6 +1956,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "event_hour_pivot": _q_event_hour_pivot,
         "order_rank_windows": _q_order_rank_windows,
         "trade_pagerank": _q_trade_pagerank_merged,
+        "trade_hits": _q_trade_hits,
         "trade_pagerank_undirected": _q_trade_pagerank,
         "trade_pagerank_directed": _q_trade_pagerank_directed,
         # crawl / url / multimodal
@@ -2930,6 +2944,20 @@ def oracle_sql_all() -> dict[str, str]:
                    round(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        # each event belongs to window/hop = 4 hop-aligned windows; the
+        # oracle re-derives the expansion with a generate-series cross
+        # join (k = 0..3 window-start shifts), the engine with an
+        # in-batch numpy tile — same window algebra, independent forms
+        "events_hopping_15m": """
+            WITH k AS (SELECT unnest(range(4)) AS k)
+            SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k)
+                                  * 900000000) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(SUM(value), 2) AS sum_value
+            FROM events CROSS JOIN k
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "sessionize_events": """
             WITH lagged AS (
                 SELECT user_id, ts,
@@ -3106,6 +3134,71 @@ def oracle_sql_all() -> dict[str, str]:
                          GROUP BY e.dst) con ON con.node = nd.node)
             SELECT node AS node_id, round(score, 6) AS score
             FROM r3 ORDER BY node
+        """,
+        # HITS re-derived as chained CTEs: per half-iteration one
+        # join+groupby (raw scores on the full node universe via LEFT
+        # JOIN, absent endpoints = 0) and an L2 normalization by a
+        # scalar subquery — same init (hub=1) and update order
+        # (authority first) as graph.hits
+        "trade_hits": """
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            edges AS (SELECT c AS src, s AS dst FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM edges
+                      UNION SELECT DISTINCT dst FROM edges),
+            h0 AS (SELECT node, 1.0 AS h FROM nodes),
+            a1r AS (SELECT n.node, coalesce(u.a, 0.0) AS a
+                    FROM nodes n LEFT JOIN (
+                      SELECT e.dst AS node, sum(h.h) AS a
+                      FROM edges e JOIN h0 h ON e.src = h.node
+                      GROUP BY e.dst) u ON n.node = u.node),
+            a1 AS (SELECT node,
+                          a / sqrt((SELECT sum(a*a) FROM a1r)) AS a
+                   FROM a1r),
+            h1r AS (SELECT n.node, coalesce(u.h, 0.0) AS h
+                    FROM nodes n LEFT JOIN (
+                      SELECT e.src AS node, sum(a.a) AS h
+                      FROM edges e JOIN a1 a ON e.dst = a.node
+                      GROUP BY e.src) u ON n.node = u.node),
+            h1 AS (SELECT node,
+                          h / sqrt((SELECT sum(h*h) FROM h1r)) AS h
+                   FROM h1r),
+            a2r AS (SELECT n.node, coalesce(u.a, 0.0) AS a
+                    FROM nodes n LEFT JOIN (
+                      SELECT e.dst AS node, sum(h.h) AS a
+                      FROM edges e JOIN h1 h ON e.src = h.node
+                      GROUP BY e.dst) u ON n.node = u.node),
+            a2 AS (SELECT node,
+                          a / sqrt((SELECT sum(a*a) FROM a2r)) AS a
+                   FROM a2r),
+            h2r AS (SELECT n.node, coalesce(u.h, 0.0) AS h
+                    FROM nodes n LEFT JOIN (
+                      SELECT e.src AS node, sum(a.a) AS h
+                      FROM edges e JOIN a2 a ON e.dst = a.node
+                      GROUP BY e.src) u ON n.node = u.node),
+            h2 AS (SELECT node,
+                          h / sqrt((SELECT sum(h*h) FROM h2r)) AS h
+                   FROM h2r),
+            a3r AS (SELECT n.node, coalesce(u.a, 0.0) AS a
+                    FROM nodes n LEFT JOIN (
+                      SELECT e.dst AS node, sum(h.h) AS a
+                      FROM edges e JOIN h2 h ON e.src = h.node
+                      GROUP BY e.dst) u ON n.node = u.node),
+            a3 AS (SELECT node,
+                          a / sqrt((SELECT sum(a*a) FROM a3r)) AS a
+                   FROM a3r),
+            h3r AS (SELECT n.node, coalesce(u.h, 0.0) AS h
+                    FROM nodes n LEFT JOIN (
+                      SELECT e.src AS node, sum(a.a) AS h
+                      FROM edges e JOIN a3 a ON e.dst = a.node
+                      GROUP BY e.src) u ON n.node = u.node),
+            h3 AS (SELECT node,
+                          h / sqrt((SELECT sum(h*h) FROM h3r)) AS h
+                   FROM h3r)
+            SELECT a3.node AS node_id, round(a3.a, 6) AS authority,
+                   round(h3.h, 6) AS hub
+            FROM a3 JOIN h3 ON a3.node = h3.node ORDER BY 1
         """,
         # URLs synthesized from documents EXACTLY as in _q_url_parts; every
         # part re-derived with regexes (independent of urlparse). The

@@ -196,6 +196,52 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60):
     return df
 
 
+def events_hopping_window(sf_dir: str, window_minutes: int = 60,
+                          hop_minutes: int = 15):
+    """Hopping (sliding) window aggregate: windows of ``window_minutes``
+    starting every ``hop_minutes``, so each event lands in
+    window/hop overlapping windows (4 at the 60/15 default). The
+    overlap factor is applied INSIDE map_batches — each batch emits its
+    own expanded rows (numpy tile + per-copy window offsets), so the
+    expansion streams with the scan and the only wide step is the same
+    window-keyed groupby the tumbling form pays. Window starts are
+    hop-aligned (floor(ts/hop) − k copies), matching the SQL oracle's
+    generate-series re-derivation row for row."""
+    from ray.data.aggregate import Count, Sum
+
+    if window_minutes % hop_minutes:
+        raise ValueError("window must be a multiple of hop")
+    n_copies = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts // hop_us                      # hop-aligned bucket
+        n = len(ts)
+        # copy k shifts the window start back k hops; every copy is a
+        # window that CONTAINS the event (start ≤ ts < start + window)
+        k = np.repeat(np.arange(n_copies, dtype=np.int64), n)
+        starts = (np.tile(base, n_copies) - k) * hop_us
+        idx = np.tile(np.arange(n, dtype=np.int64), n_copies)
+        return pa.table({
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "event_type": t["event_type"].take(pa.array(idx)),
+            "value": t["value"].take(pa.array(idx)),
+        })
+
+    out = ds.map_batches(expand, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+    df = out.to_pandas().sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: sorted event-time gap splitting. ONE
     salted exchange on user_id, then a fully vectorized per-part pass —

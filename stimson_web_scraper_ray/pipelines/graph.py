@@ -332,6 +332,210 @@ def trade_pagerank_directed(sf_dir: str, damping: float = 0.85,
     return df.sort_values("node_id").reset_index(drop=True)
 
 
+def hits(edges_ds, iters: int = 3,
+         node_broadcast_limit: int = 50_000_000) -> pd.DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    directed edge Dataset (src:int64, dst:int64): per iteration
+    ``auth = normalize(AᵀH)`` then ``hub = normalize(A·auth)`` with L2
+    norms, init hub = 1 on the full node universe (src ∪ dst). Returns
+    pandas (node_id, authority, hub) sorted by node_id — node-scaled.
+
+    Same two-path shape as ``pagerank`` behind the same node-count
+    switch: below ``node_broadcast_limit`` the score vectors broadcast
+    per pass (each half-iteration is ONE streamed edge pass emitting
+    per-batch bincount partials); above it nothing node-scaled touches
+    the driver — scores stay Datasets and each half-iteration is a
+    hash_join on the edge endpoint + a salted contribution sum, with
+    the L2 norm reduced as a Dataset scalar (``sum`` of squares). Both
+    paths share the discovery exchange and float64 algebra (equal up to
+    summation order; consumers round). Oracle: chained-CTE SQL in
+    __ray_entry__ (one join+groupby+norm per half-iteration)."""
+    import ray
+
+    from .shuffle import salted_partition_apply
+
+    edges_ds = edges_ds.repartition(16).materialize()
+    n_edges = edges_ds.count()
+    empty = pd.DataFrame({"node_id": pd.Series(dtype="int64"),
+                          "authority": pd.Series(dtype="float64"),
+                          "hub": pd.Series(dtype="float64")})
+    if n_edges == 0:
+        return empty
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    # node discovery mirrors pagerank: driver-side concat of per-batch
+    # uniques while the 2|E| bound fits, else a distinct exchange
+    if 2 * n_edges <= node_broadcast_limit:
+        node_parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
+            .to_pandas()
+        nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
+        if len(nodes) > node_broadcast_limit:
+            return _hits_distributed(edges_ds, nodes, iters)
+        return _hits_broadcast(edges_ds, nodes, iters)
+    nodes_ds = salted_partition_apply(
+        edges_ds.map_batches(uniq, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates("node"),
+        combine_key=lambda t: t["node"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=16).materialize()
+    n = nodes_ds.count()
+    if n > node_broadcast_limit:
+        return _hits_distributed(edges_ds, nodes_ds, iters)
+    nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
+                    .astype(np.int64))
+    return _hits_broadcast(edges_ds, nodes, iters)
+
+
+def _hits_broadcast(edges_ds, nodes: np.ndarray, iters: int) \
+        -> pd.DataFrame:
+    """Broadcast HITS: one streamed edge pass per half-iteration, each
+    batch returning ≤ |V| bincount-partial rows; driver holds only the
+    two node vectors (which this path exists for: |V| fits)."""
+    import ray
+
+    n = len(nodes)
+
+    def edge_pass(weight_on: str, sum_into: str, vec: np.ndarray) \
+            -> np.ndarray:
+        ref = ray.put((nodes, vec))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, v = ray.get(ref)
+            w_idx = np.searchsorted(nd, t[weight_on].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            s_idx = np.searchsorted(nd, t[sum_into].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            sums = np.bincount(s_idx, weights=v[w_idx], minlength=len(nd))
+            hit = np.nonzero(sums)[0]
+            return pa.table({"idx": pa.array(hit.astype(np.int64)),
+                             "partial": pa.array(sums[hit], pa.float64())})
+
+        parts = edges_ds.map_batches(contrib, batch_format="pyarrow") \
+            .to_pandas()
+        out = np.zeros(n, dtype=np.float64)
+        np.add.at(out, parts["idx"].to_numpy(),
+                  parts["partial"].to_numpy())
+        return out
+
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        auth = edge_pass("src", "dst", hub)
+        z = np.sqrt(float(auth @ auth))
+        auth = auth / z if z > 0 else auth
+        hub = edge_pass("dst", "src", auth)
+        z = np.sqrt(float(hub @ hub))
+        hub = hub / z if z > 0 else hub
+    return pd.DataFrame({"node_id": nodes, "authority": auth,
+                         "hub": hub})
+
+
+def _hits_distributed(edges_ds, nodes, iters: int) -> pd.DataFrame:
+    """Web-scale HITS path: score vectors stay Datasets; per
+    half-iteration the driver sees one scalar (the squared-norm sum).
+    Each half = hash_join(edges, scores on the weight endpoint) →
+    per-batch partial sums on the other endpoint → salted exchange →
+    left-join onto the node table → normalize by the Dataset-reduced
+    L2 norm. ``nodes`` may arrive as a np.ndarray (small-discovery
+    case hitting the |V| switch) or a Dataset."""
+    import ray.data as rd
+
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    if isinstance(nodes, np.ndarray):
+        nodes_ds = rd.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64())})) \
+            .repartition(16).materialize()
+    else:
+        nodes_ds = nodes
+
+    def node_key(t: pa.Table) -> np.ndarray:
+        return t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def const_scores(val: float):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "score": pa.array(
+                np.full(len(t), val), pa.float64())})
+        return fn
+
+    hub_ds = nodes_ds.map_batches(const_scores(1.0),
+                                  batch_format="pyarrow").materialize()
+
+    def half(score_ds, weight_on: str, sum_into: str):
+        per_edge = hash_join(
+            edges_ds, score_ds.map_batches(
+                lambda t, c=weight_on: t.rename_columns([c, "w"]),
+                batch_format="pyarrow"),
+            on=weight_on, how="inner", n_parts=16)
+
+        def partial(t: pa.Table, c=sum_into) -> pa.Table:
+            df = pd.DataFrame({
+                "node": t[c].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "s": t["w"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)})
+            g = df.groupby("node", sort=True, as_index=False)["s"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        contrib = salted_partition_apply(
+            per_edge.map_batches(partial, batch_format="pyarrow"),
+            lambda df: df.groupby("node", sort=True,
+                                  as_index=False)["s"].sum(),
+            combine_key=node_key, n_parts=16)
+        joined = hash_join(nodes_ds, contrib, on="node", how="left",
+                           n_parts=16)
+
+        def raw(t: pa.Table) -> pa.Table:
+            s = t["s"].to_pandas().to_numpy(dtype=np.float64,
+                                            na_value=0.0)
+            return pa.table({"node": t["node"],
+                             "score": pa.array(s, pa.float64()),
+                             "sq": pa.array(s * s, pa.float64())})
+
+        raw_ds = joined.map_batches(raw, batch_format="pyarrow") \
+            .materialize()
+        z = np.sqrt(float(raw_ds.sum("sq") or 0.0))
+        inv = 1.0 / z if z > 0 else 1.0
+
+        def norm(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "score": pa.array(
+                t["score"].to_numpy(zero_copy_only=False) * inv,
+                pa.float64())})
+
+        return raw_ds.map_batches(norm, batch_format="pyarrow") \
+            .materialize()
+
+    auth_ds = None
+    for _ in range(iters):
+        auth_ds = half(hub_ds, "src", "dst")
+        hub_ds = half(auth_ds, "dst", "src")
+
+    a = auth_ds.to_pandas().rename(columns={"score": "authority"})
+    h = hub_ds.to_pandas().rename(columns={"score": "hub"})
+    out = a.merge(h, on="node").sort_values("node").reset_index(drop=True)
+    return pd.DataFrame({"node_id": out["node"].astype("int64"),
+                         "authority": out["authority"].astype(np.float64),
+                         "hub": out["hub"].astype(np.float64)})
+
+
+def trade_hits(sf_dir: str, iters: int = 3) -> pd.DataFrame:
+    """HITS over the one-way customer→supplier trade graph: customers
+    are pure hubs (no in-edges), suppliers pure authorities — the
+    bipartite case where HITS degenerates to iterated co-citation
+    weighting, fully oracle-checkable. Floats rounded to 6dp for
+    hash-stability."""
+    df = hits(trade_edges_directed(sf_dir), iters=iters)
+    df["authority"] = df["authority"].round(6)
+    df["hub"] = df["hub"].round(6)
+    return df.sort_values("node_id").reset_index(drop=True)
+
+
 def connected_components(edges_ds, n_parts: int = 32,
                          max_rounds: int = 30) -> pd.DataFrame:
     """Public connected-components operator over a directed-or-symmetric

@@ -879,6 +879,35 @@ def test_pagerank_distributed_path_matches_broadcast(ray_session):
     assert abs(b["score"].sum() - 1.0) < 1e-9    # mass conserved
 
 
+def test_hits_distributed_path_matches_broadcast(ray_session):
+    """node_broadcast_limit=0 forces the Dataset-resident HITS path
+    (scores as Datasets, hash_join per half-iteration, L2 norm reduced
+    as a Dataset scalar). It must reproduce the broadcast path to
+    summation-order noise on a random directed graph with nodes that
+    have only in-edges (pure authorities) and only out-edges (pure
+    hubs) — both zero-score cases exercised."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import hits
+
+    rng = np.random.default_rng(47)
+    src = rng.integers(0, 50, 300).astype("int64")
+    dst = rng.integers(30, 90, 300).astype("int64")
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    a = hits(edges, iters=3)
+    b = hits(edges, iters=3, node_broadcast_limit=0)
+    assert a["node_id"].tolist() == b["node_id"].tolist()
+    assert np.allclose(a["authority"].to_numpy(),
+                       b["authority"].to_numpy(), atol=1e-12)
+    assert np.allclose(a["hub"].to_numpy(), b["hub"].to_numpy(),
+                       atol=1e-12)
+    # L2-normalized: both vectors are unit length after the last round
+    assert abs(np.linalg.norm(a["authority"]) - 1.0) < 1e-9
+    assert abs(np.linalg.norm(a["hub"]) - 1.0) < 1e-9
+
+
 def test_ppm_codec_roundtrip_and_stages(ray_session):
     """The PPM (P6) codec is REAL: encode→decode is bit-exact (incl.
     header comments), the decode stage reports the true dims of PPM
