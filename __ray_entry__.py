@@ -923,6 +923,37 @@ def _q_hll_error_bounds(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_doc_length_percentile(sf_dir: str):
+    """Per-language percent_rank calibration of document length — the
+    curation primitive that makes one threshold mean the same thing in
+    every language (per-group distributions differ; a global cut
+    over-filters low-resource groups). Exact distributed window: value-
+    range partitioning (ties never straddle parts) + a two-phase scan;
+    oracle = SQL percent_rank() OVER (PARTITION BY lang)."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        percent_rank_by_group, read)
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    df = percent_rank_by_group(ds, "lang", "n_chars", out_col="pct") \
+        .to_pandas()[["doc_id", "lang", "pct"]]
+    df["pct"] = df["pct"].round(6)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_hll_user_overlap(sf_dir: str):
+    """HLL set algebra: per event-type pair, |A∩B| of user sets
+    estimated by inclusion-exclusion over merged register arrays, gated
+    against the exact distributed intersection (bitmask-vectorized
+    salted exchange on user). The oracle re-derives the exact counts
+    and asserts TRUE per row, so an estimate drifting past the
+    documented 3σ bound hash-fails the query."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sketch import hll_pair_overlap
+
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_pair_overlap(ds, "event_type", "user_id")
+
+
 def _q_event_hour_pivot(sf_dir: str):
     """PIVOT (wide conditional aggregation): per-batch 24×T count grids,
     tiny groupby — oracle is DuckDB ``count(*) FILTER``."""
@@ -1953,6 +1984,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": _q_event_value_stats,
         "users_intersect": _q_users_intersect,
         "hll_error_bounds": _q_hll_error_bounds,
+        "hll_user_overlap": _q_hll_user_overlap,
+        "doc_length_percentile": _q_doc_length_percentile,
         "event_hour_pivot": _q_event_hour_pivot,
         "order_rank_windows": _q_order_rank_windows,
         "trade_pagerank": _q_trade_pagerank_merged,
@@ -3011,6 +3044,32 @@ def oracle_sql_all() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_length_percentile": """
+            SELECT doc_id, lang,
+                   round(percent_rank() OVER (PARTITION BY lang
+                                              ORDER BY n_chars), 6) AS pct
+            FROM documents ORDER BY doc_id
+        """,
+        # exact pair intersections of user sets (the engine's gate side
+        # recomputes these distributedly); the all-pairs frame comes
+        # from a type self-join so zero-overlap pairs still get a row
+        "hll_user_overlap": """
+            WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+            per AS (SELECT DISTINCT event_type, user_id FROM events),
+            pairs AS (SELECT a.t AS group_a, b.t AS group_b
+                      FROM types a JOIN types b ON a.t < b.t),
+            cnt AS (SELECT a.event_type AS ga, b.event_type AS gb,
+                           count(*) AS n
+                    FROM per a JOIN per b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+            SELECT p.group_a, p.group_b,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_common,
+                   TRUE AS within_bound
+            FROM pairs p LEFT JOIN cnt c
+                 ON p.group_a = c.ga AND p.group_b = c.gb
+            ORDER BY 1, 2
         """,
         "event_hour_pivot": """
             SELECT CAST(hour(ts) AS BIGINT) AS hour,

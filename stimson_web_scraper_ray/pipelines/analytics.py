@@ -831,6 +831,99 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     return df.sort_values("n_name").reset_index(drop=True)
 
 
+def percent_rank_by_group(ds, group_col: str, value_col: str,
+                          out_col: str = "pct", n_parts: int = 32):
+    """Exact SQL ``percent_rank() OVER (PARTITION BY group ORDER BY
+    value)`` for EVERY row, without a global sort: the distributed
+    two-phase scan idiom (pack_sequences) keyed on the VALUE RANGE.
+
+    Rows are bucketed by value into n_parts contiguous ranges
+    (order-functional, so every row with a smaller value is in an
+    earlier-or-same part and TIES NEVER STRADDLE PARTS); phase 1
+    reduces one (part, group) count table to the driver (n_parts ×
+    n_groups rows — partition-scaled, not row-scaled) for the
+    per-group exclusive scan; phase 2 ranks inside each part against
+    its broadcast base. percent_rank = rank_before / (n_group − 1),
+    0.0 for single-row groups (the SQL convention). Calibration use
+    case: per-language quality/length percentiles, so thresholds mean
+    the same thing in every language (per-group score distributions
+    differ; a global cut over-filters low-resource groups).
+
+    Returns a row-scaled Dataset with (group_col, value_col, out_col,
+    + any other input columns preserved). Value skew concentrates
+    rows in few parts at pathological distributions — acceptable: the
+    per-part work is a sort + cumsum, and n_parts can scale."""
+    import ray
+    from ray.data.aggregate import Count
+
+    vmin = ds.min(on=value_col)
+    vmax = ds.max(on=value_col)
+    if vmin is None:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, pa.array(
+                np.zeros(len(t)), pa.float64())),
+            batch_format="pyarrow")
+    span = max(1.0, (float(vmax) - float(vmin) + 1.0) / n_parts)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        part = np.minimum(((v - float(vmin)) / span), n_parts - 1) \
+            .astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow") \
+        .materialize()
+
+    counts = parted.groupby(["__part", group_col]) \
+        .aggregate(Count(alias_name="n")).to_pandas() \
+        .sort_values(["__part"])
+    base: dict = {}
+    totals: dict = {}
+    for g, sub in counts.groupby(group_col, sort=False):
+        sub = sub.sort_values("__part")
+        cums = np.concatenate([[0], np.cumsum(sub["n"].to_numpy())[:-1]])
+        for p, b in zip(sub["__part"], cums):
+            base[(int(p), g)] = int(b)
+        totals[g] = int(sub["n"].sum())
+    ref = ray.put((base, totals))
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        bases, tot = ray.get(ref)
+        p = int(df["__part"].iloc[0])
+        df = df.sort_values([group_col, value_col], kind="mergesort") \
+            .reset_index(drop=True)
+        g = df[group_col].to_numpy()
+        v = df[value_col].to_numpy()
+        new_grp = np.empty(len(df), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = g[1:] != g[:-1]
+        # rank_before within part: index of the first row of this
+        # (group, value) tie-run, relative to the group's start
+        new_run = new_grp.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        idx = np.arange(len(df))
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        within = run_start - grp_start
+        pct = np.empty(len(df), dtype=np.float64)
+        for gi in np.nonzero(new_grp)[0]:
+            gv = g[gi]
+            end = len(df)
+            nxt = np.nonzero(new_grp[gi + 1:])[0]
+            if len(nxt):
+                end = gi + 1 + nxt[0]
+            denom = tot[gv] - 1
+            b = bases.get((p, gv), 0)
+            sl = slice(gi, end)
+            pct[sl] = ((b + within[sl]) / denom) if denom > 0 else 0.0
+        out = df.drop(columns=["__part"])
+        out[out_col] = pct
+        return out
+
+    return parted.groupby("__part").map_groups(
+        rank_part, batch_format="pandas")
+
+
 def user_top_event_type(sf_dir: str):
     """Per-group MODE (SQL: row_number over count(*) desc = 1): each
     user's most frequent event type, ties to the lexicographically

@@ -908,6 +908,40 @@ def test_hits_distributed_path_matches_broadcast(ray_session):
     assert abs(np.linalg.norm(a["hub"]) - 1.0) < 1e-9
 
 
+def test_percent_rank_by_group_matches_pandas(ray_session):
+    """percent_rank_by_group == pandas rank(method='min') algebra on
+    random data with HEAVY ties (few distinct values, so tie-runs cross
+    value-range partitions' row blocks), multiple groups including a
+    single-row group (percent_rank = 0.0 by convention), at several
+    block layouts — the two-phase scan must be layout-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        percent_rank_by_group)
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "id": np.arange(900, dtype="int64"),
+        "g": rng.choice(["en", "fr", "zh"], 900),
+        "v": rng.integers(0, 25, 900).astype("int64"),  # heavy ties
+    })
+    df.loc[0, "g"] = "solo"                  # single-row group
+    want = df.copy()
+    want["pct"] = (want.groupby("g")["v"].rank(method="min") - 1) / \
+        (want.groupby("g")["v"].transform("size") - 1).clip(lower=1)
+    want.loc[want.groupby("g")["v"].transform("size") == 1, "pct"] = 0.0
+    for parts in (1, 4, 13):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = percent_rank_by_group(ds, "g", "v", out_col="pct",
+                                    n_parts=6).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        assert np.allclose(got["pct"].to_numpy(),
+                           want["pct"].to_numpy(), atol=1e-12), parts
+        assert got["id"].tolist() == want["id"].tolist()
+
+
 def test_ppm_codec_roundtrip_and_stages(ray_session):
     """The PPM (P6) codec is REAL: encode→decode is bit-exact (incl.
     header comments), the decode stage reports the true dims of PPM

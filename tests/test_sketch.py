@@ -50,6 +50,35 @@ def test_hll_distinct_per_group(ray_session):
         assert abs(got[g] - n) / n < 0.06, (g, n, got[g])
 
 
+def test_hll_pair_overlap_constructed(ray_session):
+    """Exact n_common must equal the constructed ground truth (sets
+    with known pairwise intersections, values split across blocks so
+    the bitmask exchange crosses partitions), estimates must sit inside
+    the gate bound, and zero-overlap pairs must still get a row."""
+    rng = np.random.default_rng(13)
+    pool = rng.choice(np.arange(500_000, dtype=np.int64), size=9_000,
+                      replace=False)
+    a = pool[:4_000]
+    b = np.concatenate([a[:1_500], pool[4_000:6_500]])   # |a∩b| = 1500
+    c = np.concatenate([a[:300], pool[6_500:]])           # |a∩c| = 300
+    rows = pd.DataFrame({
+        "g": (["a"] * len(a)) + (["b"] * len(b)) + (["c"] * len(c)),
+        "u": np.concatenate([a, b, c])})
+    # duplicates must not change anything
+    rows = pd.concat([rows, rows.iloc[:2000]], ignore_index=True)
+    ds = rd.from_pandas(rows.sample(frac=1.0, random_state=0)) \
+        .repartition(7)
+    out = sketch.hll_pair_overlap(ds, "g", "u", p=12)
+    got = {(r["group_a"], r["group_b"]): (r["n_common"],
+                                          r["within_bound"])
+           for _, r in out.iterrows()}
+    assert got[("a", "b")][0] == 1_500
+    assert got[("a", "c")][0] == 300
+    assert got[("b", "c")][0] == 300          # b∩c = a[:300] too
+    assert all(v[1] for v in got.values())
+    assert len(got) == 3                       # all pairs present
+
+
 def test_heavy_hitters_exact_on_zipf(ray_session):
     rng = np.random.default_rng(5)
     vocab = [f"w{i}" for i in range(500)]
