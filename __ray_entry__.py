@@ -450,6 +450,19 @@ def _q_unigram_nll(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split: per-language percent_rank
+    of unigram-LM NLL cut at thirds, rolled up to (lang, bucket)
+    counts — the composition unigram_nll → hash_join(lang) →
+    percent_rank_by_group → groupby, oracle-recomputed end to end."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.lm import ccnet_buckets
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    lang_ds = read(sf_dir, "documents", ["doc_id", "lang"])
+    return ccnet_buckets(ds, lang_ds, top_v=20)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): per-doc summed
     log-ratio of a target unigram LM (the lang='en' slice) vs the raw
@@ -1890,6 +1903,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _q_corpus_mix,
         "doc_unigram_nll": _q_unigram_nll,
         "dsir_weights": _q_dsir_weights,
+        "ccnet_buckets": _q_ccnet_buckets,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "profile_events": _q_profile_events,
@@ -2337,6 +2351,38 @@ def oracle_sql_all() -> dict[str, str]:
                               WHEN 'es' THEN 6000
                               ELSE 10000 END
             ORDER BY doc_id
+        """,
+        # same LM as doc_unigram_nll, then the CCNet split: per-lang
+        # percent_rank of the 4dp-rounded NLL, thirds → bucket counts
+        "ccnet_buckets": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS word
+                FROM documents),
+            toks2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+            counts AS (SELECT word, COUNT(*) AS c FROM toks2 GROUP BY word),
+            tot AS (SELECT SUM(c) AS t FROM counts),
+            vocab AS (SELECT word, c FROM counts
+                      ORDER BY c DESC, word ASC LIMIT 20),
+            nll AS (
+                SELECT t2.doc_id,
+                       round(AVG(-ln(coalesce(v.c, 0.5) / tot.t)), 4)
+                           AS nll_r
+                FROM toks2 t2
+                LEFT JOIN vocab v USING (word) CROSS JOIN tot
+                GROUP BY t2.doc_id),
+            ranked AS (
+                SELECT d.lang,
+                       percent_rank() OVER (PARTITION BY d.lang
+                                            ORDER BY n.nll_r) AS pct
+                FROM nll n JOIN documents d USING (doc_id))
+            SELECT lang,
+                   CASE WHEN pct < 1.0/3.0 THEN 'head'
+                        WHEN pct < 2.0/3.0 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_unigram_nll": """
             -- unigram LM scoring: top-20 vocab by (count desc, word asc),

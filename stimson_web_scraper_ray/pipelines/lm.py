@@ -195,3 +195,56 @@ def dsir_weights(ds, target_ds, top_v: int = 20_000,
         DsirWeigher, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"target_ref": tref, "raw_ref": rref,
                                "id_col": id_col, "text_col": text_col})
+
+
+# --- CCNet-style perplexity buckets -----------------------------------------
+
+
+def ccnet_buckets(ds, lang_ds, top_v: int = 20, n_parts: int = 16):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): score
+    every doc's unigram-LM mean NLL, percent_rank it WITHIN its language
+    (the paper's per-language calibration — raw perplexity thresholds
+    don't transfer across languages), cut at thirds, and roll up
+    (lang, bucket) counts.
+
+    Composition of three existing distributed operators, all streaming:
+    ``unigram_nll`` (distributed fit + broadcast-model actor scoring) →
+    ``hash_join`` on doc_id to attach lang (doc-scaled exchange) →
+    ``percent_rank_by_group`` (value-range two-phase scan) → a tiny
+    groupby. NLL is rounded to 4dp BEFORE ranking so the engine and the
+    SQL oracle rank identical keys (float summation-order noise is
+    ~1e-12 relative; the window output would otherwise be
+    order-sensitive at exact ties). Docs with no ASCII tokens are
+    dropped by the scorer — and by the oracle's token CTE — on both
+    sides. Returns pandas (lang, bucket, n_docs), group-scaled."""
+    from ray.data.aggregate import Count
+
+    from .analytics import percent_rank_by_group
+    from .join import hash_join
+
+    nll = unigram_nll(ds, top_v=top_v)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "nll_r": pa.array(
+                np.round(t["avg_nll"].to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+
+    joined = hash_join(nll.map_batches(slim, batch_format="pyarrow"),
+                       lang_ds, on="doc_id", n_parts=n_parts)
+    ranked = percent_rank_by_group(joined, "lang", "nll_r",
+                                   out_col="pct", n_parts=n_parts)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pct = t["pct"].to_numpy(zero_copy_only=False)
+        b = np.where(pct < 1.0 / 3.0, "head",
+                     np.where(pct < 2.0 / 3.0, "middle", "tail"))
+        return pa.table({"lang": t["lang"],
+                         "bucket": pa.array(b, pa.string())})
+
+    out = ranked.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby(["lang", "bucket"]) \
+        .aggregate(Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
