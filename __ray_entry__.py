@@ -987,6 +987,69 @@ def _q_order_rank_windows(sf_dir: str):
     return df.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
 
 
+def _q_anchor_texts(sf_dir: str):
+    """Anchor-text corpus hard gate: the engine's DOM-walk rollup
+    (index.anchor_text_rollup — parse → <a> harvest → prepare_url →
+    combiner + salted dst-keyed exchange) must EQUAL an independent
+    in-process DuckDB re-derivation of the same (dst_url, anchor_text,
+    n_refs) table via regexp extraction + SQL href absolutization over
+    the same pages parquet (the pages table is engine-synthesized, so
+    it is not a driver-registered view — same gate shape as
+    crawl_parity). The SQL oracle is the constant all-TRUE table."""
+    import duckdb
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import anchor_text_rollup
+    from stimson_web_scraper_ray.sources.pages import pages_path_for
+
+    pages_path = pages_path_for(sf_dir)
+    eng = anchor_text_rollup(
+        rd.read_parquet(pages_path, columns=["url", "html"])) \
+        .to_pandas().sort_values(["dst_url", "anchor_text"]) \
+        .reset_index(drop=True)
+    eng["n_refs"] = eng["n_refs"].astype("int64")
+
+    con = duckdb.connect()
+    ind = con.execute(f"""
+        WITH tags AS (
+          SELECT url, unnest(regexp_extract_all(
+                     decode(html),
+                     '<a href="([^"]*)">([^<]*)</a>', 0)) AS tag
+          FROM read_parquet('{pages_path}/*.parquet')),
+        pairs AS (
+          SELECT url,
+                 regexp_extract(tag, '<a href="([^"]*)">', 1) AS href,
+                 regexp_extract(tag, '>([^<]*)</a>', 1) AS txt
+          FROM tags)
+        SELECT regexp_replace(
+                 CASE WHEN href LIKE 'http%' THEN href
+                      WHEN href = '/' THEN
+                          'http://' || split_part(url, '/', 3)
+                      WHEN href LIKE '/%' THEN
+                          'http://' || split_part(url, '/', 3) || href
+                      ELSE href END,
+                 '/$', '') AS dst_url,
+               txt AS anchor_text,
+               CAST(count(*) AS BIGINT) AS n_refs
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    con.close()
+
+    pairs_match = (len(eng) == len(ind)
+                   and eng["dst_url"].tolist() == ind["dst_url"].tolist()
+                   and (eng["anchor_text"].tolist()
+                        == ind["anchor_text"].tolist())
+                   and eng["n_refs"].tolist() == ind["n_refs"].tolist())
+    checks = [
+        ("pairs_match", bool(pairs_match)),
+        ("nonempty", bool(len(eng) > 0)),
+        ("multi_ref_targets", bool((eng.groupby("dst_url")["n_refs"]
+                                    .sum() > 1).any())),
+    ]
+    return pd.DataFrame(checks, columns=["check_name", "ok"]) \
+        .sort_values("check_name").reset_index(drop=True)
+
+
 def _q_trade_hits(sf_dir: str):
     """Fixed-iteration HITS hubs & authorities (3 rounds, L2 norms)
     over the one-way customer→supplier trade graph — the second classic
@@ -2004,6 +2067,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "order_rank_windows": _q_order_rank_windows,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
+        "anchor_texts": _q_anchor_texts,
         "trade_pagerank_undirected": _q_trade_pagerank,
         "trade_pagerank_directed": _q_trade_pagerank_directed,
         # crawl / url / multimodal
@@ -3766,6 +3830,14 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+    """
+    # anchor rollup ≡ independent regexp re-derivation: all-TRUE gate
+    sql["anchor_texts"] = """
+        SELECT * FROM (VALUES ('multi_ref_targets', TRUE),
+                              ('nonempty', TRUE),
+                              ('pairs_match', TRUE))
+            AS t(check_name, ok)
+        ORDER BY check_name
     """
     # crawl engine ≡ simulator: the constant all-TRUE gate table
     sql["crawl_parity"] = """

@@ -77,6 +77,22 @@ def harvest_outlinks_from_doc(doc, page_url: str) -> list[str]:
     return out
 
 
+def harvest_anchors_from_doc(doc, page_url: str) -> list:
+    """(absolutized href, inner-trimmed anchor text) pairs in document
+    order, one row PER OCCURRENCE — anchor corpora weight targets by
+    citation count, so unlike harvest_outlinks_from_doc (M21's deduped
+    frontier feed) repeats are signal, not noise."""
+    out = []
+    for a in dom.get_elements_by_tag(doc, tag="a"):
+        href = a.attrib.get("href")
+        if not href:
+            continue
+        prepared = prepare_url(href, page_url)
+        if prepared:
+            out.append((prepared, dom.inner_trim(a.text_content())))
+    return out
+
+
 def extract_article(html, url: str = "", language: str = "en",
                     config: EngineConfig | None = None,
                     collect_outlinks: bool = False) -> dict:

@@ -467,3 +467,55 @@ def search_and(index_ds, terms: list[str]):
 
     return hits.map_batches(keep_all, batch_format="pyarrow") \
         .sort("doc_id")
+
+
+def anchor_text_rollup(pages_ds, url_col: str = "url",
+                       html_col: str = "html", n_parts: int = 16):
+    """Anchor-text corpus over a pages table: (dst_url, anchor_text,
+    n_refs) — what the rest of the web CALLS each page, the classic
+    off-page retrieval/ranking signal search engines aggregate next to
+    the on-page inverted index (and the reference's <a>-harvest walk,
+    content_extractor.py's link handling, reused with the text kept).
+
+    Scale shape: the DOM parse + anchor walk happens inside
+    map_batches where the html lives; each batch PRE-AGGREGATES its
+    (dst, text) pair counts (combiner), then ONE salted exchange keyed
+    on a stable dst-url hash sums the counts where the target's rows
+    land — the html never re-ships, no (page × anchor) row stream hits
+    the driver. Returns a Dataset (dst_url, anchor_text, n_refs),
+    target-scaled."""
+    from ..functions.dom import fromstring
+    from ..functions.extract import harvest_anchors_from_doc
+    from .shuffle import salted_partition_apply
+
+    def harvest(t: pa.Table) -> pa.Table:
+        dsts: list[str] = []
+        txts: list[str] = []
+        for url, html in zip(t[url_col].to_pylist(),
+                             t[html_col].to_pylist()):
+            try:
+                doc = fromstring(html)
+            except Exception:
+                continue                    # poisoned page ≠ dead block
+            for dst, txt in harvest_anchors_from_doc(doc, url):
+                dsts.append(dst)
+                txts.append(txt)
+        df = pd.DataFrame({"dst_url": dsts, "anchor_text": txts})
+        agg = df.groupby(["dst_url", "anchor_text"], sort=False) \
+            .size().reset_index(name="n_refs")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def dst_key(t: pa.Table) -> np.ndarray:
+        vals = t["dst_url"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(vals)
+        hashed = pd.util.hash_array(np.asarray(uniq, dtype=object)) \
+            .astype(np.int64, copy=False)
+        return hashed[codes]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["dst_url", "anchor_text"], sort=False,
+                          as_index=False)["n_refs"].sum()
+
+    return salted_partition_apply(
+        pages_ds.map_batches(harvest, batch_format="pyarrow"),
+        merge, dst_key, n_parts=n_parts)

@@ -1903,3 +1903,43 @@ def test_weighted_reservoir_topk_properties(ray_session):
     assert len(a) == 40
     heavy = (a["doc_id"] % 2 == 0).sum()
     assert heavy >= 35    # weight ratio 1000:1 -> light picks are rare
+
+
+def test_anchor_text_rollup_exact(ray_session):
+    """DOM-walk anchor rollup == hand-computed truth on synthetic pages:
+    per-occurrence counting (repeats are signal), relative-href
+    absolutization via prepare_url, inner-trimmed anchor text, poisoned
+    html skipped without killing the block, counts layout-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import anchor_text_rollup
+
+    pages = pd.DataFrame({
+        "url": ["http://a.example.com/p1.html",
+                "http://a.example.com/p2.html",
+                "http://b.example.com/q.html"],
+        "html": [
+            '<html><body>'
+            '<a href="http://t.example.com/x.html">great   article</a> '
+            '<a href="/about">about us</a>'
+            '<a href="http://t.example.com/x.html">great   article</a>'
+            '</body></html>',
+            '<html><body>'
+            '<a href="http://t.example.com/x.html">must read</a>'
+            '<a href="/about">about us</a>'
+            '</body></html>',
+            '<html><body><a href="http://t.example.com/x.html">'
+            'great   article</a></body></html>',
+        ]})
+    want = {
+        ("http://t.example.com/x.html", "great article"): 3,
+        ("http://t.example.com/x.html", "must read"): 1,
+        ("http://a.example.com/about", "about us"): 2,
+    }
+    for parts in (1, 3):
+        ds = rd.from_pandas(pages).repartition(parts)
+        out = anchor_text_rollup(ds).to_pandas()
+        got = {(r["dst_url"], r["anchor_text"]): int(r["n_refs"])
+               for _, r in out.iterrows()}
+        assert got == want, (parts, got)
