@@ -1653,6 +1653,30 @@ def _q_index_search_phrase_pos(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_index_search_near(sf_dir: str):
+    """NEAR/5 proximity search: per-doc count of position pairs of the
+    corpus's two highest-df terms within 5 tokens of each other,
+    resolved entirely from the positional index (index.near_search —
+    two-term postings filter → one doc-keyed salted exchange →
+    vectorized composite-key searchsorted pair count). Term pick =
+    (df desc, term asc) over the digit-dropped stream, shared with the
+    oracle."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_positional_index,
+        near_search,
+        top_terms_positional,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    pos = build_positional_index(ds).materialize()
+    t_a, t_b = top_terms_positional(pos, 2)
+    out = near_search(pos, t_a, t_b, window=5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_bloom_decontaminate(sf_dir: str):
     """Incremental-decontamination hard gate: even doc_ids are the
     HISTORY corpus, odd doc_ids the increment; the engine builds a
@@ -2014,6 +2038,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "index_search_phrase": _q_index_search_phrase,
         "index_search_or": _q_index_search_or,
         "index_search_phrase_pos": _q_index_search_phrase_pos,
+        "index_search_near": _q_index_search_near,
         "dup_substring_spans": _q_dup_substring_spans,
         "bloom_decontaminate": _q_bloom_decontaminate,
         # dedup family
@@ -3677,6 +3702,37 @@ def oracle_sql_all() -> dict[str, str]:
     # oracle is shared verbatim; only the engine algebra differs
     # (postings-only position alignment vs candidate re-tokenization)
     sql["index_search_phrase_pos"] = sql["index_search_phrase"]
+    # NEAR/5 proximity: positions over the SAME digit-dropped stream
+    # (1-based here, 0-based in the engine — |pa-pb| is offset-free);
+    # term pick = (df desc, term asc) on that stream, shared
+    sql["index_search_near"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                       x -> x <> ''
+                           AND NOT regexp_matches(x, '^[0-9]+$')) AS w
+            FROM documents),
+        postok AS (
+            SELECT doc_id, unnest(w) AS term,
+                   unnest(range(1, len(w) + 1)) AS pos
+            FROM toks),
+        top2 AS (
+            SELECT term,
+                   row_number() OVER (ORDER BY df DESC, term) AS rn
+            FROM (SELECT term, COUNT(DISTINCT doc_id) AS df
+                  FROM postok GROUP BY term)
+            QUALIFY rn <= 2),
+        a AS (SELECT doc_id, pos FROM postok
+              WHERE term = (SELECT term FROM top2 WHERE rn = 1)),
+        b AS (SELECT doc_id, pos FROM postok
+              WHERE term = (SELECT term FROM top2 WHERE rn = 2))
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM a JOIN b ON a.doc_id = b.doc_id
+                     AND abs(a.pos - b.pos) <= 5
+        GROUP BY 1 ORDER BY 1
+    """
     # bloom incremental decontamination gate: history = even doc_ids,
     # increment = odd; the oracle re-derives the exact contaminated
     # count (string 8-grams, the decontaminate tokenization) and pins

@@ -379,6 +379,101 @@ def phrase_search_positional(pos_index_ds, phrase: list[str],
         n_parts=n_parts).sort("doc_id")
 
 
+def top_terms_positional(pos_index_ds, k: int) -> list[str]:
+    """Top-k terms by (df desc, term asc) over the POSITIONAL index's
+    digit-dropped token stream (one index row per (term, doc), so a
+    per-term row count IS df). The deterministic pick ``near_search``'s
+    driver query and its SQL oracle share — kept separate from
+    ``top_terms`` because the boolean index counts digits as terms and
+    the positional stream drops them."""
+    from ray.data.aggregate import Count
+
+    df = pos_index_ds.select_columns(["term"]) \
+        .groupby("term").aggregate(Count(alias_name="df"))
+    top = df.sort(["df", "term"], descending=[True, False]) \
+            .limit(k).to_pandas()
+    return top["term"].tolist()
+
+
+def near_search(pos_index_ds, term_a: str, term_b: str, window: int,
+                n_parts: int = 64):
+    """NEAR/w proximity search resolved entirely from the positional
+    index: per-doc count of position pairs (pa, pb) with pa an
+    occurrence of ``term_a``, pb of ``term_b``, and |pa - pb| <=
+    ``window`` over the ``phrase_tokens`` stream — the classic
+    unordered NEAR operator (Brin & Page's proximity signal; the
+    reference's retrieval surface stops at keyword membership, this is
+    the positional upgrade).
+
+    Scale shape: the index filter keeps only the TWO query terms'
+    rows, positions explode to flat (doc_id, slot, pos) ints, and ONE
+    doc-functional salted exchange co-locates each doc's occurrences;
+    the per-part pair count is a fully vectorized two-sided
+    searchsorted over (doc-code << 32 | pos) composite keys — no
+    per-doc Python loop, no corpus text read. Exchange volume is the
+    two terms' postings only. Returns (doc_id, n_pairs) for docs with
+    n_pairs > 0, sorted by doc_id."""
+    import pyarrow.compute as pc
+
+    from .shuffle import salted_partition_apply
+
+    if term_a == term_b:
+        raise ValueError("near_search wants two distinct terms")
+    if window >= (1 << 31):
+        raise ValueError("window must fit in int32")
+
+    def explode_pos(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["term"], value_set=pa.array([term_a, term_b]))
+        t = t.filter(mask)
+        ids: list[int] = []
+        slots: list[int] = []
+        poss: list[int] = []
+        for did, term, ps in zip(t["doc_id"].to_pylist(),
+                                 t["term"].to_pylist(),
+                                 t["positions"].to_pylist()):
+            s = 0 if term == term_a else 1
+            ids.extend([did] * len(ps))
+            slots.extend([s] * len(ps))
+            poss.extend(int(p) for p in ps)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "slot": pa.array(slots, pa.int8()),
+            "pos": pa.array(poss, pa.int64()),
+        })
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        codes, uniq = pd.factorize(df["doc_id"].to_numpy())
+        key = (codes.astype(np.int64) << 32) | df["pos"].to_numpy()
+        is_a = (df["slot"].to_numpy() == 0)
+        ka = key[is_a]
+        kb = np.sort(key[~is_a])
+        # a pos p matches b positions in [p-w, p+w]; the doc code in the
+        # high bits keeps the range inside one doc (pos-w can't borrow:
+        # pos >= 0 and w < 2^31 keep the low 32 bits non-negative after
+        # clamping below)
+        pa_ = ka & 0xFFFFFFFF
+        base = ka - pa_
+        lo = base + np.maximum(pa_ - window, 0)
+        hi = base + pa_ + window
+        n = (np.searchsorted(kb, hi, side="right")
+             - np.searchsorted(kb, lo, side="left"))
+        per_doc = np.bincount(codes[is_a], weights=n,
+                              minlength=len(uniq)).astype(np.int64)
+        keep = per_doc > 0
+        return pd.DataFrame({"doc_id": np.asarray(uniq)[keep],
+                             "n_pairs": per_doc[keep]})
+
+    rows = pos_index_ds.map_batches(explode_pos, batch_format="pyarrow")
+    return salted_partition_apply(
+        rows, count_part,
+        lambda t: t["doc_id"].to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        n_parts=n_parts).sort("doc_id")
+
+
 def write_inverted_index(index_ds, out_dir: str, n_partitions: int = 64):
     """Persist the index as term-hash-partitioned parquet
     (``part=NN/*.parquet``): the resumable-sink shape — a failed build

@@ -1943,3 +1943,52 @@ def test_anchor_text_rollup_exact(ray_session):
         got = {(r["dst_url"], r["anchor_text"]): int(r["n_refs"])
                for _, r in out.iterrows()}
         assert got == want, (parts, got)
+
+
+def test_near_search_exact(ray_session):
+    """NEAR/w pair counts == brute-force truth on hand-built docs:
+    window boundary inclusive, multiplicities multiply (2 a's × 2 b's
+    in range = 4 pairs), digit tokens dropped from the position stream,
+    docs missing either term absent, layout-invariant."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_positional_index,
+        near_search,
+        phrase_tokens,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gap gap gap gap beta alpha",   # mixed spacing
+            "alpha 42 7 beta",        # digits dropped -> distance 1
+            "alpha gap gap gap gap gap beta",          # distance 6 > w
+            "beta beta only here",                     # no alpha
+        ]})
+
+    def brute(txt, w):
+        ws = phrase_tokens(txt)
+        ai = [i for i, x in enumerate(ws) if x == "alpha"]
+        bi = [i for i, x in enumerate(ws) if x == "beta"]
+        return sum(1 for p, q in itertools.product(ai, bi)
+                   if abs(p - q) <= w)
+
+    for w in (1, 5):
+        want = {int(r["doc_id"]): brute(r["text"], w)
+                for _, r in docs.iterrows()
+                if brute(r["text"], w) > 0}
+        for parts in (1, 3):
+            pos = build_positional_index(
+                rd.from_pandas(docs).repartition(parts),
+                n_parts=4).materialize()
+            out = near_search(pos, "alpha", "beta", window=w,
+                              n_parts=4).to_pandas()
+            got = {int(r["doc_id"]): int(r["n_pairs"])
+                   for _, r in out.iterrows()}
+            assert got == want, (w, parts, got, want)
+    with pytest.raises(ValueError):
+        near_search(pos, "alpha", "alpha", window=2)
