@@ -507,6 +507,25 @@ def _q_doc_classifier_score(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_clf_score_percentile(sf_dir: str):
+    """Percentile-calibrated classifier filtering (the DCLM/FineWeb
+    curation move): actor-pool inference → hash_join lang →
+    per-language exact percent_rank of the 4dp score → keep top 80%
+    of EVERY language, so one threshold means the same thing across
+    score-distribution shifts. Oracle recomputes the whole composition
+    (logistic model + SQL percent_rank window) end to end."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        calibrated_quality_filter)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    lang_ds = read(sf_dir, "documents", ["doc_id", "lang"])
+    df = calibrated_quality_filter(ds, lang_ds, keep_frac=0.8) \
+        .to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_profile_events(sf_dir: str):
     """Column profiler over the events table: exact per-column
     row/null/distinct counts (two passes, one pair exchange); the
@@ -1802,6 +1821,52 @@ def _q_trade_components(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_kcore_decomposition(sf_dir: str):
+    """k-core decomposition hard gate: the engine's distributed peel
+    (graph.core_decomposition — index-encoded edge Dataset, one
+    streamed bincount wave per removal round, alive bitmap broadcast)
+    must EQUAL an independent single-process Batagelj–Žaberšnik-style
+    exact peel over the same trade edges, recomputed here from a
+    driver pull of the edge list (gate scale only — the engine path is
+    the one that streams). Coreness fixpoints don't unroll in SQL, so
+    the oracle is the constant all-TRUE table (same shape as
+    crawl_parity / anchor_texts)."""
+    from stimson_web_scraper_ray.pipelines.graph import (
+        core_decomposition, trade_edges)
+
+    edges = trade_edges(sf_dir).materialize()
+    eng = core_decomposition(edges)
+    got = dict(zip(eng["node_id"].astype(int),
+                   eng["coreness"].astype(int)))
+
+    # independent truth: adjacency-set peel, min-degree first
+    ep = edges.to_pandas()
+    adj: dict[int, set] = {}
+    for s, d in zip(ep["src"].astype(int), ep["dst"].astype(int)):
+        adj.setdefault(s, set()).add(d)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    want: dict[int, int] = {}
+    k = 0
+    live = dict(deg)
+    while live:
+        k = max(k, min(live.values()))
+        doomed = [v for v, dv in live.items() if dv <= k]
+        for v in doomed:
+            want[v] = k
+            for u in adj[v]:
+                if u in live and u not in doomed:
+                    live[u] -= 1
+            del live[v]
+
+    checks = [
+        ("coreness_match", bool(got == want)),
+        ("nonempty", bool(len(got) > 0)),
+        ("max_core_ge_2", bool(max(got.values(), default=0) >= 2)),
+    ]
+    return pd.DataFrame(checks, columns=["check_name", "ok"]) \
+        .sort_values("check_name").reset_index(drop=True)
+
+
 def _q_kmv_bottomk(sf_dir: str):
     """KMV sketch over documents: global bottom-64 ids by the
     md5_number_lower hash plus the (k-1)/h_k distinct estimate — sample
@@ -1995,6 +2060,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "profile_events": _q_profile_events,
         "doc_classifier_score": _q_doc_classifier_score,
+        "clf_score_percentile": _q_clf_score_percentile,
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles_merged,
@@ -2070,6 +2136,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "asof_join_generic": _q_asof_join_generic,
         "kmv_bottomk": _q_kmv_bottomk,
         "trade_components": _q_trade_components,
+        "kcore_decomposition": _q_kcore_decomposition,
         "label_centroids": _q_label_centroids,
         "part_triangles": _q_part_triangles,
         "weighted_sample_topk": _q_weighted_sample_topk,
@@ -2323,6 +2390,31 @@ def oracle_sql_all() -> dict[str, str]:
         """,
         "doc_gopher_quality": _GOPHER_SQL_CTE + """
             SELECT * FROM g ORDER BY doc_id
+        """,
+        # classifier score -> per-lang percent_rank -> keep top 80%;
+        # the 4dp score makes tie keys identical engine<->oracle, and
+        # both sides round pct to 6dp BEFORE the cut
+        "clf_score_percentile": _GOPHER_SQL_CTE + """
+            , s AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-(
+                         -1.0
+                         + 0.45 * ln(1 + n_words_g)
+                         + 0.12 * mean_word_len_g
+                         - 4.0  * dup_line_frac
+                         - 8.0  * symbol_word_ratio
+                         - 1.5  * bullet_line_frac
+                         - 2.0  * ellipsis_line_frac))), 4) AS clf_score
+              FROM g),
+            r AS (
+              SELECT s.doc_id, d.lang, s.clf_score,
+                     round(percent_rank() OVER (
+                         PARTITION BY d.lang ORDER BY s.clf_score), 6)
+                         AS pct
+              FROM s JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, clf_score, pct,
+                   pct >= 0.2 AS keep
+            FROM r ORDER BY doc_id
         """,
         "curation_rollup": _GOPHER_SQL_CTE + """
             SELECT d.source, d.lang,
@@ -3886,6 +3978,14 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+    """
+    # distributed k-core peel ≡ independent exact peel: all-TRUE gate
+    sql["kcore_decomposition"] = """
+        SELECT * FROM (VALUES ('coreness_match', TRUE),
+                              ('max_core_ge_2', TRUE),
+                              ('nonempty', TRUE))
+            AS t(check_name, ok)
+        ORDER BY check_name
     """
     # anchor rollup ≡ independent regexp re-derivation: all-TRUE gate
     sql["anchor_texts"] = """

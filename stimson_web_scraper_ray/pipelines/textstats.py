@@ -339,6 +339,45 @@ class QualityClassifier:
         })
 
 
+def calibrated_quality_filter(ds, lang_ds, keep_frac: float = 0.8,
+                              n_parts: int = 16):
+    """Percentile-calibrated classifier filtering — the DCLM/FineWeb
+    curation move: a raw classifier threshold means different things in
+    different languages (score distributions shift with script, LM
+    coverage, length norms), so the cut is applied to the PER-LANGUAGE
+    percent_rank of the score instead, keeping the top ``keep_frac`` of
+    every language.
+
+    Composition of three existing distributed operators, all
+    streaming: ``QualityClassifier`` (actor-pool inference, weights
+    load once per actor) → ``hash_join`` on doc_id to attach lang
+    (doc-scaled exchange) → ``percent_rank_by_group`` (exact
+    value-range two-phase scan; the 4dp-rounded score makes tie keys
+    identical engine↔oracle). keep ⇔ pct >= 1 − keep_frac. Returns a
+    row-scaled Dataset (doc_id, lang, clf_score, pct, keep)."""
+    from .analytics import percent_rank_by_group
+    from .join import hash_join
+
+    scored = ds.map_batches(QualityClassifier, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 4))
+    joined = hash_join(scored, lang_ds, on="doc_id", n_parts=n_parts)
+    ranked = percent_rank_by_group(joined, "lang", "clf_score",
+                                   out_col="pct", n_parts=n_parts)
+    cut = 1.0 - keep_frac
+
+    def flag(t: pa.Table) -> pa.Table:
+        pct = np.round(t["pct"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "clf_score": t["clf_score"],
+            "pct": pa.array(pct, pa.float64()),
+            "keep": pa.array(pct >= cut, pa.bool_()),
+        })
+
+    return ranked.map_batches(flag, batch_format="pyarrow")
+
+
 # --- PII redaction --------------------------------------------------------
 #
 # RE2-compatible patterns (no backtracking-only constructs) so the SAME

@@ -1992,3 +1992,32 @@ def test_near_search_exact(ray_session):
             assert got == want, (w, parts, got, want)
     with pytest.raises(ValueError):
         near_search(pos, "alpha", "alpha", window=2)
+
+
+def test_core_decomposition_exact(ray_session):
+    """Distributed peel == known coreness on a hand graph: K4 clique
+    (coreness 3) with a path tail (coreness 1) and a pendant off the
+    clique (coreness 1); layout-invariant; empty graph returns empty."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import core_decomposition
+
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+           (3, 4), (4, 5),                                   # path tail
+           (0, 6)]                                           # pendant
+    edges = pd.DataFrame({
+        "src": [a for a, b in und] + [b for a, b in und],
+        "dst": [b for a, b in und] + [a for a, b in und]})
+    want = {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 1}
+    for parts in (1, 4):
+        out = core_decomposition(
+            rd.from_pandas(edges).repartition(parts))
+        got = dict(zip(out["node_id"].astype(int),
+                       out["coreness"].astype(int)))
+        assert got == want, (parts, got)
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"src": pd.Series(dtype="int64"),
+         "dst": pd.Series(dtype="int64")}))
+    assert len(core_decomposition(empty)) == 0
