@@ -1942,6 +1942,23 @@ def _q_dup_substring_spans(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_remove_dup_substrings(sf_dir: str):
+    """ExactSubstr REMOVAL (Lee et al.'s second half): the duplicated
+    intervals of dup_substring_spans are excised and the survivors
+    re-concatenated — the oracle rebuilds every doc's clean text in SQL
+    from the complement segments of the same true-substring span
+    derivation, so the output strings are verified byte-exact."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        remove_dup_substrings)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = remove_dup_substrings(ds, gram_len=50).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["removed_chars"] = out["removed_chars"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_embedding_neardup_gate(sf_dir: str):
     """Embedding near-dup quality, BOTH methods stacked, as a hard gate.
     rh_lsh: n_truth = exact cosine >= 0.4 PAIR count, oracle-checked
@@ -2106,6 +2123,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "index_search_phrase_pos": _q_index_search_phrase_pos,
         "index_search_near": _q_index_search_near,
         "dup_substring_spans": _q_dup_substring_spans,
+        "remove_dup_substrings": _q_remove_dup_substrings,
         "bloom_decontaminate": _q_bloom_decontaminate,
         # dedup family
         "minhash_pairs": _q_minhash_pairs,
@@ -3704,6 +3722,66 @@ def oracle_sql_all() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_spans,
                CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
         FROM spans GROUP BY doc_id ORDER BY doc_id
+    """
+    # ExactSubstr removal: same span derivation as dup_substring_spans,
+    # then the clean text is rebuilt from the complement segments
+    # (between consecutive spans + the tail) and string_agg'd in order
+    sql["remove_dup_substrings"] = """
+        WITH pos AS (
+            SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 50) AS g
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) - 48)) AS i
+                  FROM documents
+                  WHERE text IS NOT NULL AND length(text) >= 50)),
+        dup AS (
+            SELECT doc_id, i FROM pos
+            WHERE g IN (SELECT g FROM pos
+                        GROUP BY g HAVING COUNT(*) >= 2)),
+        marked AS (
+            SELECT doc_id, i,
+                   CASE WHEN LAG(i) OVER w IS NULL
+                             OR i > LAG(i) OVER w + 50
+                        THEN 1 ELSE 0 END AS is_start
+            FROM dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        isl AS (
+            SELECT doc_id, i,
+                   SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS island
+            FROM marked),
+        spans AS (
+            SELECT doc_id, island, MIN(i) AS s, MAX(i) + 49 AS e
+            FROM isl GROUP BY doc_id, island),
+        segs AS (
+            SELECT doc_id,
+                   COALESCE(LAG(e) OVER (PARTITION BY doc_id
+                                         ORDER BY s), 0) + 1 AS ks,
+                   s - 1 AS ke
+            FROM spans
+            UNION ALL
+            SELECT doc_id, MAX(e) + 1 AS ks,
+                   CAST(4611686018427387904 AS BIGINT) AS ke
+            FROM spans GROUP BY doc_id),
+        clean AS (
+            SELECT g.doc_id,
+                   COALESCE(string_agg(
+                       substr(d.text, CAST(g.ks AS INTEGER),
+                              CAST(LEAST(g.ke, length(d.text))
+                                   - g.ks + 1 AS INTEGER)),
+                       '' ORDER BY g.ks), '') AS clean_text,
+                   length(d.text) AS n0
+            FROM segs g JOIN documents d USING (doc_id)
+            WHERE g.ks <= LEAST(g.ke, length(d.text))
+            GROUP BY g.doc_id, d.text)
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               COALESCE(c.clean_text, '') AS clean_text,
+               CAST(d.n0 - length(COALESCE(c.clean_text, ''))
+                    AS BIGINT) AS removed_chars
+        FROM (SELECT DISTINCT doc_id FROM spans) s
+        LEFT JOIN clean c USING (doc_id)
+        JOIN (SELECT doc_id, length(text) AS n0 FROM documents) d
+            USING (doc_id)
+        ORDER BY doc_id
     """
     # phrase search: the corpus_bigrams tokenization (empty/numeric
     # filtered, adjacent pairs), top-1 bigram picked identically, per-doc

@@ -1485,6 +1485,190 @@ def _dup_substring_spans_wide(ds, gram_len: int = 50,
         lambda t: t[id_col].to_numpy(), n_parts=n_parts).sort(id_col)
 
 
+def _excise(txt: str, pos: np.ndarray, gram_len: int) -> tuple[str, int]:
+    """Remove every character covered by a duplicated L-gram start in
+    ``pos`` (sorted asc): merge fixed-length intervals into islands,
+    keep the complement. Returns (clean_text, removed_chars)."""
+    starts = np.ones(pos.size, dtype=bool)
+    starts[1:] = pos[1:] > pos[:-1] + gram_len
+    first = pos[starts]
+    last = np.maximum.reduceat(pos, np.nonzero(starts)[0])
+    ends = np.minimum(last + gram_len, len(txt))   # exclusive
+    kept = []
+    prev = 0
+    for s, e in zip(first.tolist(), ends.tolist()):
+        kept.append(txt[prev:s])
+        prev = e
+    kept.append(txt[prev:])
+    clean = "".join(kept)
+    return clean, len(txt) - len(clean)
+
+
+def remove_dup_substrings(ds, gram_len: int = 50, id_col: str = "doc_id",
+                          text_col: str = "text", n_parts: int = 64,
+                          broadcast_limit_bytes: int = 256 << 20):
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2022's
+    deduplication: ``dup_substring_spans`` finds the duplicated
+    intervals, this excises them): every character covered by an
+    L-gram occurring >= 2 times corpus-wide is cut, the survivors
+    re-concatenate in order. Returns (doc_id, clean_text,
+    removed_chars) for docs that LOST text, sorted by doc_id —
+    unchanged docs pass through the training set untouched, so the
+    delta table is what a curation pipeline joins back.
+
+    Scale shape shares stage 1-2 with ``dup_substring_spans`` (per-
+    batch distinct gram-hash count scan, ONE gh-keyed exchange to the
+    cnt>=2 set). Stage 3 is byte-probed: the dup-hash set broadcasts
+    once (ray.put, zero-copy numpy) and each doc re-derives its
+    positions locally (O(n) rolling hash) and excises in place — no
+    text ever re-ships. Above the broadcast budget, the fallback is a
+    TWO-SIDED doc-keyed exchange (the minhash-verify precedent):
+    duplicated positions flow gh-exchange → doc-exchange, texts ship
+    ONCE into the same doc partitions, and the excision runs where
+    both land."""
+    import ray
+
+    from .shuffle import salted_partition_apply
+
+    def gram_counts(t: pa.Table) -> pa.Table:
+        hs = [_char_gram_hashes(txt, gram_len)
+              for txt in t[text_col].to_pylist() if isinstance(txt, str)]
+        hs = [h for h in hs if h.size]
+        if not hs:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.concatenate(hs), return_counts=True)
+        return pa.table({"gh": pa.array(u.view(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def dup_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("gh", sort=False)["cnt"].sum()
+        return pd.DataFrame({"gh": s.index.to_numpy()[s.to_numpy() >= 2]})
+
+    dup_gh = salted_partition_apply(
+        ds.map_batches(gram_counts, batch_format="pyarrow"),
+        dup_hashes, lambda t: t["gh"].to_numpy(),
+        n_parts=n_parts).materialize()
+
+    if dup_gh.count() * 8 > broadcast_limit_bytes:
+        return _remove_dup_substrings_wide(ds, dup_gh, gram_len, id_col,
+                                           text_col, n_parts)
+
+    blocks = [ray.get(r) for r in dup_gh.to_arrow_refs()]
+    ghs = np.sort(np.concatenate(
+        [b["gh"].to_numpy(zero_copy_only=False) for b in blocks
+         if "gh" in b.schema.names]
+        or [np.empty(0, dtype=np.int64)]).astype(np.int64).view(np.uint64))
+    ghs_ref = ray.put(ghs)
+
+    def clean_rows(t: pa.Table) -> pa.Table:
+        dup_set = ray.get(ghs_ref)
+        ids, cleans, removed = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if not isinstance(txt, str) or dup_set.size == 0:
+                continue
+            h = _char_gram_hashes(txt, gram_len)
+            if h.size == 0:
+                continue
+            idx = np.searchsorted(dup_set, h)
+            np.clip(idx, 0, dup_set.size - 1, out=idx)
+            pos = np.nonzero(dup_set[idx] == h)[0]
+            if pos.size == 0:
+                continue
+            clean, n_rm = _excise(txt, pos, gram_len)
+            ids.append(int(did))
+            cleans.append(clean)
+            removed.append(n_rm)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(cleans, pa.string()),
+                         "removed_chars": pa.array(removed, pa.int64())})
+
+    return ds.map_batches(clean_rows, batch_format="pyarrow").sort(id_col)
+
+
+def _remove_dup_substrings_wide(ds, dup_gh, gram_len: int, id_col: str,
+                                text_col: str, n_parts: int):
+    """Over-budget fallback: duplicated positions are re-derived with
+    the dup-hash set STAYING distributed (a gh-keyed semi-join of each
+    doc's gram stream against dup_gh), then ONE doc-keyed exchange
+    carries (pos rows + texts-once) into the same partitions for the
+    in-place excision."""
+    from .shuffle import salted_partition_apply
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids, ghs, poss = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            if not isinstance(txt, str):
+                continue
+            h = _char_gram_hashes(txt, gram_len)
+            if h.size:
+                ids.append(np.full(h.size, did, dtype=np.int64))
+                ghs.append(h.view(np.int64))
+                poss.append(np.arange(h.size, dtype=np.int64))
+        if not ids:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({"gh": pa.array(np.concatenate(ghs)),
+                         id_col: pa.array(np.concatenate(ids)),
+                         "pos": pa.array(np.concatenate(poss))})
+
+    def tag_pos(df: pd.DataFrame) -> pd.DataFrame:
+        # semi-join against the dup-hash rows co-partitioned by gh:
+        # dup_gh rows ride the same exchange as (doc_id=-1) markers
+        marks = set(df.loc[df[id_col] < 0, "gh"].to_numpy())
+        hit = df[(df[id_col] >= 0) & df["gh"].isin(marks)]
+        return hit[[id_col, "pos"]]
+
+    markers = dup_gh.map_batches(
+        lambda t: pa.table({
+            "gh": t["gh"],
+            id_col: pa.array(np.full(t.num_rows, -1, np.int64)),
+            "pos": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    dup_pos = salted_partition_apply(
+        ds.map_batches(gram_rows, batch_format="pyarrow").union(markers),
+        tag_pos, lambda t: t["gh"].to_numpy(), n_parts=n_parts)
+
+    def pos_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "pos": t["pos"],
+            text_col: pa.array([None] * t.num_rows, pa.string())})
+
+    def text_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "pos": pa.array(np.full(t.num_rows, -1, np.int64)),
+            text_col: pc.cast(t[text_col], pa.string())})
+
+    both = dup_pos.map_batches(pos_side, batch_format="pyarrow").union(
+        ds.map_batches(text_side, batch_format="pyarrow"))
+
+    def excise_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, grp in df.groupby(id_col, sort=True):
+            pos = np.sort(grp.loc[grp["pos"] >= 0, "pos"].to_numpy())
+            if pos.size == 0:
+                continue
+            txts = grp.loc[grp["pos"] < 0, text_col]
+            if txts.empty:
+                continue
+            clean, n_rm = _excise(str(txts.iloc[0]), pos, gram_len)
+            rows.append({id_col: int(did), "clean_text": clean,
+                         "removed_chars": n_rm})
+        return pd.DataFrame(rows, columns=[id_col, "clean_text",
+                                           "removed_chars"])
+
+    return salted_partition_apply(
+        both, excise_part,
+        lambda t: t[id_col].to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        n_parts=n_parts).sort(id_col)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter incremental decontamination (the eleventh dedup method)
 # ---------------------------------------------------------------------------

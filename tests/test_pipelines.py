@@ -2021,3 +2021,32 @@ def test_core_decomposition_exact(ray_session):
         {"src": pd.Series(dtype="int64"),
          "dst": pd.Series(dtype="int64")}))
     assert len(core_decomposition(empty)) == 0
+
+
+def test_remove_dup_substrings_paths(ray_session):
+    """ExactSubstr removal: hand-computed truth (merged overlapping
+    gram islands excised, unchanged docs absent) AND broadcast-path ==
+    wide-path (broadcast_limit_bytes=0 forces the two-sided doc-keyed
+    exchange) on the same input."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        remove_dup_substrings)
+
+    dup = "X" * 12                     # shared 12-char run
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"aaa{dup}bbb", f"ccc{dup}ddd", "unique text here"]})
+    # gram_len=8: dup grams are the 8-grams fully inside the X-run of
+    # each doc (positions 3..7 in doc 1/2) -> island [3, 7+8) = [3,15)
+    want = {1: ("aaabbb", 12), 2: ("cccddd", 12)}
+
+    for limit in (256 << 20, 0):
+        out = remove_dup_substrings(
+            rd.from_pandas(docs).repartition(2), gram_len=8,
+            broadcast_limit_bytes=limit).to_pandas()
+        got = {int(r["doc_id"]): (r["clean_text"],
+                                  int(r["removed_chars"]))
+               for _, r in out.iterrows()}
+        assert got == want, (limit, got)
