@@ -507,6 +507,22 @@ def _q_doc_classifier_score(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_repetition_signals(sf_dir: str):
+    """Gopher/MassiveText repetition filters beyond the shape metrics:
+    per-doc top-{2,3,4}-gram token fraction and duplicated-{5,8}-gram
+    union coverage fraction (token-level so the whole operator is
+    SQL-expressible; exact np.unique window counting, no hashes).
+    Pure per-doc map — no shuffle."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        doc_repetition_signals)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = doc_repetition_signals(ds).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_clf_score_percentile(sf_dir: str):
     """Percentile-calibrated classifier filtering (the DCLM/FineWeb
     curation move): actor-pool inference → hash_join lang →
@@ -984,6 +1000,19 @@ def _q_hll_user_overlap(sf_dir: str):
 
     ds = read(sf_dir, "events", ["event_type", "user_id"])
     return hll_pair_overlap(ds, "event_type", "user_id")
+
+
+def _q_funnel_conversion(sf_dir: str):
+    """Ordered conversion funnel view→click→purchase with first-touch
+    semantics (step i counts users with a step-i event strictly after
+    the timestamp at which they reached step i-1): one user-keyed
+    salted exchange, per-part vectorized per-step fold, k×n_parts ints
+    to the driver. Oracle chains the same min-after subqueries."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        funnel_counts, read)
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
 
 
 def _q_event_hour_pivot(sf_dir: str):
@@ -2078,6 +2107,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile_events,
         "doc_classifier_score": _q_doc_classifier_score,
         "clf_score_percentile": _q_clf_score_percentile,
+        "doc_repetition_signals": _q_doc_repetition_signals,
         "doc_tfidf_topk": _q_tfidf_topk,
         "curation_rollup": _q_curation_rollup,
         "token_quantiles": _q_token_quantiles_merged,
@@ -2174,6 +2204,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "hll_user_overlap": _q_hll_user_overlap,
         "doc_length_percentile": _q_doc_length_percentile,
         "event_hour_pivot": _q_event_hour_pivot,
+        "funnel_conversion": _q_funnel_conversion,
         "order_rank_windows": _q_order_rank_windows,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
@@ -3316,6 +3347,29 @@ def oracle_sql_all() -> dict[str, str]:
                  ON p.group_a = c.ga AND p.group_b = c.gb
             ORDER BY 1, 2
         """,
+        "funnel_conversion": """
+            WITH t1 AS (
+                SELECT user_id, MIN(ts) AS tr FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (
+                SELECT e.user_id, MIN(e.ts) AS tr
+                FROM events e JOIN t1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > t1.tr
+                GROUP BY e.user_id),
+            t3 AS (
+                SELECT e.user_id, MIN(e.ts) AS tr
+                FROM events e JOIN t2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > t2.tr
+                GROUP BY e.user_id)
+            SELECT step, n_users FROM (
+                SELECT 'step1_view' AS step,
+                       CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+                UNION ALL
+                SELECT 'step2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+                UNION ALL
+                SELECT 'step3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
+            ORDER BY step
+        """,
         "event_hour_pivot": """
             SELECT CAST(hour(ts) AS BIGINT) AS hour,
                    count(*) FILTER (WHERE event_type = 'click')
@@ -3783,6 +3837,68 @@ def oracle_sql_all() -> dict[str, str]:
             USING (doc_id)
         ORDER BY doc_id
     """
+    # repetition signals: per n, top-gram max count and duplicated-gram
+    # union coverage over the digit-dropped token stream; the SQL is
+    # generated per n (same structure five times)
+    def _gram_expr(n: int) -> str:
+        return " || ' ' || ".join(
+            f"w[i+{j}]" if j else "w[i]" for j in range(n))
+
+    _rep = ["""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                       x -> x <> ''
+                           AND NOT regexp_matches(x, '^[0-9]+$')) AS w
+            FROM documents),
+        base AS (SELECT doc_id, len(w) AS nt FROM toks)"""]
+    for _n in (2, 3, 4):
+        _rep.append(f""",
+        tg{_n} AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - {_n - 2}),
+                       i -> {_gram_expr(_n)})) AS g
+            FROM toks WHERE len(w) >= {_n}),
+        tc{_n} AS (
+            SELECT doc_id, MAX(c) AS mx FROM (
+                SELECT doc_id, g, COUNT(*) AS c
+                FROM tg{_n} GROUP BY 1, 2)
+            GROUP BY 1)""")
+    for _n in (5, 8):
+        _rep.append(f""",
+        dgr{_n} AS (
+            SELECT doc_id, w, unnest(range(1, len(w) - {_n - 2})) AS i
+            FROM toks WHERE len(w) >= {_n}),
+        dg{_n} AS (SELECT doc_id, i, {_gram_expr(_n)} AS g
+                   FROM dgr{_n}),
+        dupg{_n} AS (
+            SELECT doc_id, i FROM (
+                SELECT doc_id, i,
+                       COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+                FROM dg{_n})
+            WHERE c >= 2),
+        cov{_n} AS (
+            SELECT doc_id, COUNT(DISTINCT p) AS ncov
+            FROM (SELECT doc_id, unnest(range(i, i + {_n})) AS p
+                  FROM dupg{_n})
+            GROUP BY doc_id)""")
+    _sel = ["SELECT CAST(b.doc_id AS BIGINT) AS doc_id"]
+    for _n in (2, 3, 4):
+        _sel.append(f"CASE WHEN b.nt = 0 THEN 0.0 ELSE "
+                    f"round(COALESCE(tc{_n}.mx, 0) * {_n}.0 / b.nt, 6) "
+                    f"END AS top{_n}_frac")
+    for _n in (5, 8):
+        _sel.append(f"CASE WHEN b.nt = 0 THEN 0.0 ELSE "
+                    f"round(COALESCE(cov{_n}.ncov, 0) * 1.0 / b.nt, 6) "
+                    f"END AS dup{_n}_frac")
+    sql["doc_repetition_signals"] = (
+        "".join(_rep) + "\n        " + ",\n               ".join(_sel)
+        + "\n        FROM base b "
+        + " ".join(f"LEFT JOIN tc{_n} USING (doc_id)" for _n in (2, 3, 4))
+        + " "
+        + " ".join(f"LEFT JOIN cov{_n} USING (doc_id)" for _n in (5, 8))
+        + " ORDER BY doc_id")
     # phrase search: the corpus_bigrams tokenization (empty/numeric
     # filtered, adjacent pairs), top-1 bigram picked identically, per-doc
     # occurrence counts via the same bigram expansion

@@ -272,6 +272,64 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         ds, part_fn, combine_key=lambda t: t["user_id"].to_numpy())
 
 
+def funnel_counts(ds, steps: list[str], user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  n_parts: int = 32):
+    """Ordered funnel analysis (first-touch semantics): a user reaches
+    step i iff an event of type ``steps[i]`` occurs STRICTLY AFTER the
+    timestamp at which they reached step i-1 (step 0 = their earliest
+    steps[0] event). Returns pandas (step, n_users) — one row per step
+    in order, n_users monotonically non-increasing: the classic
+    conversion-funnel rollup.
+
+    Scale shape: the event stream filters to the funnel's types at the
+    read side, ONE user-keyed salted exchange co-locates each user's
+    events, and the per-part pass is VECTORIZED PER STEP (a groupby-min
+    merge per funnel stage, not a per-user Python walk) — per-part
+    output is k rows of partial counts, the driver sums k × n_parts
+    ints."""
+    import pyarrow.compute as pc
+
+    from .shuffle import salted_partition_apply
+
+    k = len(steps)
+    if k == 0 or len(set(steps)) != k:
+        raise ValueError("steps must be non-empty and distinct")
+
+    def keep_steps(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[type_col], value_set=pa.array(steps))
+        return t.filter(mask).select([user_col, ts_col, type_col])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        # reached: per-user timestamp at which the PREVIOUS step was
+        # hit; stage i keeps rows of type steps[i] later than it
+        reached = None
+        for i, st in enumerate(steps):
+            rows = df[df[type_col] == st]
+            if reached is not None:
+                rows = rows.merge(reached, on=user_col, how="inner")
+                rows = rows[rows[ts_col] > rows["__t"]]
+                rows = rows.drop(columns=["__t"])
+            hit = rows.groupby(user_col, sort=False)[ts_col].min() \
+                      .reset_index().rename(columns={ts_col: "__t"})
+            counts.append(len(hit))
+            reached = hit
+        return pd.DataFrame({"step_idx": np.arange(k, dtype=np.int64),
+                             "n_users": np.asarray(counts, np.int64)})
+
+    partials = salted_partition_apply(
+        ds.map_batches(keep_steps, batch_format="pyarrow"),
+        part_fn,
+        combine_key=lambda t: t[user_col].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=n_parts).to_pandas()
+    tot = partials.groupby("step_idx", sort=True)["n_users"].sum()
+    return pd.DataFrame({
+        "step": [f"step{i + 1}_{s}" for i, s in enumerate(steps)],
+        "n_users": [int(tot.get(i, 0)) for i in range(k)]})
+
+
 def user_event_deltas(sf_dir: str):
     """Per-user lag window (SQL ``lag(ts) OVER (PARTITION BY user_id
     ORDER BY ts, event_id)``): microsecond gap since the user's previous

@@ -339,6 +339,79 @@ class QualityClassifier:
         })
 
 
+def _rep_signal_row(ws: list[str], top_ns, dup_ns) -> list[float]:
+    """One doc's repetition metrics over its token list: for each n in
+    top_ns the most-frequent-n-gram token fraction (max_count · n / nt),
+    for each n in dup_ns the fraction of token POSITIONS covered by any
+    n-gram occurring >= 2 times in the doc (union-aware, the Gopher
+    'duplicate n-gram characters' analog at token level). Exact (no
+    hashing): n-grams are compared as code windows via np.unique."""
+    nt = len(ws)
+    out: list[float] = []
+    codes = (np.unique(np.asarray(ws), return_inverse=True)[1]
+             if nt else np.empty(0, np.int64))
+    for n in top_ns:
+        if nt < n:
+            out.append(0.0)
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(codes, n)
+        _, cnts = np.unique(win, axis=0, return_counts=True)
+        out.append(float(cnts.max()) * n / nt)
+    for n in dup_ns:
+        if nt < n:
+            out.append(0.0)
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(codes, n)
+        _, inv, cnts = np.unique(win, axis=0, return_inverse=True,
+                                 return_counts=True)
+        dup_starts = np.nonzero(cnts[inv] >= 2)[0]
+        d = np.zeros(nt + 1, np.int32)
+        d[dup_starts] += 1
+        d[dup_starts + n] -= 1
+        out.append(float((np.cumsum(d[:-1]) > 0).sum()) / nt)
+    return out
+
+
+def doc_repetition_signals(ds, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           top_ns=(2, 3, 4), dup_ns=(5, 8)):
+    """The Gopher/MassiveText repetition filters (Rae et al. 2021,
+    A1.1) the plain Gopher shape metrics don't cover: per doc, the
+    top-n-gram fraction for n ∈ top_ns and the duplicated-n-gram
+    coverage fraction for n ∈ dup_ns — boilerplate and template spam
+    score high here while passing length/symbol filters. Token-level
+    (positions in the digit-dropped ascii stream, the phrase_tokens
+    recipe) so the whole operator is SQL-oracle-expressible.
+
+    Pure per-doc map — no shuffle, streams at any scale; the n-gram
+    counting is exact np.unique over sliding code windows, not hashes.
+    Returns a Dataset (doc_id, top{n}_frac..., dup{n}_frac...),
+    6dp-rounded."""
+    from .lm import ascii_words
+
+    cols = ([f"top{n}_frac" for n in top_ns]
+            + [f"dup{n}_frac" for n in dup_ns])
+
+    def signals(t: pa.Table) -> pa.Table:
+        ids, rows = [], []
+        for did, txt in zip(t[id_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            ws = [w for w in ascii_words(txt) if not w.isdigit()]
+            ids.append(did)
+            rows.append(_rep_signal_row(ws, top_ns, dup_ns))
+        # 6dp HALF-AWAY (the QualityClassifier trick): DuckDB's round()
+        # is half-away, np.round is half-even — k·n/nt hits exact .5
+        # at the 6th decimal for power-of-two token counts
+        vals = (np.floor(np.asarray(rows, np.float64) * 1e6 + 0.5) / 1e6
+                if rows else np.empty((0, len(cols))))
+        data = {id_col: pa.array(ids, pa.int64())}
+        for j, c in enumerate(cols):
+            data[c] = pa.array(vals[:, j], pa.float64())
+        return pa.table(data)
+
+    return ds.map_batches(signals, batch_format="pyarrow").sort(id_col)
+
+
 def calibrated_quality_filter(ds, lang_ds, keep_frac: float = 0.8,
                               n_parts: int = 16):
     """Percentile-calibrated classifier filtering — the DCLM/FineWeb

@@ -2050,3 +2050,70 @@ def test_remove_dup_substrings_paths(ray_session):
                                   int(r["removed_chars"]))
                for _, r in out.iterrows()}
         assert got == want, (limit, got)
+
+
+def test_funnel_counts_exact(ray_session):
+    """Funnel semantics on hand events: strict-after ordering (click
+    BEFORE first view doesn't count), first-touch timestamps, users
+    missing a stage absent downstream, layout-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.analytics import funnel_counts
+
+    T = pd.Timestamp
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3, 4],
+        "ts": [T("2024-01-01 10:00"), T("2024-01-01 10:05"),
+               T("2024-01-01 10:10"),                       # u1: v,c,p
+               T("2024-01-01 09:00"), T("2024-01-01 08:00"),  # u2: v; c BEFORE v
+               T("2024-01-01 07:00"), T("2024-01-01 07:30"),
+               T("2024-01-01 07:10"),                       # u3: v,c; p between v and c
+               T("2024-01-01 06:00")],                      # u4: purchase only
+        "event_type": ["view", "click", "purchase",
+                       "view", "click",
+                       "view", "click", "purchase",
+                       "purchase"]})
+    for parts in (1, 3):
+        out = funnel_counts(rd.from_pandas(ev).repartition(parts),
+                            ["view", "click", "purchase"])
+        got = dict(zip(out["step"], out["n_users"].astype(int)))
+        assert got == {"step1_view": 3, "step2_click": 2,
+                       "step3_purchase": 1}, (parts, got)
+
+
+def test_repetition_signals_exact(ray_session):
+    """Hand-checked Gopher repetition metrics: 'a b a b a b' has
+    top2 = count('a b')=3 ·2/6 = 1.0 (overlap-unaware by definition),
+    dup-gram coverage is a position UNION (no double count), short docs
+    yield 0.0, digits drop from the stream."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        doc_repetition_signals)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b a b",
+                 "one two three four five one two three four five six",
+                 "tiny 42 doc"]})
+    out = doc_repetition_signals(
+        rd.from_pandas(docs).repartition(2)).to_pandas() \
+        .set_index("doc_id")
+    # doc 1: 6 tokens; top2: 'a b' x3 -> 3*2/6=1.0; top3: 'a b a' x2 ->
+    # 2*3/6=1.0; dup5: all five 5-grams dup? grams: (a b a b a) x1,
+    # (b a b a b) x1 -> no dup5 -> 0.0
+    r1 = out.loc[1]
+    assert r1["top2_frac"] == 1.0 and r1["top3_frac"] == 1.0
+    assert r1["dup5_frac"] == 0.0
+    # doc 2: 11 tokens; 'one two three four five' repeats at pos 0 and 5
+    # -> dup5 covers positions 0..9 = 10/11
+    r2 = out.loc[2]
+    assert abs(r2["dup5_frac"] - round(10 / 11, 6)) < 1e-9
+    assert r2["top2_frac"] == round(2 * 2 / 11, 6)
+    # doc 3: tokens ['tiny','doc'] (digit dropped): top2 = 1*2/2 = 1.0,
+    # all n>2 metrics 0.0
+    r3 = out.loc[3]
+    assert r3["top2_frac"] == 1.0 and r3["top4_frac"] == 0.0
+    assert r3["dup8_frac"] == 0.0
