@@ -1274,6 +1274,33 @@ def _q_ngram_jaccard(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (MOSS, Schleimer et al. 2003):
+    3-token gram md5 hashes, rightmost-min selection over 8-gram
+    windows. Pure per-doc map; the oracle recomputes the selection with
+    a HUGEINT (hash, reversed-pos) packing under a window MIN."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.fingerprint import (
+        winnow_fingerprints)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = winnow_fingerprints(ds, n=3, w=8).to_pandas()
+    return df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def _q_winnow_overlap(sf_dir: str):
+    """MOSS similarity report: doc pairs sharing >= 2 distinct winnowing
+    fingerprints. Two key-functional exchanges (fingerprint hash, then
+    pair key) — the ngram_jaccard shape over the winnowed sample."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.fingerprint import (
+        winnow_overlap_pairs)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = winnow_overlap_pairs(ds, n=3, w=8, min_shared=2).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_crawl_content_dedup(sf_dir: str):
     """Exact content dedup over the crawl output: groupby(link_hash =
     md5(html)) on the articles table of a 2-round crawl (D5 in SURVEY.md
@@ -2160,6 +2187,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_groups": _q_minhash_dedup_groups,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -3742,6 +3771,58 @@ def oracle_sql_all() -> dict[str, str]:
                array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM ({_PAIRS_CTE}) pairs
         GROUP BY term ORDER BY df DESC, term LIMIT 3
+    """
+    # Winnowing (MOSS) fingerprints: the oracle recomputes the FULL
+    # selection — md5 gram hashes (bit-identical to the engine via the
+    # 0x-prefix UBIGINT cast), rightmost-min-per-window via a HUGEINT
+    # (hash, reversed-pos) packing under a frame MIN. Window starts are
+    # s <= greatest(ng - w, 0): every full window when the doc has >= w
+    # grams, else the single window covering all grams (same rule as
+    # fingerprint._doc_fingerprints). Positions pack into 2^20 (engine
+    # raises above that).
+    _WINNOW_CTE = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                       x -> x <> ''
+                           AND NOT regexp_matches(x, '^[0-9]+$')) AS w
+            FROM documents),
+        grams AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   len(w) - 2 AS ng,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+                  FROM toks WHERE len(w) >= 3)),
+        hashed AS (
+            SELECT doc_id, pos, ng,
+                   ('0x' || substr(md5(g), 1, 15))::UBIGINT AS h
+            FROM grams),
+        winmin AS (
+            SELECT doc_id, pos AS s, ng,
+                   min(h::HUGEINT * 1048576 + (1048575 - pos))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                             AND 7 FOLLOWING) AS cmin
+            FROM hashed),
+        sel AS (
+            SELECT DISTINCT doc_id,
+                   1048575 - CAST(cmin % 1048576 AS BIGINT) AS pos
+            FROM winmin WHERE s <= greatest(ng - 8, 0)),
+        fps AS (
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.pos,
+                   CAST(h.h AS BIGINT) AS fp
+            FROM sel s JOIN hashed h USING (doc_id, pos))
+    """
+    sql["winnow_fingerprints"] = _WINNOW_CTE + """
+        SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos
+    """
+    sql["winnow_overlap_pairs"] = _WINNOW_CTE + """
+        , dfp AS (SELECT DISTINCT doc_id, fp FROM fps)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
     """
     # ExactSubstr duplicated spans: true substring equality over all
     # stride-1 50-char grams, then gaps-and-islands interval merging —

@@ -2117,3 +2117,81 @@ def test_repetition_signals_exact(ray_session):
     r3 = out.loc[3]
     assert r3["top2_frac"] == 1.0 and r3["top4_frac"] == 0.0
     assert r3["dup8_frac"] == 0.0
+
+
+def _brute_winnow(toks, n, w):
+    """Independent O(G·w) reference: enumerate every window, pick the
+    rightmost minimum by explicit scan."""
+    import hashlib
+
+    G = len(toks) - n + 1
+    if G <= 0:
+        return set()
+    h = [int(hashlib.md5(" ".join(toks[i:i + n]).encode())
+             .hexdigest()[:15], 16) for i in range(G)]
+    sel = set()
+    starts = range(G - w + 1) if G >= w else [0]
+    for s in starts:
+        window = h[s:s + w]
+        m = min(window)
+        # rightmost index attaining the min
+        p = s + max(j for j, v in enumerate(window) if v == m)
+        sel.add((p, h[p]))
+    return sel
+
+
+def test_winnow_fingerprints_reference(ray_session):
+    """Engine winnowing == brute-force window enumeration on docs that
+    cover all regimes: G < w, G == w, G > w with in-window ties
+    (repeated grams), empty-token docs; layout-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.fingerprint import (
+        winnow_fingerprints)
+    from stimson_web_scraper_ray.pipelines.index import phrase_tokens
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["alpha beta gamma delta",                      # G=2 < w
+                 "a b c d e f g h i j",                         # G=8 == w
+                 "x y z x y z x y z x y z w q r s t u v",       # ties
+                 "1 2 3 44",                                    # all digits
+                 " ".join(f"tok{i % 7}" for i in range(40))]})  # G>w, ties
+    for parts in (1, 3):
+        out = winnow_fingerprints(
+            rd.from_pandas(docs).repartition(parts), n=3, w=8) \
+            .to_pandas()
+        got = {did: set(zip(g["pos"], g["fp"]))
+               for did, g in out.groupby("doc_id")}
+        for _, row in docs.iterrows():
+            want = _brute_winnow(phrase_tokens(row["text"]), 3, 8)
+            assert got.get(row["doc_id"], set()) == want, \
+                (parts, row["doc_id"])
+
+
+def test_winnow_guarantee_and_overlap(ray_session):
+    """The winnowing guarantee: two docs sharing a run of >= n+w-1
+    tokens share at least one fingerprint; overlap pairs honor the
+    min_shared floor and come back sorted."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.fingerprint import (
+        winnow_overlap_pairs)
+
+    shared = " ".join(f"common{i}" for i in range(30))  # 30 >> n+w-1=10
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"unique one two {shared} tail stuff here",
+                 f"totally different head {shared} and an end",
+                 "nothing in common with anything else at all"]})
+    out = winnow_overlap_pairs(rd.from_pandas(docs).repartition(2),
+                               n=3, w=8, min_shared=1).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # a high floor drops the pair
+    hi = winnow_overlap_pairs(rd.from_pandas(docs), n=3, w=8,
+                              min_shared=10_000).to_pandas()
+    assert hi.empty
