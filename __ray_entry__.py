@@ -1752,6 +1752,30 @@ def _q_index_search_near(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_index_search_any_phrase(sf_dir: str):
+    """OR-of-phrases disjunction over the positional index: per-doc
+    occurrence counts of the corpus's top-3 bigrams, all three resolved
+    in ONE doc-keyed exchange (index.search_any_phrase). Bigram pick =
+    (freq desc, bigram desc), shared with the oracle."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_positional_index,
+        search_any_phrase,
+    )
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        corpus_top_bigrams,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    top3 = corpus_top_bigrams(ds, k=3).to_pandas()["bigram"].tolist()
+    pos = build_positional_index(ds).materialize()
+    out = search_any_phrase(pos, [b.split(" ") for b in top3]) \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_bloom_decontaminate(sf_dir: str):
     """Incremental-decontamination hard gate: even doc_ids are the
     HISTORY corpus, odd doc_ids the increment; the engine builds a
@@ -2179,6 +2203,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "index_search_or": _q_index_search_or,
         "index_search_phrase_pos": _q_index_search_phrase_pos,
         "index_search_near": _q_index_search_near,
+        "index_search_any_phrase": _q_index_search_any_phrase,
         "dup_substring_spans": _q_dup_substring_spans,
         "remove_dup_substrings": _q_remove_dup_substrings,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -4069,6 +4094,31 @@ def oracle_sql_all() -> dict[str, str]:
     # oracle is shared verbatim; only the engine algebra differs
     # (postings-only position alignment vs candidate re-tokenization)
     sql["index_search_phrase_pos"] = sql["index_search_phrase"]
+    # OR-of-phrases: the top-3 bigrams by the same (freq desc, bigram
+    # desc) pick, per-doc per-phrase counts — one output row per
+    # (doc, phrase) with >= 1 hit
+    sql["index_search_any_phrase"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                       x -> x <> ''
+                           AND NOT regexp_matches(x, '^[0-9]+$')) AS w
+            FROM documents),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM toks WHERE len(w) >= 2),
+        top3 AS (
+            SELECT bigram FROM (
+                SELECT bigram, COUNT(*) AS freq FROM big GROUP BY bigram
+            ) ORDER BY freq DESC, bigram DESC LIMIT 3)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, bigram AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM big WHERE bigram IN (SELECT bigram FROM top3)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
     # NEAR/5 proximity: positions over the SAME digit-dropped stream
     # (1-based here, 0-based in the engine — |pa-pb| is offset-free);
     # term pick = (df desc, term asc) on that stream, shared

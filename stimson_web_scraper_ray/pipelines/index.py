@@ -379,6 +379,110 @@ def phrase_search_positional(pos_index_ds, phrase: list[str],
         n_parts=n_parts).sort("doc_id")
 
 
+def search_any_phrase(pos_index_ds, phrases: list[list[str]],
+                      n_parts: int = 64):
+    """OR-of-phrases search resolved entirely from the positional
+    index: per-doc overlapping occurrence counts for EVERY phrase in
+    ``phrases``, in one pass — the disjunctive upgrade of
+    ``phrase_search_positional`` (same alignment algebra, all phrases
+    share the single doc-functional exchange instead of one query per
+    phrase). Returns (doc_id, phrase, n_hits) rows for n_hits > 0,
+    sorted by (doc_id, phrase); ``phrase`` is the space-joined query.
+
+    Scale shape: the index filter keeps only the UNION of the phrases'
+    terms, alignment rows carry (query, doc, aligned-start) ints, and
+    the per-part count is the same two-groupby vectorized fold — the
+    exchange is paid once for the whole disjunction."""
+    import pyarrow.compute as pc
+
+    from .shuffle import salted_partition_apply
+
+    if not phrases or any(not ph for ph in phrases):
+        raise ValueError("phrases must be non-empty lists of terms")
+    labels = [" ".join(ph) for ph in phrases]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate phrases in the disjunction")
+    qslots = [(q, i, term) for q, ph in enumerate(phrases)
+              for i, term in enumerate(ph)]
+    k_of_q = np.array([len(ph) for ph in phrases], np.int64)
+    want = sorted({t for _, _, t in qslots})
+
+    def explode_aligned(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["term"], value_set=pa.array(want))
+        t = t.filter(mask)
+        empty = pa.table({"q": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "aligned": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        pos_col = t["positions"].combine_chunks()
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = (pos_col.chunk(0) if pos_col.num_chunks == 1
+                       else pa.concat_arrays(pos_col.chunks))
+        if not isinstance(pos_col, (pa.ListArray, pa.LargeListArray)):
+            pos_col = pa.array([np.asarray(x, dtype=np.int64)
+                                for x in pos_col.to_pylist()],
+                               type=pa.list_(pa.int64()))
+        flat = pos_col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent = pc.list_parent_indices(pos_col) \
+            .to_numpy(zero_copy_only=False)
+        doc_all = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[parent]
+        term_all = np.asarray(t["term"].to_pylist(), dtype=object)[parent]
+        qs_out, docs_out, aligned_out = [], [], []
+        for q, i, term in qslots:
+            m = term_all == term
+            a = flat[m] - i
+            keep = a >= 0
+            qs_out.append(np.full(int(keep.sum()), q, np.int64))
+            docs_out.append(doc_all[m][keep])
+            aligned_out.append(a[keep])
+        if not qs_out:
+            return empty
+        return pa.table({
+            "q": pa.array(np.concatenate(qs_out), pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+            "aligned": pa.array(np.concatenate(aligned_out), pa.int64()),
+        })
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "q": pd.Series([], dtype="int64"),
+                "n_hits": pd.Series([], dtype="int64")})
+        per_start = df.groupby(["q", "doc_id", "aligned"], sort=False) \
+                      .size().reset_index(name="n_slots")
+        hit = per_start[per_start["n_slots"].to_numpy()
+                        == k_of_q[per_start["q"].to_numpy()]]
+        out = hit.groupby(["q", "doc_id"], sort=False).size() \
+                 .reset_index(name="n_hits")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out[["doc_id", "q", "n_hits"]]
+
+    rows = pos_index_ds.map_batches(explode_aligned,
+                                    batch_format="pyarrow")
+    counts = salted_partition_apply(
+        rows, count_part,
+        lambda t: t["doc_id"].to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        n_parts=n_parts)
+
+    lab = np.asarray(labels, dtype=object)
+
+    def attach_label(t: pa.Table) -> pa.Table:
+        qs = t["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "phrase": pa.array(lab[qs], pa.string()),
+            "n_hits": t["n_hits"],
+        })
+
+    return counts.map_batches(attach_label, batch_format="pyarrow") \
+        .sort(["doc_id", "phrase"])
+
+
 def top_terms_positional(pos_index_ds, k: int) -> list[str]:
     """Top-k terms by (df desc, term asc) over the POSITIONAL index's
     digit-dropped token stream (one index row per (term, doc), so a

@@ -2195,3 +2195,30 @@ def test_winnow_guarantee_and_overlap(ray_session):
     hi = winnow_overlap_pairs(rd.from_pandas(docs), n=3, w=8,
                               min_shared=10_000).to_pandas()
     assert hi.empty
+
+
+def test_search_any_phrase(ray_session):
+    """Disjunctive positional search: per-phrase per-doc counts match
+    hand counts (overlaps counted, repeated-term phrase exact, absent
+    phrase yields no rows), single exchange for the whole disjunction."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_positional_index, search_any_phrase)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["big data big data big data",
+                 "data data data and nothing else",
+                 "totally unrelated words here"]})
+    pos = build_positional_index(rd.from_pandas(docs).repartition(2)) \
+        .materialize()
+    out = search_any_phrase(
+        pos, [["big", "data"], ["data", "data"], ["no", "hit"]]) \
+        .to_pandas()
+    got = {(int(r["doc_id"]), r["phrase"]): int(r["n_hits"])
+           for _, r in out.iterrows()}
+    # doc1 'big data' starts at 0,2,4; doc2 'data data' overlapping
+    # starts at 0,1; 'no hit' absent everywhere; doc3 matches nothing
+    assert got == {(1, "big data"): 3, (2, "data data"): 2}
