@@ -138,6 +138,45 @@ def _q_approx_distinct_users(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_hll_sharded_gate(sf_dir: str):
+    """Oracle-GATED sharded-by-prefix HLL (the >node-memory register
+    form: 2^p registers split across 2^shard_bits independent
+    (group, shard) exchange keys; only two scalars per shard reach the
+    driver). Gate row per event type: exact distinct users (oracle-
+    recomputed), within_bound (5% ≈ 3σ at p=12), and matches_whole —
+    the sharded estimate must equal the whole-array estimator's up to
+    FP-summation rounding (±1 after int round), pinning that the shard
+    decomposition is exactly register-partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        event_type_distinct_users, read)
+    from stimson_web_scraper_ray.pipelines.sketch import (
+        hll_distinct_per_group, hll_distinct_sharded)
+
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+    sharded = hll_distinct_sharded(ds, "event_type", "user_id",
+                                   p=12, shard_bits=3)
+    whole = hll_distinct_per_group(ds, "event_type", "user_id", p=12)
+    exact = event_type_distinct_users(sf_dir)
+    df = exact \
+        .merge(sharded.rename(columns={"approx_distinct": "sh"}),
+               on="event_type") \
+        .merge(whole.rename(columns={"approx_distinct": "wh"}),
+               on="event_type")
+    out = pd.DataFrame({
+        "event_type": df["event_type"],
+        "n_users": df["n_users"].astype("int64"),
+        "within_bound": ((df["sh"] - df["n_users"]).abs()
+                         / df["n_users"] <= 0.05).astype(bool),
+        "matches_whole": ((df["sh"] - df["wh"]).abs()
+                          <= np.maximum(1, 1e-6 * df["wh"]))
+        .astype(bool),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_doc_langid(sf_dir: str):
     from stimson_web_scraper_ray.pipelines.analytics import read
     from stimson_web_scraper_ray.pipelines.textstats import add_langid
@@ -2255,6 +2294,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": _q_event_value_stats,
         "users_intersect": _q_users_intersect,
         "hll_error_bounds": _q_hll_error_bounds,
+        "hll_sharded_gate": _q_hll_sharded_gate,
         "hll_user_overlap": _q_hll_user_overlap,
         "doc_length_percentile": _q_doc_length_percentile,
         "event_hour_pivot": _q_event_hour_pivot,
@@ -3373,6 +3413,12 @@ def oracle_sql_all() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "hll_sharded_gate": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS within_bound, TRUE AS matches_whole
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "doc_length_percentile": """

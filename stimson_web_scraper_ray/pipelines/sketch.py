@@ -57,11 +57,10 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
-    """Register array (2^p uint8) for one batch of int64 keys: bucket =
-    top p hash bits, rank = 1 + leading zeros of the remaining 64-p bits
-    (capped), register = max rank per bucket."""
-    m = 1 << p
+def _bucket_ranks(values: np.ndarray, p: int):
+    """(bucket, rank) vectors shared by the whole-array and sharded
+    register builders: bucket = top p hash bits, rank = 1 + leading
+    zeros of the remaining 64-p bits (sentinel-capped)."""
     h = splitmix64(values)
     bucket = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
@@ -69,8 +68,13 @@ def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
     # (sentinel guarantees a set bit, so log2 is safe and caps the rank)
     fl = np.floor(np.log2(rest.astype(np.float64) + 1.0))
     lead = np.uint8(63) - fl.astype(np.uint8)
-    rank = lead + np.uint8(1)
-    regs = np.zeros(m, dtype=np.uint8)
+    return bucket, lead + np.uint8(1)
+
+
+def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """Register array (2^p uint8) for one batch of int64 keys."""
+    bucket, rank = _bucket_ranks(values, p)
+    regs = np.zeros(1 << p, dtype=np.uint8)
     np.maximum.at(regs, bucket, rank)
     return regs
 
@@ -161,6 +165,101 @@ def hll_distinct_per_group(ds, group_col: str, value_col: str,
         int(round(hll_estimate(np.frombuffer(b, dtype=np.uint8))))
         for b in out.pop("regs")]
     out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def hll_distinct_sharded(ds, group_col: str, value_col: str,
+                         p: int = 16, shard_bits: int = 3,
+                         n_parts: int = 16):
+    """Sharded-by-prefix HLL distinct count — the >node-memory form of
+    ``hll_distinct_per_group``. The 2^p register array is PARTITIONED
+    by its top ``shard_bits`` bucket bits into 2^shard_bits shards;
+    each shard's registers are built, exchanged, and max-merged
+    independently (keyed on (group, shard)), and only TWO SCALARS per
+    shard ever reach the driver: sum(2^-reg) and the zero-register
+    count. The full array therefore never exists in any one place —
+    at p=20+ (0.1% error) or with millions of groups, no actor or
+    driver ever holds more than m / 2^shard_bits registers per group,
+    and a bigger cluster just raises shard_bits.
+
+    The estimate is numerically the classic estimator over the same
+    registers (hll_estimate's formula folded over per-shard partial
+    sums), so it agrees with the unsharded path to FP-summation order.
+    Returns pandas (group_col, approx_distinct:int64)."""
+    m = 1 << p
+    n_shards = 1 << shard_bits
+    m_s = m >> shard_bits
+    if m_s < 1:
+        raise ValueError("shard_bits must be < p")
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_g, out_s, out_r = [], [], []
+        for g in pd.unique(groups):
+            bucket, rank = _bucket_ranks(vals[groups == g], p)
+            shard = bucket >> (p - shard_bits)
+            local = bucket & (m_s - 1)
+            for s in np.unique(shard):
+                mask = shard == s
+                regs = np.zeros(m_s, dtype=np.uint8)
+                np.maximum.at(regs, local[mask], rank[mask])
+                out_g.append(g)
+                out_s.append(int(s))
+                out_r.append(regs.tobytes())
+        return pa.table({group_col: pa.array(out_g),
+                         "shard": pa.array(out_s, pa.int64()),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    def gs_key(t: pa.Table) -> np.ndarray:
+        import hashlib
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        shards = t["shard"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(groups)
+        hashed = np.asarray(
+            [int.from_bytes(hashlib.blake2b(str(g).encode("utf-8"),
+                                            digest_size=8).digest(),
+                            "little") & 0x7FFFFFFF for g in uniq],
+            dtype=np.int64)
+        return hashed[codes] * np.int64(n_shards) + shards
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (g, s), sub in df.groupby([group_col, "shard"], sort=False):
+            regs = np.zeros(m_s, dtype=np.uint8)
+            for blob in sub["regs"]:
+                regs = np.maximum(regs,
+                                  np.frombuffer(blob, dtype=np.uint8))
+            rows.append((g, s,
+                         float(np.sum(np.exp2(-regs.astype(np.float64)))),
+                         int(np.count_nonzero(regs == 0))))
+        return pd.DataFrame(rows, columns=[group_col, "shard",
+                                           "inv_sum", "n_zero"])
+
+    scalars = salted_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge_part, gs_key, n_parts=n_parts).to_pandas()
+
+    # the exchange is key-functional (one part per (group, shard)), so
+    # each pair contributes exactly one scalar row; shards with NO
+    # input rows are m_s all-zero registers (inv_sum = m_s, n_zero =
+    # m_s) folded in arithmetically below
+    agg = scalars.groupby(group_col, sort=False).agg(
+        inv_sum=("inv_sum", "sum"), n_zero=("n_zero", "sum"),
+        n_present=("shard", "size")).reset_index()
+    missing = (n_shards - agg["n_present"]).to_numpy()
+    inv = agg["inv_sum"].to_numpy() + missing * float(m_s)
+    zeros = agg["n_zero"].to_numpy() + missing * m_s
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / inv
+    small = est <= 2.5 * m
+    lc = np.where(zeros > 0, m * np.log(m / np.maximum(zeros, 1)),
+                  est)
+    est = np.where(small, lc, est)
+    out = pd.DataFrame({
+        group_col: agg[group_col],
+        "approx_distinct": np.round(est).astype(np.int64)})
     return out.sort_values(group_col).reset_index(drop=True)
 
 

@@ -2222,3 +2222,35 @@ def test_search_any_phrase(ray_session):
     # doc1 'big data' starts at 0,2,4; doc2 'data data' overlapping
     # starts at 0,1; 'no hit' absent everywhere; doc3 matches nothing
     assert got == {(1, "big data"): 3, (2, "data data"): 2}
+
+
+def test_hll_sharded_matches_whole(ray_session):
+    """The sharded-by-prefix HLL is a pure register partition: for any
+    shard_bits it reproduces the whole-array estimator (±1 rounding),
+    including the linear-counting small-range regime where most shards
+    are empty (the missing-shard arithmetic fold)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.sketch import (
+        hll_distinct_per_group, hll_distinct_sharded)
+
+    rng = np.random.RandomState(7)
+    big = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 5000),
+        "v": np.concatenate([rng.randint(0, 3000, 5000),
+                             rng.randint(0, 40, 5000)])})
+    tiny = pd.DataFrame({"g": ["c"] * 6, "v": np.arange(6)})
+    ds = rd.from_pandas(pd.concat([big, tiny], ignore_index=True)) \
+        .repartition(4)
+    for p, sb in ((12, 3), (12, 5), (16, 3)):
+        whole = hll_distinct_per_group(ds, "g", "v", p=p) \
+            .set_index("g")["approx_distinct"]
+        sh = hll_distinct_sharded(ds, "g", "v", p=p, shard_bits=sb) \
+            .set_index("g")["approx_distinct"]
+        assert set(sh.index) == {"a", "b", "c"}
+        for g in ("a", "b", "c"):
+            assert abs(int(sh[g]) - int(whole[g])) <= 1, (p, sb, g)
+        # sanity: the small set is exact under linear counting
+        assert int(sh["c"]) == 6, (p, sb)
