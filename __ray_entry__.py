@@ -1926,6 +1926,20 @@ def _q_weighted_sample_topk(sf_dir: str):
     return weighted_reservoir_topk(ds, k=50)
 
 
+def _q_trade_bfs(sf_dir: str):
+    """Multi-source BFS hop distances (graph.bfs_hops) from the two
+    smallest trade-graph node ids, 3 hops: per hop one semi-join
+    (frontier out-edges), one salted distinct, one anti-join against
+    visited — frontier and visited stay Datasets. Oracle = recursive
+    CTE taking MIN(dist) over the bounded walk closure."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_bfs
+
+    out = trade_bfs(sf_dir, max_hops=3)
+    out["node_id"] = out["node_id"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_trade_components(sf_dir: str):
     """Connected components of the trade graph (the public
     graph.connected_components operator — large-star/small-star edge
@@ -2277,6 +2291,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "asof_join_generic": _q_asof_join_generic,
         "kmv_bottomk": _q_kmv_bottomk,
         "trade_components": _q_trade_components,
+        "trade_bfs": _q_trade_bfs,
         "kcore_decomposition": _q_kcore_decomposition,
         "label_centroids": _q_label_centroids,
         "part_triangles": _q_part_triangles,
@@ -4325,6 +4340,31 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node_id,
                CAST(LEAST(node, MIN(r)) AS BIGINT) AS component_id
         FROM w GROUP BY node ORDER BY node_id
+    """
+    # BFS hop distances: bounded recursive walk closure, MIN(dist) per
+    # node; seeds = the two smallest node ids of the same edge encoding
+    sql["trade_bfs"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS c,
+                            l.l_suppkey * 2 + 1 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ), seeds AS (
+            SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
+            ORDER BY node LIMIT 2
+        ), walk(node, dist) AS (
+            SELECT node, 0 FROM seeds
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.dist < 3
+        )
+        SELECT CAST(node AS BIGINT) AS node_id,
+               CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node ORDER BY node_id
     """
     # KMV: same md5_number_lower hash as corpus_mix; the estimate
     # mirrors the engine's float ops exactly (UBIGINT->DOUBLE cast,

@@ -568,6 +568,88 @@ def trade_components(sf_dir: str) -> pd.DataFrame:
     return connected_components(trade_edges(sf_dir))
 
 
+def bfs_hops(edges_ds, sources: list[int], max_hops: int = 4,
+             n_parts: int = 32) -> pd.DataFrame:
+    """Multi-source BFS hop distances over a (src:int64, dst:int64)
+    edge Dataset: (node_id, dist) for every node within ``max_hops`` of
+    any source, dist = the MINIMUM hop count (sources at 0). The
+    frontier-priority primitive behind crawl-depth accounting and
+    seed-distance features.
+
+    Scale shape: the frontier and the visited set stay DATASETS end to
+    end — per hop, ONE semi-join keeps the edges leaving the frontier
+    (edges exchange on src), a salted distinct collapses their dst
+    multiplicity, and an anti-join against visited shrinks the next
+    frontier; the graph never concentrates on the driver (only per-hop
+    row COUNTS cross, for termination). max_hops × 3 key-functional
+    exchanges total — the same per-iteration shape as the distributed
+    PageRank path, with the visited anti-join keeping re-expansion off
+    the table on high-diameter graphs."""
+    import ray.data as rd
+
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    src_ids = np.unique(np.asarray(sources, dtype=np.int64))
+    if src_ids.size == 0:
+        raise ValueError("bfs_hops needs at least one source node")
+    visited = rd.from_pandas(pd.DataFrame({"node_id": src_ids}))
+    frontier = rd.from_pandas(pd.DataFrame({"src": src_ids}))
+    levels = [pd.DataFrame({"node_id": src_ids,
+                            "dist": np.zeros(src_ids.size, np.int64)})]
+
+    def dst_only(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": t["dst"]})
+
+    def as_src(t: pa.Table) -> pa.Table:
+        # avoids Dataset.rename_columns, whose Project stage rejects
+        # the pandas blocks the exchange emits (Ray 2.49)
+        return pa.table({"src": t["node_id"]})
+
+    def node_key(t: pa.Table) -> np.ndarray:
+        return t["node_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+    for h in range(1, max_hops + 1):
+        out_edges = hash_join(edges_ds, frontier, on="src",
+                              how="semi", n_parts=n_parts)
+        cand = salted_partition_apply(
+            out_edges.map_batches(dst_only, batch_format="pyarrow"),
+            lambda df: df.drop_duplicates("node_id"),
+            node_key, n_parts=n_parts)
+        nxt = hash_join(cand, visited, on="node_id", how="anti",
+                        n_parts=n_parts).materialize()
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        levels.append(pd.DataFrame({
+            "node_id": nxt.to_pandas()["node_id"].astype("int64"),
+            "dist": np.full(n_new, h, np.int64)}))
+        visited = visited.union(nxt).materialize()
+        frontier = nxt.map_batches(as_src, batch_format="pyarrow")
+
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+def trade_bfs(sf_dir: str, max_hops: int = 3) -> pd.DataFrame:
+    """BFS hop distances over the bidirectional trade graph from the
+    two smallest node ids (deterministic seed pick, shared with the
+    recursive-CTE oracle). NOTE: levels collect to pandas on the
+    driver — O(nodes-within-range) rows, the same driver volume as the
+    result itself."""
+    edges = trade_edges(sf_dir).materialize()
+
+    def min2(t: pa.Table) -> pa.Table:
+        s = np.unique(t["src"].to_numpy(zero_copy_only=False))[:2]
+        return pa.table({"node_id": pa.array(s, pa.int64())})
+
+    partials = edges.map_batches(min2, batch_format="pyarrow") \
+        .to_pandas()["node_id"].to_numpy()
+    seeds = np.unique(partials)[:2].tolist()
+    return bfs_hops(edges, seeds, max_hops=max_hops)
+
+
 def core_decomposition(edges_ds,
                        node_broadcast_limit: int = 50_000_000,
                        max_waves: int = 100_000) -> pd.DataFrame:

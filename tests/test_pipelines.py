@@ -2254,3 +2254,30 @@ def test_hll_sharded_matches_whole(ray_session):
             assert abs(int(sh[g]) - int(whole[g])) <= 1, (p, sb, g)
         # sanity: the small set is exact under linear counting
         assert int(sh["c"]) == 6, (p, sb)
+
+
+def test_bfs_hops_hand_graph(ray_session):
+    """BFS on a hand graph: a path 1->2->3->4->5, a shortcut 1->4, an
+    unreachable island 10->11; multi-source min-dist; max_hops cut."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import bfs_hops
+
+    edges = pd.DataFrame({
+        "src": [1, 2, 3, 4, 1, 10],
+        "dst": [2, 3, 4, 5, 4, 11]})
+    ds = rd.from_pandas(edges).repartition(2)
+    out = bfs_hops(ds, [1], max_hops=4)
+    got = dict(zip(out["node_id"].astype(int), out["dist"].astype(int)))
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    # hop cap: only 1 hop out
+    out1 = bfs_hops(ds, [1], max_hops=1)
+    got1 = dict(zip(out1["node_id"].astype(int),
+                    out1["dist"].astype(int)))
+    assert got1 == {1: 0, 2: 1, 4: 1}
+    # multi-source: island seed joins in; min over sources
+    out2 = bfs_hops(ds, [3, 10], max_hops=2)
+    got2 = dict(zip(out2["node_id"].astype(int),
+                    out2["dist"].astype(int)))
+    assert got2 == {3: 0, 10: 0, 4: 1, 11: 1, 5: 2}
