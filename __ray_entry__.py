@@ -1898,6 +1898,38 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Whole-corpus embedding covariance (the PCA/whitening second
+    moment): per-batch (n, Σx, ΣXᵀX) partials — d + d² floats each —
+    folded on the driver; long-form (i, j, cov) output, 6 dp. The
+    oracle recomputes every entry with covar_pop over the unnested
+    components."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        covariance_long, embedding_covariance)
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return covariance_long(embedding_covariance(ds))
+
+
+def _q_pca_embeddings(sf_dir: str):
+    """Top-4 PCA projection of the embedding corpus: distributed
+    covariance → driver d×d eigh (d-bounded, data-size-independent) →
+    broadcast components, one matmul per batch. Rows-only (no SQL
+    eigendecomposition); the covariance input is the oracle-exact
+    embedding_covariance and the eigen step is pinned against numpy
+    full PCA in pytest (test_pca_matches_numpy)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        pca_fit, pca_project)
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, comps = pca_fit(ds, k=4)
+    df = pca_project(ds, comps).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_part_triangles(sf_dir: str):
     """Per-node triangle counts of the part co-order graph (parts that
     ship in the same order are adjacent): the degree-ordered-orientation
@@ -2294,6 +2326,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "trade_bfs": _q_trade_bfs,
         "kcore_decomposition": _q_kcore_decomposition,
         "label_centroids": _q_label_centroids,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_embeddings": _q_pca_embeddings,
         "part_triangles": _q_part_triangles,
         "weighted_sample_topk": _q_weighted_sample_topk,
         "event_type_stats": _q_event_type_stats,
@@ -4267,6 +4301,22 @@ def oracle_sql_all() -> dict[str, str]:
         FROM m LEFT JOIN v ON v.user_id = m.user_id
                           AND v.ts = m.prior_view_ts
         ORDER BY m.event_id
+    """
+    # whole-corpus covariance: lockstep-unnest components, self-join on
+    # vec_id, covar_pop per (i, j) — all d² entries value-compared at
+    # 6 dp against the engine's streamed ΣXᵀX/n − μμᵀ fold
+    sql["embedding_covariance"] = """
+        WITH comp AS (
+            SELECT vec_id,
+                   CAST(unnest(range(1, len(embedding) + 1)) - 1
+                        AS BIGINT) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT a.i AS i, b.i AS j,
+               round(covar_pop(a.x, b.x), 6) AS cov
+        FROM comp a JOIN comp b USING (vec_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     # per-label embedding centroids: DuckDB lockstep-unnests the vector
     # and a range() for 1-based dims; double mean rounded 6dp both sides

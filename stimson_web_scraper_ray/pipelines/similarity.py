@@ -382,3 +382,90 @@ def label_centroids(ds, label_col: str = "label",
     return agg[["label", "dim", "centroid"]] \
         .sort_values(["label", "dim"]).reset_index(drop=True) \
         .astype({"label": "int64", "dim": "int64"})
+
+
+def embedding_covariance(ds, vec_col: str = "embedding") -> np.ndarray:
+    """Distributed population covariance of the embedding column:
+    every batch reduces to (n, Σx, ΣxᵀX) — d + d² float64 scalars —
+    so the driver folds one tiny partial row PER BATCH and the corpus
+    never concentrates anywhere. cov = ΣxᵀX/n − μμᵀ. This is the
+    whole-corpus second-moment primitive under PCA / whitening /
+    Mahalanobis scoring; at 100 TB the reduce stays d²-scaled
+    (batches × 4 KB at d=64) regardless of row count."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t[vec_col])
+        if m.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+        })
+
+    pr = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    n = int(pr["n"].sum())
+    if n == 0:
+        raise ValueError("embedding_covariance on an empty dataset")
+    s = np.sum(np.stack([np.asarray(x, np.float64)
+                         for x in pr["s"]]), axis=0)
+    ss = np.sum(np.stack([np.asarray(x, np.float64)
+                          for x in pr["ss"]]), axis=0)
+    d = s.size
+    mean = s / n
+    return ss.reshape(d, d) / n - np.outer(mean, mean)
+
+
+def covariance_long(cov: np.ndarray, ndigits: int = 6) -> pd.DataFrame:
+    """(i, j, cov) long form of a covariance matrix, rounded for oracle
+    hash-stability (summation-order noise ~1e-12 at these scales)."""
+    d = cov.shape[0]
+    i, j = np.meshgrid(np.arange(d, dtype=np.int64),
+                       np.arange(d, dtype=np.int64), indexing="ij")
+    return pd.DataFrame({"i": i.ravel(), "j": j.ravel(),
+                         "cov": np.round(cov.ravel(), ndigits)})
+
+
+def pca_fit(ds, k: int = 4, vec_col: str = "embedding"):
+    """Top-k principal components from the distributed covariance:
+    the d×d eigendecomposition runs on the driver (d is the embedding
+    width — 64 here, bounded and data-size-independent; the DATA-scaled
+    work is all in embedding_covariance's streamed partials). Returns
+    (eigenvalues desc, components (k, d)) with each component's sign
+    canonicalized (largest-|entry| coordinate positive) so the result
+    is deterministic under FP summation jitter."""
+    cov = embedding_covariance(ds, vec_col=vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    vals = vals[order]
+    comps = vecs[:, order].T
+    flip = np.sign(comps[np.arange(comps.shape[0]),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return vals, comps * flip[:, None]
+
+
+def pca_project(ds, components: np.ndarray, id_col: str = "vec_id",
+                vec_col: str = "embedding", ndigits: int = 4):
+    """Project every vector onto the given components (broadcast once
+    via ray.put, one matmul per batch — zero shuffle). Output columns:
+    id_col, pc0..pc{k-1} float64 rounded."""
+    import ray
+
+    comp_ref = ray.put(np.asarray(components, np.float64))
+    k = components.shape[0]
+
+    def project(t: pa.Table) -> pa.Table:
+        c = ray.get(comp_ref)
+        m = _as_matrix(t[vec_col])
+        proj = (m @ c.T if m.size
+                else np.empty((0, k), np.float64))
+        data = {id_col: t[id_col]}
+        for q in range(k):
+            data[f"pc{q}"] = pa.array(np.round(proj[:, q], ndigits),
+                                      pa.float64())
+        return pa.table(data)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -2281,3 +2281,49 @@ def test_bfs_hops_hand_graph(ray_session):
     got2 = dict(zip(out2["node_id"].astype(int),
                     out2["dist"].astype(int)))
     assert got2 == {3: 0, 10: 0, 4: 1, 11: 1, 5: 2}
+
+
+def test_pca_matches_numpy(ray_session):
+    """Distributed-covariance PCA == numpy full PCA on the gathered
+    table: eigenvalues match, components match up to the canonical
+    sign, projections match, eigenvalue sum == trace, components
+    orthonormal. Layout-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        embedding_covariance, pca_fit, pca_project)
+
+    rng = np.random.RandomState(11)
+    # anisotropic data so the spectrum is distinct and signs are stable
+    base = rng.randn(400, 6) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    rot, _ = np.linalg.qr(rng.randn(6, 6))
+    X = base @ rot.T
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [row.astype(np.float32)
+                                     for row in X]})
+    for parts in (1, 5):
+        ds = rd.from_pandas(df).repartition(parts)
+        cov = embedding_covariance(ds)
+        Xf = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ref_cov = np.cov(Xf, rowvar=False, bias=True)
+        assert np.allclose(cov, ref_cov, atol=1e-9), parts
+
+        vals, comps = pca_fit(ds, k=3)
+        ref_vals, ref_vecs = np.linalg.eigh(ref_cov)
+        ref_order = np.argsort(ref_vals)[::-1][:3]
+        assert np.allclose(vals, ref_vals[ref_order], rtol=1e-8)
+        assert np.allclose(np.sum(np.linalg.eigh(cov)[0]),
+                           np.trace(cov))
+        assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+        for q in range(3):
+            ref = ref_vecs[:, ref_order[q]]
+            ref = ref * np.sign(ref[np.abs(ref).argmax()])
+            assert np.allclose(comps[q], ref, atol=1e-8), (parts, q)
+
+        proj = pca_project(ds, comps).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        want = np.round(Xf @ comps.T, 4)
+        got = proj[["pc0", "pc1", "pc2"]].to_numpy()
+        assert np.allclose(got, want, atol=1e-9), parts
