@@ -1041,6 +1041,53 @@ def _q_hll_user_overlap(sf_dir: str):
     return hll_pair_overlap(ds, "event_type", "user_id")
 
 
+def _q_customer_median_order(sf_dir: str):
+    """Exact per-customer median order price (quantile_cont(0.5),
+    interpolated): one key-functional salted exchange, vectorized
+    per-part grouped median — the high-cardinality exact-median shape
+    (a handful of giant groups would use the quantile sketch
+    instead)."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        customer_median_order)
+
+    return customer_median_order(sf_dir)
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: lineitem filtered against its own per-part
+    average quantity (combiner partials → part-scaled groupby → the
+    avg table ships back through the broadcast-vs-exchange switch);
+    single-row avg_yearly output."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        small_quantity_revenue)
+
+    return small_quantity_revenue(sf_dir)
+
+
+def _q_user_value_moving_avg(sf_dir: str):
+    """ROWS-frame moving average (AVG OVER ... ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW) per user: one user-keyed exchange + pandas grouped
+    rolling in each part."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        user_value_moving_avg)
+
+    return user_value_moving_avg(sf_dir)
+
+
+def _q_doc_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (bits) — the
+    low-diversity/boilerplate quality signal; oracle = DuckDB's
+    entropy() aggregate over the same digit-dropped stream."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        doc_token_entropy)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = doc_token_entropy(ds).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_funnel_conversion(sf_dir: str):
     """Ordered conversion funnel view→click→purchase with first-touch
     semantics (step i counts users with a step-i event strictly after
@@ -2348,6 +2395,10 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentile": _q_doc_length_percentile,
         "event_hour_pivot": _q_event_hour_pivot,
         "funnel_conversion": _q_funnel_conversion,
+        "customer_median_order": _q_customer_median_order,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "user_value_moving_avg": _q_user_value_moving_avg,
+        "doc_token_entropy": _q_doc_token_entropy,
         "order_rank_windows": _q_order_rank_windows,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
@@ -3495,6 +3546,46 @@ def oracle_sql_all() -> dict[str, str]:
             FROM pairs p LEFT JOIN cnt c
                  ON p.group_a = c.ga AND p.group_b = c.gb
             ORDER BY 1, 2
+        """,
+        "customer_median_order": """
+            SELECT o_custkey,
+                   round(median(o_totalprice), 2) AS median_price
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "small_quantity_revenue": """
+            SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN (
+                SELECT l_partkey, 0.2 * (SUM(l_quantity) / COUNT(*))
+                       AS thresh
+                FROM lineitem GROUP BY l_partkey) t
+              ON l.l_partkey = t.l_partkey
+            WHERE l.l_quantity < t.thresh
+        """,
+        "user_value_moving_avg": """
+            SELECT event_id,
+                   round(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                       4) AS mavg
+            FROM events ORDER BY event_id
+        """,
+        "doc_token_entropy": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(regexp_replace(
+                           text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                           x -> x <> ''
+                               AND NOT regexp_matches(x, '^[0-9]+$'))
+                       AS w
+                FROM documents),
+            flat AS (SELECT doc_id, unnest(w) AS tok FROM toks)
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   round(COALESCE(e.h, 0.0), 6) AS entropy
+            FROM toks t LEFT JOIN (
+                SELECT doc_id, entropy(tok) AS h FROM flat
+                GROUP BY doc_id) e USING (doc_id)
+            ORDER BY doc_id
         """,
         "funnel_conversion": """
             WITH t1 AS (

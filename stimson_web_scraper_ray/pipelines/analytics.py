@@ -1225,3 +1225,122 @@ def event_value_stats(sf_dir: str):
         "corr_value_hour": np.round(corr, 6),
     })
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def group_median(ds, group_col: str, value_col: str,
+                 out_col: str = "median_val", n_parts: int = 64,
+                 ndigits: int = 2) -> pd.DataFrame:
+    """EXACT per-group median (SQL ``median()`` / quantile_cont(0.5),
+    linear interpolation on even counts): one key-functional salted
+    exchange co-locates each group, a vectorized per-part grouped
+    median finishes. The right shape for HIGH-cardinality groups (a
+    group's rows must fit one part — per-customer, per-host, per-doc
+    keys); for a handful of giant groups use the streamed quantile
+    sketch (textstats.token_quantiles machinery) instead."""
+    from .join import _key_to_int64
+    from .shuffle import salted_partition_apply
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(group_col, sort=False)[value_col].median() \
+            .reset_index(name=out_col)
+        return out
+
+    out = salted_partition_apply(
+        ds, part_fn, lambda t: _key_to_int64(t, group_col),
+        n_parts=n_parts).to_pandas()
+    out[out_col] = out[out_col].round(ndigits)
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def customer_median_order(sf_dir: str) -> pd.DataFrame:
+    """Exact median order price per customer — the per-entity exact
+    median over ~150k·SF groups (group_median's intended regime)."""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = group_median(orders, "o_custkey", "o_totalprice",
+                       out_col="median_price")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out
+
+
+def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape — a fact table filtered against ITS OWN per-key
+    aggregate: yearly-average revenue lost to small orders, i.e.
+    sum(l_extendedprice)/7 over lineitems with l_quantity < 0.2 × that
+    part's average quantity. Scale shape: per-batch (partkey, Σqty, n)
+    combiner partials → one part-scaled groupby → the avg table joins
+    BACK onto the streaming lineitem via the runtime broadcast-vs-
+    exchange switch — the fact table is read once and never exchanged
+    on the broadcast path."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import adaptive_join
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("l_partkey", sort=False)["q"] \
+            .agg(["sum", "size"]).reset_index()
+        return pa.table({
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(), pa.int64()),
+            "qsum": pa.array(g["sum"].to_numpy(), pa.float64()),
+            "qn": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    avg = li.map_batches(qty_partials, batch_format="pyarrow") \
+        .groupby("l_partkey") \
+        .aggregate(Sum("qsum", alias_name="s"),
+                   Sum("qn", alias_name="n"))
+
+    def to_threshold(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # same double ops as SQL's 0.2 * avg(l_quantity)
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "thresh": pa.array(0.2 * (s / n), pa.float64())})
+
+    thresh = avg.map_batches(to_threshold, batch_format="pyarrow")
+    j = adaptive_join(li, thresh, on="l_partkey")
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["l_quantity"], t["thresh"])
+        kept = pc.sum(pc.if_else(keep, t["l_extendedprice"],
+                                 pa.scalar(0.0))).as_py() or 0.0
+        return pa.table({"rev": pa.array([kept], pa.float64())})
+
+    total = j.map_batches(partial_rev, batch_format="pyarrow") \
+        .to_pandas()["rev"].sum()
+    return pd.DataFrame({"avg_yearly": [round(total / 7.0, 2)]})
+
+
+def user_value_moving_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """ROWS-frame window (SQL ``AVG(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)``):
+    per-user moving average over the previous ``window`` events. One
+    user-keyed salted exchange; the per-part pass is pandas grouped
+    rolling (vectorized C path)."""
+    from .shuffle import salted_partition_apply
+
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        m = df.groupby("user_id", sort=False)["value"] \
+            .rolling(window, min_periods=1).mean() \
+            .reset_index(drop=True)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "mavg": np.round(m.to_numpy(), 4)})
+
+    out = salted_partition_apply(
+        ev, part_fn,
+        lambda t: t["user_id"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -599,3 +599,34 @@ def corpus_top_bigrams(ds, k: int = 20):
     partials = ds.map_batches(partial_bigram_counts, batch_format="pyarrow")
     agg = partials.groupby("bigram").aggregate(Sum("freq", alias_name="freq"))
     return agg.sort(["freq", "bigram"], descending=[True, True]).limit(k)
+
+
+def doc_token_entropy(ds, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-doc Shannon entropy (bits) of the token frequency
+    distribution over the digit-dropped ascii stream — the classic
+    low-diversity spam signal (near-zero entropy = one token repeated;
+    boilerplate scores low while passing length filters). Pure per-doc
+    map, no shuffle; counts via np.unique, 6-dp rounded to match
+    DuckDB's ``entropy()`` aggregate."""
+    from .lm import ascii_words
+
+    def ent(t: pa.Table) -> pa.Table:
+        ids, hs, ns = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            ws = [w for w in ascii_words(txt) if not w.isdigit()]
+            ids.append(did)
+            ns.append(len(ws))
+            if not ws:
+                hs.append(0.0)
+                continue
+            _, cnts = np.unique(np.asarray(ws), return_counts=True)
+            p = cnts / cnts.sum()
+            hs.append(float(-(p * np.log2(p)).sum()))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "entropy": pa.array(np.round(hs, 6), pa.float64())})
+
+    return ds.map_batches(ent, batch_format="pyarrow")
