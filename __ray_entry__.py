@@ -1101,6 +1101,47 @@ def _q_funnel_conversion(sf_dir: str):
     return funnel_counts(ds, ["view", "click", "purchase"])
 
 
+def _q_crawl_snapshot_diff(sf_dir: str):
+    """Incremental-recrawl delta (pipelines/snapshot.py): two crawl
+    snapshots derived deterministically from documents — old drops
+    doc_id%7==0, new drops doc_id%5==0 and perturbs the content of
+    doc_id%3==0 — each reduced to (doc_id, md5) where the text lives,
+    then one tagged-union key exchange classifies every key
+    added/removed/changed/unchanged. Oracle = FULL OUTER JOIN of the
+    same two md5 projections."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.snapshot import (
+        fingerprint_md5, snapshot_diff)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            texts = t["text"].to_pylist()
+            if side == "old":
+                keep = ids % 7 != 0
+            else:
+                keep = ids % 5 != 0
+                texts = [x + "x" if i % 3 == 0 else x
+                         for i, x in zip(ids, texts)]
+            kept = [x for x, k in zip(texts, keep) if k]
+            return pa.table({
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "fp": pa.array(fingerprint_md5(kept), pa.string()),
+            })
+        return fn
+
+    old = ds.map_batches(mk("old"), batch_format="pyarrow")
+    new = ds.map_batches(mk("new"), batch_format="pyarrow")
+    df = snapshot_diff(old, new, "doc_id", "fp").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["status"] = df["status"].astype(str)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_event_hour_pivot(sf_dir: str):
     """PIVOT (wide conditional aggregation): per-batch 24×T count grids,
     tiny groupby — oracle is DuckDB ``count(*) FILTER``."""
@@ -2400,6 +2441,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "user_value_moving_avg": _q_user_value_moving_avg,
         "doc_token_entropy": _q_doc_token_entropy,
         "order_rank_windows": _q_order_rank_windows,
+        "crawl_snapshot_diff": _q_crawl_snapshot_diff,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
         "anchor_texts": _q_anchor_texts,
@@ -3609,6 +3651,23 @@ def oracle_sql_all() -> dict[str, str]:
                 UNION ALL
                 SELECT 'step3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
             ORDER BY step
+        """,
+        "crawl_snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS fp FROM documents
+                WHERE doc_id % 7 <> 0),
+            new AS (
+                SELECT doc_id,
+                       md5(text || CASE WHEN doc_id % 3 = 0
+                                        THEN 'x' ELSE '' END) AS fp
+                FROM documents WHERE doc_id % 5 <> 0)
+            SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            ORDER BY doc_id
         """,
         "event_hour_pivot": """
             SELECT CAST(hour(ts) AS BIGINT) AS hour,
