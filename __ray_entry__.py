@@ -1142,6 +1142,83 @@ def _q_crawl_snapshot_diff(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bigram_nll(sf_dir: str):
+    """Conditional bigram-LM perplexity (lm.bigram_nll): two distributed
+    count fits (top-100 pair table + top-50 context table, combiner
+    partials → small groupby → deterministic top-N cut), one O(B+U)
+    broadcast, one streaming scoring pass. Word order matters — the
+    signal unigram NLL can't see. Oracle re-derives the pair/context
+    tables with a positional self-join and mirrors the add-alpha
+    smoothing."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.lm import bigram_nll
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = bigram_nll(ds, top_b=100, top_u=50).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["avg_nll2"] = df["avg_nll2"].round(6)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_cms_word_counts(sf_dir: str):
+    """Oracle-GATED count-min sketch (sketch.cms_build): per-batch dense
+    d×w fold → nonzero cells → one tiny cell groupby (CMS is linear);
+    the driver pulls O(d·w), never O(vocab). Probes = the exact top-10
+    words (distributed recount, freq desc / word asc). Gate rows assert
+    the two CMS theorems — est ≥ exact always, and est ≤ exact + ⌈e/w·N⌉
+    (overflow prob ≤ e^-d ≈ 0.7% per probe, deterministic here) — so a
+    drifting sketch hash-fails the query."""
+    import numpy as np
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.lm import (
+        partial_unigram_counts)
+    from stimson_web_scraper_ray.pipelines.sketch import (
+        cms_build, cms_estimate)
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text"])
+    M, n_total = cms_build(ds, d=5, w=4096)
+
+    top = ds.map_batches(partial_unigram_counts, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("freq", alias_name="freq")) \
+        .sort(["freq", "word"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    words = top["word"].tolist()
+    exact = top["freq"].to_numpy().astype(np.int64)
+    est = cms_estimate(M, words)
+    bound = int(np.ceil(np.e / 4096 * n_total))
+    out = pd.DataFrame({
+        "word": words,
+        "freq": exact,
+        "overestimates": est >= exact,
+        "within_bound": est <= exact + bound,
+    })
+    return out.sort_values("word").reset_index(drop=True)
+
+
+def _q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (analytics.rollup_aggregate): one leaf exchange
+    + one group-table-sized exchange per coarser prefix level + a
+    streaming grand total, all Dataset-resident; NULL key columns mark
+    super-aggregate rows exactly like SQL ROLLUP."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        lineitem_rollup)
+
+    return lineitem_rollup(sf_dir)
+
+
+def _q_late_item_orders(sf_dir: str):
+    """TPC-H Q4 shape (correlated EXISTS): the correlation predicate
+    l_shipdate > o_orderdate needs both sides' columns, so it
+    decorrelates to an order-keyed co-location exchange + per-part
+    vectorized ANY, then a tiny priority groupby."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        late_item_orders)
+
+    return late_item_orders(sf_dir)
+
+
 def _q_event_hour_pivot(sf_dir: str):
     """PIVOT (wide conditional aggregation): per-batch 24×T count grids,
     tiny groupby — oracle is DuckDB ``count(*) FILTER``."""
@@ -2442,6 +2519,10 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": _q_doc_token_entropy,
         "order_rank_windows": _q_order_rank_windows,
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "doc_bigram_nll": _q_bigram_nll,
+        "cms_word_counts": _q_cms_word_counts,
+        "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
         "anchor_texts": _q_anchor_texts,
@@ -3651,6 +3732,68 @@ def oracle_sql_all() -> dict[str, str]:
                 UNION ALL
                 SELECT 'step3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
             ORDER BY step
+        """,
+        "cms_word_counts": """
+            -- exact top-10 word counts (the probe set); the sketch's
+            -- two theorems are asserted TRUE per row by the engine
+            WITH words AS (
+                SELECT unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS word
+                FROM documents)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                   TRUE AS overestimates, TRUE AS within_bound
+            FROM words WHERE word <> ''
+            GROUP BY word ORDER BY freq DESC, word ASC LIMIT 10
+        """,
+        "doc_bigram_nll": """
+            -- conditional bigram LM: top-100 pair table + top-50
+            -- context table, add-alpha smoothing mirrored from
+            -- lm.BigramNLLScorer (alpha = 0.5, denominator +1)
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(regexp_replace(
+                           text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                           x -> x <> '') AS w
+                FROM documents),
+            flat AS (
+                SELECT doc_id, unnest(w) AS tok,
+                       generate_subscripts(w, 1) AS i
+                FROM toks),
+            big AS (
+                SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                FROM flat a JOIN flat b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            cb AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2
+                   ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 100),
+            cu AS (SELECT tok AS word, COUNT(*) AS c FROM flat
+                   GROUP BY 1 ORDER BY c DESC, word ASC LIMIT 50)
+            SELECT big.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(AVG(ln(coalesce(cu.c, 0.5) + 1.0)
+                             - ln(coalesce(cb.c, 0.5))), 6) AS avg_nll2
+            FROM big
+            LEFT JOIN cb ON big.w1 = cb.w1 AND big.w2 = cb.w2
+            LEFT JOIN cu ON big.w1 = cu.word
+            GROUP BY big.doc_id ORDER BY big.doc_id
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   round(SUM(l_extendedprice), 2) AS sum_price,
+                   round(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "late_item_orders": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "crawl_snapshot_diff": """
             WITH old AS (

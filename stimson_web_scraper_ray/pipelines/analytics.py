@@ -1344,3 +1344,151 @@ def user_value_moving_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
         .astype(np.int64)).to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def rollup_aggregate(ds, keys: list[str], sums: dict[str, str]):
+    """GROUP BY ROLLUP(keys) — the subtotal lattice OLAP cubes need.
+
+    Scale shape: one leaf-level exchange (per-batch combiner partials →
+    groupby over the leaf keys), then each coarser prefix level
+    re-aggregates the LEAF Dataset (cardinality = distinct leaf groups,
+    not corpus rows) with its own combine + tiny groupby — every level
+    stays Dataset-resident, so a billion-row fact table pays one wide
+    exchange and len(keys) exchanges over the (small) group table.
+    ``sums`` maps output name → source column; ``n_rows`` (int64 count)
+    is always emitted. Super-aggregate rows carry NULL in the rolled-up
+    key columns, exactly like SQL ROLLUP.
+    """
+    from ray.data.aggregate import Sum
+
+    out_names = list(sums)
+
+    def leaf_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)
+        agg = g.agg(**{o: (c, "sum") for o, c in sums.items()})
+        agg["n_rows"] = g.size()
+        return pa.Table.from_pandas(agg.reset_index(),
+                                    preserve_index=False)
+
+    leaf = ds.map_batches(leaf_partial, batch_format="pyarrow") \
+        .groupby(keys).aggregate(
+            *[Sum(o, alias_name=o) for o in out_names],
+            Sum("n_rows", alias_name="n_rows"))
+
+    key_types = {k: pa.string() for k in keys}
+
+    def pad_level(level_keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k] if k in level_keys
+                           else pa.nulls(len(t), key_types[k]))
+            for o in out_names + ["n_rows"]:
+                cols[o] = t[o]
+            return pa.table(cols)
+        return fn
+
+    levels = [leaf.map_batches(pad_level(keys), batch_format="pyarrow")]
+    for k in range(len(keys) - 1, 0, -1):
+        lvl_keys = keys[:k]
+
+        def repartial(t: pa.Table, _keys=lvl_keys) -> pa.Table:
+            df = t.to_pandas()
+            g = df.groupby(_keys, sort=False, dropna=False)[
+                out_names + ["n_rows"]].sum()
+            return pa.Table.from_pandas(g.reset_index(),
+                                        preserve_index=False)
+
+        lvl = leaf.map_batches(repartial, batch_format="pyarrow") \
+            .groupby(lvl_keys).aggregate(
+                *[Sum(o, alias_name=o)
+                  for o in out_names + ["n_rows"]])
+        levels.append(lvl.map_batches(pad_level(lvl_keys),
+                                      batch_format="pyarrow"))
+
+    # grand total: a streaming scalar aggregate, one row
+    tot = leaf.aggregate(*[Sum(o, alias_name=o)
+                           for o in out_names + ["n_rows"]])
+    total_tbl = pa.table(
+        {**{k: pa.nulls(1, key_types[k]) for k in keys},
+         **{o: pa.array([tot[o]], pa.float64()) for o in out_names},
+         "n_rows": pa.array([int(tot["n_rows"])], pa.int64())})
+
+    import ray.data as rd
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.union(rd.from_arrow(total_tbl))
+
+
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP (l_returnflag, l_linestatus) with quantity/price subtotals
+    — leaf + per-status + grand-total rows, NULLs mark rolled-up keys."""
+    li = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice"])
+    ds = rollup_aggregate(li, ["l_returnflag", "l_linestatus"],
+                          {"sum_qty": "l_quantity",
+                           "sum_price": "l_extendedprice"})
+    df = ds.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_price"] = df["sum_price"].round(2)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first") \
+        .reset_index(drop=True)
+
+
+def late_item_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS decorrelated: orders counted
+    per priority where ANY lineitem shipped after the order date. The
+    correlation predicate needs both sides' columns, so this is an
+    order-keyed co-location (not a pure semi-join): one tagged-union
+    exchange on the order key, per-part vectorized merge + predicate +
+    per-order ANY, then combiner partials into a tiny priority groupby.
+    """
+    from .join import _key_to_int64
+    from .shuffle import salted_partition_apply
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+            "l_shipdate": pa.nulls(len(t), pa.timestamp("us")),
+        })
+
+    def pad_li(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "o_orderdate": pa.nulls(len(t), pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(len(t), pa.string()),
+            "l_shipdate": t["l_shipdate"],
+        })
+
+    both = orders.map_batches(pad_orders, batch_format="pyarrow") \
+        .union(li.map_batches(pad_li, batch_format="pyarrow"))
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["o_orderdate"].notna()][
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        l = df[df["l_shipdate"].notna()][["o_orderkey", "l_shipdate"]]
+        m = o.merge(l, on="o_orderkey", how="inner")
+        hit = m.loc[m["l_shipdate"] > m["o_orderdate"], "o_orderkey"] \
+            .unique()
+        sub = o[o["o_orderkey"].isin(hit)]
+        return sub.groupby("o_orderpriority", sort=False) \
+            .size().rename("n_orders").reset_index()
+
+    parts = salted_partition_apply(
+        both, part_fn,
+        combine_key=lambda t: _key_to_int64(t, "o_orderkey"))
+    df = parts.groupby("o_orderpriority").sum("n_orders").to_pandas()
+    df = df.rename(columns={"sum(n_orders)": "n_orders"})
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)

@@ -248,3 +248,106 @@ def ccnet_buckets(ds, lang_ds, top_v: int = 20, n_parts: int = 16):
         .aggregate(Count(alias_name="n_docs")).to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+# --- conditional bigram LM ---------------------------------------------------
+
+
+def partial_bigram_counts(batch: pa.Table, text_col: str = "text"
+                          ) -> pa.Table:
+    """Combiner: one (w1, w2, freq) row per distinct adjacent pair per
+    batch — the wide exchange carries distinct pairs, not token streams."""
+    counts: dict[tuple, int] = {}
+    for t in batch[text_col].to_pylist():
+        ws = ascii_words(t)
+        for k in zip(ws, ws[1:]):
+            counts[k] = counts.get(k, 0) + 1
+    w1 = [k[0] for k in counts]
+    w2 = [k[1] for k in counts]
+    return pa.table({
+        "w1": pa.array(w1, pa.string()),
+        "w2": pa.array(w2, pa.string()),
+        "freq": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def fit_bigram_counts(ds, top_b: int = 100, text_col: str = "text"
+                      ) -> dict[tuple, int]:
+    """Distributed bigram count + deterministic top-B cut
+    (freq desc, w1 asc, w2 asc) so the broadcast model is O(B)."""
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        lambda b: partial_bigram_counts(b, text_col),
+        batch_format="pyarrow",
+    ).groupby(["w1", "w2"]).aggregate(Sum("freq", alias_name="freq"))
+    top = agg.sort(["freq", "w1", "w2"],
+                   descending=[True, False, False]) \
+             .limit(top_b).to_pandas()
+    return {(a, b): int(c) for a, b, c in
+            zip(top["w1"], top["w2"], top["freq"])}
+
+
+class BigramNLLScorer:
+    """Actor-pool stage: conditional bigram NLL per doc. For each
+    adjacent pair, nll = ln(coalesce(c(w1), alpha) + 1) -
+    ln(coalesce(c(w1,w2), alpha)) — an add-alpha-smoothed
+    -ln P(w2 | w1) over the broadcast top-B bigram / top-U context
+    tables. Word order matters (unlike doc_unigram_nll): scrambling a
+    doc leaves its unigram score fixed but moves this one."""
+
+    _SEP = "\x00"
+
+    def __init__(self, model_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        bigrams, unigrams = ray.get(model_ref) \
+            if not isinstance(model_ref, tuple) else model_ref
+        self.id_col = id_col
+        self.text_col = text_col
+        self.cb = pd.Series(
+            {w1 + self._SEP + w2: float(c)
+             for (w1, w2), c in bigrams.items()}, dtype=np.float64)
+        self.cu = pd.Series({w: float(c) for w, c in unigrams.items()},
+                            dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_big, avg = [], [], []
+        for did, t in zip(batch[self.id_col].to_pylist(),
+                          batch[self.text_col].to_pylist()):
+            ws = ascii_words(t)
+            if len(ws) < 2:
+                continue
+            pairs = [a + self._SEP + b for a, b in zip(ws, ws[1:])]
+            cb = self.cb.reindex(pairs).to_numpy()
+            cb[np.isnan(cb)] = _OOV_ALPHA
+            cu = self.cu.reindex(ws[:-1]).to_numpy()
+            cu[np.isnan(cu)] = _OOV_ALPHA
+            nll = np.log(cu + 1.0) - np.log(cb)
+            ids.append(did)
+            n_big.append(len(pairs))
+            avg.append(float(nll.mean()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "avg_nll2": pa.array(avg, pa.float64()),
+        })
+
+
+def bigram_nll(ds, top_b: int = 100, top_u: int = 50,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Conditional-bigram perplexity scoring: two distributed count
+    fits (pair table and context table, both combiner-partial →
+    small groupby → deterministic top-N cut), one ray.put broadcast,
+    one streaming scoring pass. Docs with <2 tokens are dropped (no
+    bigram events to score)."""
+    import ray
+
+    bigrams = fit_bigram_counts(ds, top_b=top_b, text_col=text_col)
+    unigrams, _total = fit_unigram_lm(ds, top_v=top_u, text_col=text_col)
+    mref = ray.put((bigrams, unigrams))
+    return ds.map_batches(
+        BigramNLLScorer, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"model_ref": mref, "id_col": id_col,
+                               "text_col": text_col})

@@ -454,3 +454,80 @@ def kmv_bottomk(ds, k: int = 64, id_col: str = "doc_id"):
         id_col: top[id_col].to_numpy(),
         "kmv_estimate": np.full(len(top), est, dtype=np.float64),
     })
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+_CMS_SEEDS = np.arange(1, 17, dtype=np.uint64) * np.uint64(0xA54FF53A5F1D36F1)
+
+
+def _cms_cells(hashes: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(n,) uint64 word hashes → (d, n) int32 column indices, row i
+    keyed by splitmix64(h ^ seed_i)."""
+    cols = np.empty((d, len(hashes)), dtype=np.int64)
+    for i in range(d):
+        cols[i] = (splitmix64(hashes ^ _CMS_SEEDS[i])
+                   % np.uint64(w)).astype(np.int64)
+    return cols
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    import hashlib
+
+    return np.asarray(
+        [int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
+                                        digest_size=8).digest(), "little")
+         for w in words], dtype=np.uint64)
+
+
+def cms_build(ds, text_col: str = "text", d: int = 5, w: int = 4096):
+    """Distributed count-min sketch over corpus words (Cormode &
+    Muthukrishnan 2005): each batch folds its word counts into a dense
+    d×w int64 grid and emits only the NONZERO cells — so the exchange
+    carries ≤ d·w fixed-size rows per block regardless of corpus size —
+    then one tiny groupby(cell).sum merges them (CMS is linear). The
+    merged table is ≤ d·w rows; pulling it to the driver is O(sketch),
+    never O(corpus), the same contract as the HLL register pull.
+
+    Returns (M: np.ndarray (d, w) int64, n_total_tokens: int).
+    """
+    from ray.data.aggregate import Sum
+
+    from .lm import ascii_words
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t[text_col].to_pylist():
+            for word in ascii_words(txt):
+                counts[word] = counts.get(word, 0) + 1
+        grid = np.zeros((d, w), dtype=np.int64)
+        if counts:
+            freqs = np.fromiter(counts.values(), dtype=np.int64,
+                                count=len(counts))
+            cols = _cms_cells(_word_hashes(list(counts)), d, w)
+            for i in range(d):
+                np.add.at(grid[i], cols[i], freqs)
+        flat = grid.ravel()
+        nz = np.flatnonzero(flat)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(flat[nz], pa.int64()),
+                         "toks": pa.array(
+                             [int(freqs.sum()) if counts else 0]
+                             + [0] * (len(nz) - 1) if len(nz) else [],
+                             pa.int64())})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("cnt", alias_name="cnt"),
+                                   Sum("toks", alias_name="toks")) \
+        .to_pandas()
+    M = np.zeros(d * w, dtype=np.int64)
+    M[cells["cell"].to_numpy()] = cells["cnt"].to_numpy()
+    return M.reshape(d, w), int(cells["toks"].sum())
+
+
+def cms_estimate(M: np.ndarray, words: list[str]) -> np.ndarray:
+    """Point-query min over the d rows — never underestimates."""
+    d, w = M.shape
+    cols = _cms_cells(_word_hashes(words), d, w)
+    return np.min(M[np.arange(d)[:, None], cols], axis=0)
