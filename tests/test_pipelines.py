@@ -2327,3 +2327,102 @@ def test_pca_matches_numpy(ray_session):
         want = np.round(Xf @ comps.T, 4)
         got = proj[["pc0", "pc1", "pc2"]].to_numpy()
         assert np.allclose(got, want, atol=1e-9), parts
+
+
+def test_snapshot_diff_string_keys_and_block_layout(ray_session):
+    """snapshot_diff over string keys (URLs), exact statuses, invariant
+    to block layout."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.snapshot import snapshot_diff
+
+    old = pd.DataFrame({
+        "url": ["a", "b", "c", "d"],
+        "fp": ["1", "2", "3", "4"]})
+    new = pd.DataFrame({
+        "url": ["b", "c", "e"],
+        "fp": ["2", "XX", "9"]})
+    want = {"a": "removed", "b": "unchanged", "c": "changed",
+            "d": "removed", "e": "added"}
+    for parts in (1, 3):
+        got = snapshot_diff(rd.from_pandas(old).repartition(parts),
+                            rd.from_pandas(new).repartition(parts),
+                            "url", "fp", n_parts=4).to_pandas()
+        assert dict(zip(got["url"], got["status"])) == want, parts
+        assert len(got) == 5, parts
+
+
+def test_cms_never_underestimates_property(ray_session):
+    """CMS theorem 1 on adversarial random text: every probed word's
+    estimate >= its exact count, at two block layouts (merge
+    linearity)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.lm import ascii_words
+    from stimson_web_scraper_ray.pipelines.sketch import (
+        cms_build, cms_estimate)
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(5, 60)))
+            for _ in range(300)]
+    df = pd.DataFrame({"text": docs})
+    exact: dict[str, int] = {}
+    for t in docs:
+        for w in ascii_words(t):
+            exact[w] = exact.get(w, 0) + 1
+
+    M1, n1 = cms_build(rd.from_pandas(df).repartition(1), d=4, w=512)
+    M5, n5 = cms_build(rd.from_pandas(df).repartition(5), d=4, w=512)
+    assert np.array_equal(M1, M5)          # linear merge ≡ single pass
+    assert n1 == n5 == sum(exact.values())
+    words = sorted(exact)
+    est = cms_estimate(M1, words)
+    ex = np.array([exact[w] for w in words])
+    assert (est >= ex).all()
+    # total mass conservation per row
+    assert (M1.sum(axis=1) == n1).all()
+
+
+def test_rollup_aggregate_levels(ray_session):
+    """ROLLUP levels vs a hand reduction, block-layout invariant."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        rollup_aggregate)
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    for parts in (1, 4):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = rollup_aggregate(ds, ["a", "b"], {"sv": "v"}).to_pandas()
+        leaf = out[out["b"].notna()]
+        assert len(leaf) == 4
+        assert leaf.set_index(["a", "b"])["sv"].to_dict() == {
+            ("x", "p"): 1.0, ("x", "q"): 2.0,
+            ("y", "p"): 7.0, ("y", "q"): 5.0}
+        mid = out[out["b"].isna() & out["a"].notna()]
+        assert mid.set_index("a")["sv"].to_dict() == {"x": 3.0, "y": 12.0}
+        assert mid.set_index("a")["n_rows"].to_dict() == {"x": 2, "y": 3}
+        tot = out[out["a"].isna()]
+        assert len(tot) == 1
+        assert float(tot["sv"].iloc[0]) == 15.0
+        assert int(tot["n_rows"].iloc[0]) == 5
+
+
+def test_bigram_scorer_order_sensitivity(ray_session):
+    """The conditional bigram NLL moves when word order is scrambled;
+    the unigram NLL can't (same bag of words)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.lm import bigram_nll
+
+    natural = "the cat sat on the mat " * 10
+    scrambled = "mat the on sat cat the " * 10
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [natural, scrambled]})
+    out = bigram_nll(rd.from_pandas(df), top_b=50, top_u=20) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_bigrams"] == out.loc[2, "n_bigrams"]
+    assert out.loc[1, "avg_nll2"] != out.loc[2, "avg_nll2"]
