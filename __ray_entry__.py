@@ -1160,6 +1160,75 @@ def _q_bigram_nll(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE via grouping_sets_aggregate: all 2^k key subsets,
+    each non-leaf set one group-table-sized exchange off the
+    materialized leaf — adds the (l_linestatus)-only marginal ROLLUP
+    can't express."""
+    from stimson_web_scraper_ray.pipelines.analytics import lineitem_cube
+
+    return lineitem_cube(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS, both correlated): sole
+    late shipper among ≥2 suppliers of a finished order. One
+    order-keyed co-location exchange makes both subqueries part-local;
+    per-part vectorized set algebra; tiny supplier groupby."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        waiting_suppliers)
+
+    return waiting_suppliers(sf_dir)
+
+
+def _q_url_hierarchy_rollup(sf_dir: str):
+    """URL-tree rollup — the crawl-side coverage report (pages and
+    bytes per host, per host/section, plus grand total): the url_parts
+    synthesized URLs parsed back through the ENGINE's urlparse
+    projections (get_domain / get_path), first path segment as the
+    section, then the distributed ROLLUP lattice. Oracle re-derives
+    host/section with independent DuckDB regexes and GROUP BY ROLLUP."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.functions.urlnorm import (
+        get_domain, get_path)
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        read, rollup_aggregate)
+
+    def parts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        hosts, sections = [], []
+        for i, s in zip(ids, srcs):
+            scheme = "https" if i % 11 == 0 else "http"
+            port = ":8080" if i % 13 == 0 else ""
+            if i % 3 == 0:
+                path = f"/2024/0{1 + i % 9}/story-{i}"
+            else:
+                path = f"/articles/item{i}"
+            ext = {0: ".html", 1: ".pdf"}.get(i % 5, "")
+            query = "?utm=1&ref=rss" if i % 4 == 0 else ""
+            frag = "#top" if i % 17 == 0 else ""
+            u = (f"{scheme}://{s}.news{i % 7}.com{port}"
+                 f"{path}{ext}{query}{frag}")
+            hosts.append(get_domain(u))
+            sections.append(get_path(u).split("/")[1])
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "section": pa.array(sections, pa.string()),
+            "n_chars": batch["n_chars"],
+        })
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"]) \
+        .map_batches(parts, batch_format="pyarrow")
+    df = rollup_aggregate(ds, ["host", "section"],
+                          {"sum_chars": "n_chars"}).to_pandas()
+    df["sum_chars"] = df["sum_chars"].round(2)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df.sort_values(["host", "section"], na_position="first") \
+        .reset_index(drop=True)
+
+
 def _q_cms_word_counts(sf_dir: str):
     """Oracle-GATED count-min sketch (sketch.cms_build): per-batch dense
     d×w fold → nonzero cells → one tiny cell groupby (CMS is linear);
@@ -2522,6 +2591,9 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "doc_bigram_nll": _q_bigram_nll,
         "cms_word_counts": _q_cms_word_counts,
+        "lineitem_cube": _q_lineitem_cube,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
@@ -3732,6 +3804,65 @@ def oracle_sql_all() -> dict[str, str]:
                 UNION ALL
                 SELECT 'step3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
             ORDER BY step
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   round(SUM(l_extendedprice), 2) AS sum_price,
+                   round(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "waiting_suppliers": """
+            SELECT s.l_suppkey AS suppkey,
+                   CAST(COUNT(DISTINCT s.l_orderkey) AS BIGINT)
+                       AS n_orders
+            FROM lineitem s
+            JOIN orders o ON o.o_orderkey = s.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND s.l_shipdate > o.o_orderdate
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = s.l_orderkey
+                            AND l2.l_suppkey <> s.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = s.l_orderkey
+                                AND l3.l_suppkey <> s.l_suppkey
+                                AND l3.l_shipdate > o.o_orderdate)
+            GROUP BY 1 ORDER BY n_orders DESC, suppkey ASC LIMIT 20
+        """,
+        "url_hierarchy_rollup": """
+            WITH u AS (
+              SELECT n_chars,
+                     (CASE WHEN doc_id % 11 = 0 THEN 'https' ELSE 'http' END)
+                     || '://' || source || '.news'
+                     || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                     || (CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
+                     || (CASE WHEN doc_id % 3 = 0
+                         THEN '/2024/0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                              || '/story-' || CAST(doc_id AS VARCHAR)
+                         ELSE '/articles/item' || CAST(doc_id AS VARCHAR)
+                         END)
+                     || (CASE doc_id % 5 WHEN 0 THEN '.html'
+                         WHEN 1 THEN '.pdf' ELSE '' END)
+                     || (CASE WHEN doc_id % 4 = 0
+                         THEN '?utm=1&ref=rss' ELSE '' END)
+                     || (CASE WHEN doc_id % 17 = 0 THEN '#top' ELSE '' END)
+                     AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT n_chars,
+                     regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host,
+                     regexp_extract(url, '^[a-z]+://[^/?#]*/([^/?#]+)',
+                                    1) AS section
+              FROM u
+            )
+            SELECT host, section,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   round(SUM(n_chars), 2) AS sum_chars
+            FROM p GROUP BY ROLLUP (host, section)
+            ORDER BY host NULLS FIRST, section NULLS FIRST
         """,
         "cms_word_counts": """
             -- exact top-10 word counts (the probe set); the sketch's

@@ -1346,35 +1346,50 @@ def user_value_moving_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def rollup_aggregate(ds, keys: list[str], sums: dict[str, str]):
-    """GROUP BY ROLLUP(keys) — the subtotal lattice OLAP cubes need.
+def grouping_sets_aggregate(ds, keys: list[str], sums: dict[str, str],
+                            sets: list[list[str]]):
+    """GROUP BY GROUPING SETS — the general subtotal lattice (ROLLUP
+    and CUBE are the prefix / power-set specialisations below).
 
-    Scale shape: one leaf-level exchange (per-batch combiner partials →
-    groupby over the leaf keys), then each coarser prefix level
-    re-aggregates the LEAF Dataset (cardinality = distinct leaf groups,
-    not corpus rows) with its own combine + tiny groupby — every level
-    stays Dataset-resident, so a billion-row fact table pays one wide
-    exchange and len(keys) exchanges over the (small) group table.
-    ``sums`` maps output name → source column; ``n_rows`` (int64 count)
-    is always emitted. Super-aggregate rows carry NULL in the rolled-up
-    key columns, exactly like SQL ROLLUP.
+    Scale shape: one leaf-level exchange over the FULL key tuple
+    (per-batch combiner partials → groupby), then every other grouping
+    set re-aggregates the LEAF Dataset (cardinality = distinct leaf
+    groups, not corpus rows) with its own combine + tiny groupby —
+    every level stays Dataset-resident, so a billion-row fact table
+    pays one wide exchange plus len(sets) exchanges over the (small)
+    group table. ``sums`` maps output name → source column; ``n_rows``
+    (int64 count) is always emitted. Rows of a set carry NULL in the
+    key columns the set omits, exactly like SQL.
     """
     from ray.data.aggregate import Sum
 
     out_names = list(sums)
+    norm_sets = [list(s) for s in sets]
+    for s in norm_sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+    if keys not in norm_sets:
+        norm_sets.insert(0, list(keys))
 
     def leaf_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = df.groupby(keys, sort=False, dropna=False)
         agg = g.agg(**{o: (c, "sum") for o, c in sums.items()})
+        # sums ride as float64 so every level (incl. the driver-built
+        # grand-total row) unions with an identical schema
+        agg = agg.astype({o: np.float64 for o in out_names})
         agg["n_rows"] = g.size()
         return pa.Table.from_pandas(agg.reset_index(),
                                     preserve_index=False)
 
+    # materialize ONCE: every grouping set re-reads the leaf table, and
+    # without this each one would re-execute the wide corpus exchange.
+    # The leaf is group-scaled (distinct full-key tuples), not
+    # corpus-scaled, so pinning it in the object store is bounded.
     leaf = ds.map_batches(leaf_partial, batch_format="pyarrow") \
         .groupby(keys).aggregate(
             *[Sum(o, alias_name=o) for o in out_names],
-            Sum("n_rows", alias_name="n_rows"))
+            Sum("n_rows", alias_name="n_rows")).materialize()
 
     key_types = {k: pa.string() for k in keys}
 
@@ -1389,13 +1404,28 @@ def rollup_aggregate(ds, keys: list[str], sums: dict[str, str]):
             return pa.table(cols)
         return fn
 
-    levels = [leaf.map_batches(pad_level(keys), batch_format="pyarrow")]
-    for k in range(len(keys) - 1, 0, -1):
-        lvl_keys = keys[:k]
+    import ray.data as rd
 
-        def repartial(t: pa.Table, _keys=lvl_keys) -> pa.Table:
+    levels = []
+    for lvl_keys in norm_sets:
+        if lvl_keys == list(keys):
+            levels.append(leaf.map_batches(pad_level(keys),
+                                           batch_format="pyarrow"))
+            continue
+        if not lvl_keys:
+            # grand total: a streaming scalar aggregate, one row
+            tot = leaf.aggregate(*[Sum(o, alias_name=o)
+                                   for o in out_names + ["n_rows"]])
+            levels.append(rd.from_arrow(pa.table(
+                {**{k: pa.nulls(1, key_types[k]) for k in keys},
+                 **{o: pa.array([tot[o]], pa.float64())
+                    for o in out_names},
+                 "n_rows": pa.array([int(tot["n_rows"])], pa.int64())})))
+            continue
+
+        def repartial(t: pa.Table, _keys=tuple(lvl_keys)) -> pa.Table:
             df = t.to_pandas()
-            g = df.groupby(_keys, sort=False, dropna=False)[
+            g = df.groupby(list(_keys), sort=False, dropna=False)[
                 out_names + ["n_rows"]].sum()
             return pa.Table.from_pandas(g.reset_index(),
                                         preserve_index=False)
@@ -1407,19 +1437,27 @@ def rollup_aggregate(ds, keys: list[str], sums: dict[str, str]):
         levels.append(lvl.map_batches(pad_level(lvl_keys),
                                       batch_format="pyarrow"))
 
-    # grand total: a streaming scalar aggregate, one row
-    tot = leaf.aggregate(*[Sum(o, alias_name=o)
-                           for o in out_names + ["n_rows"]])
-    total_tbl = pa.table(
-        {**{k: pa.nulls(1, key_types[k]) for k in keys},
-         **{o: pa.array([tot[o]], pa.float64()) for o in out_names},
-         "n_rows": pa.array([int(tot["n_rows"])], pa.int64())})
-
-    import ray.data as rd
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
-    return out.union(rd.from_arrow(total_tbl))
+    return out
+
+
+def rollup_aggregate(ds, keys: list[str], sums: dict[str, str]):
+    """GROUP BY ROLLUP(keys): the prefix grouping sets, coarse→total."""
+    sets = [list(keys[:k]) for k in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sums, sets)
+
+
+def cube_aggregate(ds, keys: list[str], sums: dict[str, str]):
+    """GROUP BY CUBE(keys): every key subset (2^k sets — keep k small,
+    as any OLAP engine does; each non-leaf set costs one group-table
+    exchange)."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sums, sets)
 
 
 def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
@@ -1492,3 +1530,93 @@ def late_item_orders(sf_dir: str) -> pd.DataFrame:
     df = df.rename(columns={"sum(n_orders)": "n_orders"})
     df["n_orders"] = df["n_orders"].astype("int64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (l_returnflag, l_linestatus) — adds the
+    non-prefix (l_linestatus)-only marginal ROLLUP can't express."""
+    li = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice"])
+    ds = cube_aggregate(li, ["l_returnflag", "l_linestatus"],
+                        {"sum_qty": "l_quantity",
+                         "sum_price": "l_extendedprice"})
+    df = ds.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_price"] = df["sum_price"].round(2)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first") \
+        .reset_index(drop=True)
+
+
+def waiting_suppliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q21 shape — the double correlated subquery (EXISTS another
+    supplier in the order + NOT EXISTS another LATE supplier): for
+    finished ('F') orders, count per supplier the orders where that
+    supplier was the SOLE late shipper (l_shipdate > o_orderdate) among
+    ≥2 distinct suppliers.
+
+    Decorrelation: both subqueries range over the same order's
+    lineitems, so ONE order-keyed co-location exchange makes them
+    part-local — per part, a vectorized groupby derives each order's
+    distinct-supplier count and late-supplier set, and qualifying
+    (order, supplier) pairs reduce to combiner partials + a tiny
+    supplier groupby. No per-order dispatch, no row explosion."""
+    from .join import _key_to_int64
+    from .shuffle import salted_partition_apply
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderstatus"], "F")
+        t = t.filter(keep)
+        return pa.table({
+            "okey": t["o_orderkey"],
+            "odate": t["o_orderdate"],
+            "suppkey": pa.nulls(len(t), pa.int64()),
+            "sdate": pa.nulls(len(t), pa.timestamp("us")),
+        })
+
+    def pad_li(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "odate": pa.nulls(len(t), pa.timestamp("us")),
+            "suppkey": t["l_suppkey"],
+            "sdate": t["l_shipdate"],
+        })
+
+    both = orders.map_batches(pad_orders, batch_format="pyarrow") \
+        .union(li.map_batches(pad_li, batch_format="pyarrow"))
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["odate"].notna()][["okey", "odate"]]
+        l = df[df["suppkey"].notna()][["okey", "suppkey", "sdate"]]
+        m = l.merge(o, on="okey", how="inner")
+        if m.empty:
+            return pd.DataFrame({"suppkey": pd.Series([], dtype="int64"),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        m["late"] = m["sdate"] > m["odate"]
+        per = m.groupby(["okey", "suppkey"], sort=False)["late"] \
+            .any().reset_index()
+        stats = per.groupby("okey", sort=False)["late"] \
+            .agg(n_supp="size", n_late="sum")
+        per = per.merge(stats, on="okey")
+        qual = per[per["late"] & (per["n_supp"] >= 2)
+                   & (per["n_late"] == 1)]
+        return qual.groupby("suppkey", sort=False) \
+            .size().rename("n_orders").reset_index()
+
+    parts = salted_partition_apply(
+        both, part_fn,
+        combine_key=lambda t: _key_to_int64(t, "okey"))
+    df = parts.groupby("suppkey").sum("n_orders").to_pandas()
+    df = df.rename(columns={"sum(n_orders)": "n_orders"})
+    df["suppkey"] = df["suppkey"].astype("int64")
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values(["n_orders", "suppkey"],
+                          ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
