@@ -1229,6 +1229,48 @@ def _q_url_hierarchy_rollup(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_per_host_sample(sf_dir: str):
+    """Deterministic per-group sample — 2 docs per source ordered by a
+    content-free md5 rank key (seeded hash sampling, the reproducible
+    alternative to random states at 100 TB): one group-functional
+    salted exchange + per-part vectorized head(k) (shuffle.grouped_topk
+    — no global sort, no per-group dispatch). Oracle = row_number over
+    the same md5 key."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import _key_to_int64
+    from stimson_web_scraper_ray.pipelines.shuffle import grouped_topk
+
+    def rank_key(t: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in t["doc_id"].to_pylist()]
+        return t.append_column("rk", pa.array(keys, pa.string()))
+
+    ds = read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(rank_key, batch_format="pyarrow")
+    out = grouped_topk(ds, ["source"], "rk", k=2,
+                       combine_key=lambda t: _key_to_int64(t, "source"),
+                       descending=False, tie_cols=["doc_id"]) \
+        .to_pandas()[["source", "doc_id"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+def _q_bigram_pmi(sf_dir: str):
+    """Top-PMI collocations (lm.bigram_pmi): distributed top-100 pair
+    fit + candidate-scaled exact word recount + scalar token total;
+    PMI 6-dp-rounded before ranking so engine and oracle cut identical
+    ties."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.lm import bigram_pmi
+
+    ds = read(sf_dir, "documents", ["text"])
+    return bigram_pmi(ds, top_b=100, k=10)
+
+
 def _q_cms_word_counts(sf_dir: str):
     """Oracle-GATED count-min sketch (sketch.cms_build): per-batch dense
     d×w fold → nonzero cells → one tiny cell groupby (CMS is linear);
@@ -2594,6 +2636,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": _q_lineitem_cube,
         "waiting_suppliers": _q_waiting_suppliers,
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
+        "per_host_sample": _q_per_host_sample,
+        "bigram_pmi": _q_bigram_pmi,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
@@ -3863,6 +3907,44 @@ def oracle_sql_all() -> dict[str, str]:
                    round(SUM(n_chars), 2) AS sum_chars
             FROM p GROUP BY ROLLUP (host, section)
             ORDER BY host NULLS FIRST, section NULLS FIRST
+        """,
+        "per_host_sample": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 2 ORDER BY source, doc_id
+        """,
+        "bigram_pmi": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(regexp_replace(
+                           text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                           x -> x <> '') AS w
+                FROM documents),
+            flat AS (
+                SELECT doc_id, unnest(w) AS tok,
+                       generate_subscripts(w, 1) AS i
+                FROM toks),
+            big AS (
+                SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                FROM flat a JOIN flat b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            cb AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2
+                   ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 100),
+            uc AS (SELECT tok AS word, COUNT(*) AS c FROM flat
+                   GROUP BY 1),
+            n AS (SELECT COUNT(*) AS t FROM flat)
+            SELECT cb.w1, cb.w2, CAST(cb.c AS BIGINT) AS n_pair,
+                   round(ln(cb.c * n.t / (u1.c * u2.c)), 6) AS pmi
+            FROM cb
+            JOIN uc u1 ON u1.word = cb.w1
+            JOIN uc u2 ON u2.word = cb.w2
+            CROSS JOIN n
+            ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 10
         """,
         "cms_word_counts": """
             -- exact top-10 word counts (the probe set); the sketch's

@@ -351,3 +351,51 @@ def bigram_nll(ds, top_b: int = 100, top_u: int = 50,
         BigramNLLScorer, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs={"model_ref": mref, "id_col": id_col,
                                "text_col": text_col})
+
+
+def bigram_pmi(ds, top_b: int = 100, k: int = 10,
+               text_col: str = "text") -> pd.DataFrame:
+    """Collocation mining: pointwise mutual information of the top-B
+    corpus bigrams, ln(c(w1,w2)·N / (c(w1)·c(w2))).
+
+    Three streamed passes, all bounded: the distributed pair fit
+    (combiner → small groupby → top-B cut), an exact RECOUNT of just
+    the ≤2B candidate words (the word set broadcasts into the combiner
+    closure, so the recount exchange is candidate-scaled, never
+    vocab-scaled), and a scalar token total. Returns the k highest-PMI
+    pairs (6-dp-rounded before ranking so ties are stable), pair count
+    attached."""
+    from ray.data.aggregate import Sum
+
+    bigrams = fit_bigram_counts(ds, top_b=top_b, text_col=text_col)
+    cand = sorted({w for pair in bigrams for w in pair})
+    cand_set = set(cand)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        total = 0
+        for txt in t[text_col].to_pylist():
+            ws = ascii_words(txt)
+            total += len(ws)
+            for w in ws:
+                if w in cand_set:
+                    counts[w] = counts.get(w, 0) + 1
+        words = list(counts.keys()) + ["\x00total"]
+        freqs = list(counts.values()) + [total]
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "freq": pa.array(freqs, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("freq", alias_name="freq")) \
+        .to_pandas()
+    cu = dict(zip(agg["word"], agg["freq"].astype(np.int64)))
+    n_total = float(cu.pop("\x00total"))
+
+    rows = []
+    for (w1, w2), cb in bigrams.items():
+        pmi = np.log(cb * n_total / (float(cu[w1]) * float(cu[w2])))
+        rows.append((w1, w2, int(cb), round(float(pmi), 6)))
+    out = pd.DataFrame(rows, columns=["w1", "w2", "n_pair", "pmi"])
+    return out.sort_values(["pmi", "w1", "w2"],
+                           ascending=[False, True, True]) \
+        .head(k).reset_index(drop=True)
