@@ -1229,6 +1229,48 @@ def _q_url_hierarchy_rollup(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_vq_residuals(sf_dir: str):
+    """Vector-quantization error (similarity.vq_residuals): per-vector
+    L2 distance to its label centroid — centroid combiner partials →
+    tiny groupby → O(labels×dims) broadcast → one streaming residual
+    pass. Oracle re-derives centroids with lockstep-unnest AVG and the
+    distances with a dim join."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import vq_residuals
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    df = vq_residuals(ds).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["label"] = df["label"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Pareto coverage of the vocabulary: what fraction of all tokens
+    the top-100 words account for (the corpus-profiling number behind
+    vocab-size / tokenizer decisions). Distributed word count + top-k
+    cut + two streamed scalars."""
+    from ray.data.aggregate import Sum
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.lm import (
+        partial_unigram_counts)
+
+    ds = read(sf_dir, "documents", ["text"])
+    agg = ds.map_batches(partial_unigram_counts, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("freq", alias_name="freq")) \
+        .materialize()
+    total = int(agg.sum("freq"))
+    covered = int(agg.sort(["freq", "word"], descending=[True, False])
+                  .limit(100).sum("freq"))
+    return pd.DataFrame({
+        "k": pd.Series([100], dtype="int64"),
+        "covered": pd.Series([covered], dtype="int64"),
+        "total": pd.Series([total], dtype="int64"),
+        "coverage": [round(covered / total, 6)],
+    })
+
+
 def _q_per_host_sample(sf_dir: str):
     """Deterministic per-group sample — 2 docs per source ordered by a
     content-free md5 rank key (seeded hash sampling, the reproducible
@@ -2638,6 +2680,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
+        "vq_residuals": _q_vq_residuals,
+        "vocab_coverage": _q_vocab_coverage,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
@@ -3907,6 +3951,36 @@ def oracle_sql_all() -> dict[str, str]:
                    round(SUM(n_chars), 2) AS sum_chars
             FROM p GROUP BY ROLLUP (host, section)
             ORDER BY host NULLS FIRST, section NULLS FIRST
+        """,
+        "vq_residuals": """
+            WITH flat AS (
+                SELECT vec_id, label,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings),
+            c AS (SELECT label, dim, round(AVG(x), 6) AS cx
+                  FROM flat GROUP BY 1, 2)
+            SELECT f.vec_id, f.label,
+                   round(sqrt(SUM((f.x - c.cx) * (f.x - c.cx))), 4)
+                       AS dist
+            FROM flat f JOIN c USING (label, dim)
+            GROUP BY 1, 2 ORDER BY f.vec_id
+        """,
+        "vocab_coverage": """
+            WITH words AS (
+                SELECT unnest(string_split(
+                    lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')),
+                    ' ')) AS word
+                FROM documents),
+            wc AS (SELECT word, COUNT(*) AS c FROM words
+                   WHERE word <> '' GROUP BY word),
+            top AS (SELECT c FROM wc
+                    ORDER BY c DESC, word ASC LIMIT 100)
+            SELECT CAST(100 AS BIGINT) AS k,
+                   CAST((SELECT SUM(c) FROM top) AS BIGINT) AS covered,
+                   CAST((SELECT SUM(c) FROM wc) AS BIGINT) AS total,
+                   round((SELECT SUM(c) FROM top) * 1.0
+                         / (SELECT SUM(c) FROM wc), 6) AS coverage
         """,
         "per_host_sample": """
             SELECT source, doc_id FROM (

@@ -469,3 +469,38 @@ def pca_project(ds, components: np.ndarray, id_col: str = "vec_id",
         return pa.table(data)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def vq_residuals(ds, label_col: str = "label",
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Per-vector quantization error — L2 distance to the assigned
+    label's centroid, the fidelity metric behind IVF/PQ codebooks and
+    per-source embedding drift monitors. Centroids come from the
+    label_centroids combiner (labels × dims scalars, 6-dp-rounded so
+    the oracle's AVG arithmetic matches bit-for-bit), broadcast once
+    via ray.put, then ONE streaming map_batches computes every
+    residual where the vectors live. Returns a Dataset of
+    (id, label, dist) with dist rounded to 4 dp."""
+    import ray
+
+    cents = label_centroids(ds, label_col=label_col, vec_col=vec_col)
+    wide = {int(lab): sub.sort_values("dim")["centroid"].to_numpy()
+            for lab, sub in cents.groupby("label")}
+    cref = ray.put(wide)
+
+    def residual(t: pa.Table) -> pa.Table:
+        table = ray.get(cref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        labels = np.asarray(t[label_col].to_pylist(), dtype=np.int64)
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             label_col: pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        C = np.stack([table[int(l)] for l in labels])
+        dist = np.sqrt(((vecs - C) ** 2).sum(axis=1)).round(4)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         label_col: pa.array(labels, pa.int64()),
+                         "dist": pa.array(dist, pa.float64())})
+
+    return ds.map_batches(residual, batch_format="pyarrow")
