@@ -154,7 +154,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "minhash_dedup_groups", "trade_pagerank_undirected",
              "order_rank_windows", "semdedup", "inverted_index",
              "dup_substring_spans", "bloom_decontaminate",
-             "index_search_phrase_pos"]
+             "index_search_phrase_pos", "crawl_snapshot_diff",
+             "doc_bigram_nll", "lineitem_rollup"]
     qs = entry_mod.queries_all()
     # warmup: the first Dataset execution pays Ray worker-pool spin-up
     # and module imports (~3 s measured on pricing_summary cold vs warm);

@@ -288,6 +288,62 @@ def fit_bigram_counts(ds, top_b: int = 100, text_col: str = "text"
             zip(top["w1"], top["w2"], top["freq"])}
 
 
+def fit_bigram_unigram(ds, text_col: str = "text"):
+    """ONE corpus scan + ONE groupby fitting BOTH count tables: the
+    per-batch combiner emits unigram rows with an empty-string w2
+    sentinel (ascii_words never yields '', so the key spaces are
+    disjoint) next to the pair rows, and a single (w1, w2) exchange
+    aggregates everything. Returns the MATERIALIZED count Dataset —
+    vocab+pairs-scaled, object-store-resident (spills at 100 TB) — so
+    the top-N cuts, candidate filters and token totals downstream all
+    read it without re-running the corpus scan. Measured: folds the
+    two-fit doc_bigram_nll from 3 corpus passes to 2."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs: dict[tuple, int] = {}
+        uni: dict[str, int] = {}
+        for txt in t[text_col].to_pylist():
+            ws = ascii_words(txt)
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for k in zip(ws, ws[1:]):
+                pairs[k] = pairs.get(k, 0) + 1
+        w1 = [k[0] for k in pairs] + list(uni.keys())
+        w2 = [k[1] for k in pairs] + [""] * len(uni)
+        freq = list(pairs.values()) + list(uni.values())
+        return pa.table({
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "freq": pa.array(freq, pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("freq", alias_name="freq")) \
+        .materialize()
+
+
+def _top_pairs(agg, top_b: int) -> dict[tuple, int]:
+    import pyarrow.compute as pc
+
+    pair_ds = agg.map_batches(
+        lambda t: t.filter(pc.not_equal(t["w2"], "")),
+        batch_format="pyarrow")
+    top = pair_ds.sort(["freq", "w1", "w2"],
+                       descending=[True, False, False]) \
+        .limit(top_b).to_pandas()
+    return {(a, b): int(c) for a, b, c in
+            zip(top["w1"], top["w2"], top["freq"])}
+
+
+def _unigram_slice(agg):
+    import pyarrow.compute as pc
+
+    return agg.map_batches(
+        lambda t: t.filter(pc.equal(t["w2"], "")),
+        batch_format="pyarrow")
+
+
 class BigramNLLScorer:
     """Actor-pool stage: conditional bigram NLL per doc. For each
     adjacent pair, nll = ln(coalesce(c(w1), alpha) + 1) -
@@ -313,39 +369,58 @@ class BigramNLLScorer:
                             dtype=np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, n_big, avg = [], [], []
+        # ONE model lookup per batch: all docs' pairs concatenate into
+        # a single reindex (a per-doc reindex was the measured hot
+        # spot), then segment sums via add.reduceat recover the means
+        ids, seg_lens = [], []
+        all_pairs: list[str] = []
+        all_ctx: list[str] = []
+        sep = self._SEP
         for did, t in zip(batch[self.id_col].to_pylist(),
                           batch[self.text_col].to_pylist()):
             ws = ascii_words(t)
             if len(ws) < 2:
                 continue
-            pairs = [a + self._SEP + b for a, b in zip(ws, ws[1:])]
-            cb = self.cb.reindex(pairs).to_numpy()
-            cb[np.isnan(cb)] = _OOV_ALPHA
-            cu = self.cu.reindex(ws[:-1]).to_numpy()
-            cu[np.isnan(cu)] = _OOV_ALPHA
-            nll = np.log(cu + 1.0) - np.log(cb)
             ids.append(did)
-            n_big.append(len(pairs))
-            avg.append(float(nll.mean()))
+            seg_lens.append(len(ws) - 1)
+            all_pairs.extend(a + sep + b for a, b in zip(ws, ws[1:]))
+            all_ctx.extend(ws[:-1])
+        if not ids:
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "avg_nll2": pa.array([], pa.float64()),
+            })
+        cb = self.cb.reindex(all_pairs).to_numpy()
+        cb[np.isnan(cb)] = _OOV_ALPHA
+        cu = self.cu.reindex(all_ctx).to_numpy()
+        cu[np.isnan(cu)] = _OOV_ALPHA
+        nll = np.log(cu + 1.0) - np.log(cb)
+        lens = np.asarray(seg_lens, dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        avg = np.add.reduceat(nll, offs) / lens
         return pa.table({
             self.id_col: pa.array(ids, pa.int64()),
-            "n_bigrams": pa.array(n_big, pa.int64()),
+            "n_bigrams": pa.array(lens, pa.int64()),
             "avg_nll2": pa.array(avg, pa.float64()),
         })
 
 
 def bigram_nll(ds, top_b: int = 100, top_u: int = 50,
                id_col: str = "doc_id", text_col: str = "text"):
-    """Conditional-bigram perplexity scoring: two distributed count
-    fits (pair table and context table, both combiner-partial →
-    small groupby → deterministic top-N cut), one ray.put broadcast,
+    """Conditional-bigram perplexity scoring: ONE fused count fit
+    (pair + context tables off a single corpus scan and exchange,
+    fit_bigram_unigram), two small top-N cuts, one ray.put broadcast,
     one streaming scoring pass. Docs with <2 tokens are dropped (no
     bigram events to score)."""
     import ray
 
-    bigrams = fit_bigram_counts(ds, top_b=top_b, text_col=text_col)
-    unigrams, _total = fit_unigram_lm(ds, top_v=top_u, text_col=text_col)
+    agg = fit_bigram_unigram(ds, text_col=text_col)
+    bigrams = _top_pairs(agg, top_b)
+    uni_top = _unigram_slice(agg) \
+        .sort(["freq", "w1"], descending=[True, False]) \
+        .limit(top_u).to_pandas()
+    unigrams = dict(zip(uni_top["w1"], uni_top["freq"].astype(int)))
     mref = ray.put((bigrams, unigrams))
     return ds.map_batches(
         BigramNLLScorer, batch_format="pyarrow", concurrency=(1, 8),
@@ -358,38 +433,25 @@ def bigram_pmi(ds, top_b: int = 100, k: int = 10,
     """Collocation mining: pointwise mutual information of the top-B
     corpus bigrams, ln(c(w1,w2)·N / (c(w1)·c(w2))).
 
-    Three streamed passes, all bounded: the distributed pair fit
-    (combiner → small groupby → top-B cut), an exact RECOUNT of just
-    the ≤2B candidate words (the word set broadcasts into the combiner
-    closure, so the recount exchange is candidate-scaled, never
-    vocab-scaled), and a scalar token total. Returns the k highest-PMI
-    pairs (6-dp-rounded before ranking so ties are stable), pair count
-    attached."""
-    from ray.data.aggregate import Sum
+    ONE corpus scan: the fused fit_bigram_unigram exchange already
+    holds the pair counts, every candidate word's exact count, and the
+    token total (Σ unigram freqs) — the cuts and the candidate filter
+    are all reads of that materialized, group-scaled table. Returns
+    the k highest-PMI pairs (6-dp-rounded before ranking so ties are
+    stable), pair count attached."""
+    import pyarrow.compute as pc
 
-    bigrams = fit_bigram_counts(ds, top_b=top_b, text_col=text_col)
-    cand = sorted({w for pair in bigrams for w in pair})
-    cand_set = set(cand)
+    agg = fit_bigram_unigram(ds, text_col=text_col)
+    bigrams = _top_pairs(agg, top_b)
+    cand_set = sorted({w for pair in bigrams for w in pair})
 
-    def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        total = 0
-        for txt in t[text_col].to_pylist():
-            ws = ascii_words(txt)
-            total += len(ws)
-            for w in ws:
-                if w in cand_set:
-                    counts[w] = counts.get(w, 0) + 1
-        words = list(counts.keys()) + ["\x00total"]
-        freqs = list(counts.values()) + [total]
-        return pa.table({"word": pa.array(words, pa.string()),
-                         "freq": pa.array(freqs, pa.int64())})
-
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("word").aggregate(Sum("freq", alias_name="freq")) \
-        .to_pandas()
-    cu = dict(zip(agg["word"], agg["freq"].astype(np.int64)))
-    n_total = float(cu.pop("\x00total"))
+    uni = _unigram_slice(agg)
+    n_total = float(uni.sum("freq"))
+    cand_tbl = uni.map_batches(
+        lambda t, _c=set(cand_set): t.filter(
+            pc.is_in(t["w1"], pa.array(sorted(_c), pa.string()))),
+        batch_format="pyarrow").to_pandas()
+    cu = dict(zip(cand_tbl["w1"], cand_tbl["freq"].astype(np.int64)))
 
     rows = []
     for (w1, w2), cb in bigrams.items():
