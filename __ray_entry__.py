@@ -1229,6 +1229,18 @@ def _q_url_hierarchy_rollup(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_trade_ppr(sf_dir: str):
+    """Personalized PageRank (graph.pagerank(personalize=seeds)) from
+    the two smallest customer nodes over the one-way cust→supp trade
+    graph: teleport, init mass and the dangling redistribution all
+    concentrate on the seeds (every supplier is a sink, so the
+    seed-directed dangling term is exercised). Oracle chains the same
+    3 iterations with a seed CASE teleport."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_ppr
+
+    return trade_ppr(sf_dir)
+
+
 def _q_vq_residuals(sf_dir: str):
     """Vector-quantization error (similarity.vq_residuals): per-vector
     L2 distance to its label centroid — centroid combiner partials →
@@ -2681,6 +2693,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
         "vq_residuals": _q_vq_residuals,
+        "trade_ppr": _q_trade_ppr,
         "vocab_coverage": _q_vocab_coverage,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
@@ -3951,6 +3964,65 @@ def oracle_sql_all() -> dict[str, str]:
                    round(SUM(n_chars), 2) AS sum_chars
             FROM p GROUP BY ROLLUP (host, section)
             ORDER BY host NULLS FIRST, section NULLS FIRST
+        """,
+        "trade_ppr": """
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            edges AS (SELECT c AS src, s AS dst FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM edges
+                      UNION SELECT DISTINCT dst FROM edges),
+            seeds AS (SELECT DISTINCT src AS node FROM edges
+                      ORDER BY node LIMIT 2),
+            tele AS (SELECT n.node,
+                            CASE WHEN s.node IS NULL THEN 0.0
+                                 ELSE 1.0 / (SELECT count(*) FROM seeds)
+                            END AS p
+                     FROM nodes n LEFT JOIN seeds s USING (node)),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                    FROM edges GROUP BY src),
+            r0 AS (SELECT node, p AS score FROM tele),
+            r1 AS (
+              SELECT t.node,
+                     0.15 * t.p
+                     + 0.85 * (coalesce(con.s, 0)
+                         + (SELECT coalesce(sum(r.score), 0) FROM r0 r
+                            WHERE r.node NOT IN (SELECT src FROM deg))
+                           * t.p) AS score
+              FROM tele t
+              LEFT JOIN (SELECT e.dst AS node, sum(r.score / deg.d) AS s
+                         FROM edges e
+                         JOIN r0 r ON e.src = r.node
+                         JOIN deg ON e.src = deg.src
+                         GROUP BY e.dst) con ON con.node = t.node),
+            r2 AS (
+              SELECT t.node,
+                     0.15 * t.p
+                     + 0.85 * (coalesce(con.s, 0)
+                         + (SELECT coalesce(sum(r.score), 0) FROM r1 r
+                            WHERE r.node NOT IN (SELECT src FROM deg))
+                           * t.p) AS score
+              FROM tele t
+              LEFT JOIN (SELECT e.dst AS node, sum(r.score / deg.d) AS s
+                         FROM edges e
+                         JOIN r1 r ON e.src = r.node
+                         JOIN deg ON e.src = deg.src
+                         GROUP BY e.dst) con ON con.node = t.node),
+            r3 AS (
+              SELECT t.node,
+                     0.15 * t.p
+                     + 0.85 * (coalesce(con.s, 0)
+                         + (SELECT coalesce(sum(r.score), 0) FROM r2 r
+                            WHERE r.node NOT IN (SELECT src FROM deg))
+                           * t.p) AS score
+              FROM tele t
+              LEFT JOIN (SELECT e.dst AS node, sum(r.score / deg.d) AS s
+                         FROM edges e
+                         JOIN r2 r ON e.src = r.node
+                         JOIN deg ON e.src = deg.src
+                         GROUP BY e.dst) con ON con.node = t.node)
+            SELECT node AS node_id, round(score, 6) AS score
+            FROM r3 ORDER BY node
         """,
         "vq_residuals": """
             WITH flat AS (

@@ -32,7 +32,8 @@ import pyarrow as pa
 
 
 def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
-             node_broadcast_limit: int = 50_000_000):
+             node_broadcast_limit: int = 50_000_000,
+             personalize: "list[int] | None" = None):
     """Fixed-iteration PageRank over a directed edge Dataset
     (src:int64, dst:int64), with full dangling-node (sink) handling:
     the node universe is src ∪ dst, sinks carry out-degree 0, and their
@@ -49,7 +50,14 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     ranks and degrees live as Datasets and each iteration runs as
     hash_join exchanges + a salted dst-sum (``_pagerank_distributed``).
     Both paths share the node-discovery exchange and the same float64
-    algebra (equal to summation-order noise; consumers round)."""
+    algebra (equal to summation-order noise; consumers round).
+
+    ``personalize``: seed node ids for PERSONALIZED PageRank — the
+    teleport vector (and the dangling-mass sink) concentrates on the
+    seeds present in the graph, 1/|S| each, instead of uniform 1/n;
+    initial ranks likewise. The seed set is small by definition (it is
+    user input), so it broadcasts into both paths' closures; seeds
+    absent from the edge set are ignored, an all-absent set raises."""
     import ray
     from ray.data.aggregate import Count
 
@@ -103,7 +111,8 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             .map_batches(lambda t: t.rename_columns(["node", "deg"]),
                          batch_format="pyarrow").materialize()
         return _pagerank_distributed(edges_ds, n, nodes_ds, deg_ds,
-                                     damping, iters)
+                                     damping, iters,
+                                     personalize=personalize)
     if nodes_ds is not None:             # discovered distributed, but |V|
         nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
                         .astype(np.int64))   # fits: pull for broadcast
@@ -127,7 +136,17 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     np.add.at(deg, deg_df["idx"].to_numpy(), deg_df["partial"].to_numpy())
     sinks = deg == 0.0
     safe_deg = np.where(sinks, 1.0, deg)
-    ranks = np.full(n, 1.0 / n)
+    if personalize is not None:
+        seeds_in = np.intersect1d(
+            nodes, np.unique(np.asarray(personalize, dtype=np.int64)))
+        if seeds_in.size == 0:
+            raise ValueError("no personalization seed exists in the graph")
+        p = np.zeros(n, dtype=np.float64)
+        p[np.searchsorted(nodes, seeds_in)] = 1.0 / seeds_in.size
+        ranks = p.copy()
+    else:
+        p = None
+        ranks = np.full(n, 1.0 / n)
     base = (1.0 - damping) / n
 
     for _ in range(iters):
@@ -158,7 +177,11 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
         # module docstring) replaces BOTH the broadcast and this reduce.
         parts = edges_ds.map_batches(contrib, batch_format="pyarrow") \
             .to_pandas()
-        new = np.full(n, base + damping * dangling / n)
+        if p is None:
+            new = np.full(n, base + damping * dangling / n)
+        else:
+            # teleport AND dangling mass both land on the seed vector
+            new = ((1.0 - damping) + damping * dangling) * p
         np.add.at(new, parts["idx"].to_numpy(),
                   damping * parts["partial"].to_numpy())
         ranks = new
@@ -167,7 +190,9 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
 
 
 def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
-                          damping: float, iters: int) -> pd.DataFrame:
+                          damping: float, iters: int,
+                          personalize: "list[int] | None" = None
+                          ) -> pd.DataFrame:
     """Web-scale PageRank path: ranks/degrees stay as Datasets; per
     iteration the driver sees only two scalars (dangling mass via
     ``sum``, plus lineage handles). Each iteration = hash_join(ranks,
@@ -184,10 +209,32 @@ def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
 
     base = (1.0 - damping) / n
     init = 1.0 / n
+    seed_arr = None
+    if personalize is not None:
+        # seeds ∩ node universe, discovered WITHOUT pulling the
+        # universe: filter the node Dataset by the (tiny, broadcast)
+        # seed list and collect ≤ |seeds| rows
+        import pyarrow.compute as pc
+
+        cand = np.unique(np.asarray(personalize, dtype=np.int64))
+        hits = nodes_ds.map_batches(
+            lambda t, _c=cand: t.filter(
+                pc.is_in(t["node"], pa.array(_c, pa.int64()))),
+            batch_format="pyarrow").to_pandas()
+        seed_arr = np.unique(hits["node"].to_numpy().astype(np.int64))
+        if seed_arr.size == 0:
+            raise ValueError("no personalization seed exists in the graph")
+        p_seed = 1.0 / seed_arr.size
 
     def init_rank(t: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            r = np.full(len(t), init)
+        else:
+            node = t["node"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            r = np.where(np.isin(node, seed_arr), p_seed, 0.0)
         return pa.table({"node": t["node"], "rank": pa.array(
-            np.full(len(t), init), pa.float64())})
+            r, pa.float64())})
 
     ranks_ds = nodes_ds.map_batches(init_rank, batch_format="pyarrow") \
         .materialize()
@@ -235,12 +282,21 @@ def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
         joined = hash_join(nodes_ds, contrib, on="node", how="left",
                            n_parts=16)
         add = base + damping * dangling / n
+        seed_add = (None if seed_arr is None
+                    else ((1.0 - damping) + damping * dangling) * p_seed)
 
-        def new_rank(t: pa.Table) -> pa.Table:
+        def new_rank(t: pa.Table, _sa=seed_add) -> pa.Table:
             c = t["c"].to_pandas().to_numpy(dtype=np.float64,
                                             na_value=0.0)
+            if seed_arr is None:
+                r = add + damping * c
+            else:
+                node = t["node"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                r = np.where(np.isin(node, seed_arr), _sa, 0.0) \
+                    + damping * c
             return pa.table({"node": t["node"], "rank": pa.array(
-                add + damping * c, pa.float64())})
+                r, pa.float64())})
 
         ranks_ds = joined.map_batches(new_rank, batch_format="pyarrow") \
             .materialize()
@@ -959,3 +1015,28 @@ def part_triangles(sf_dir: str) -> pd.DataFrame:
     co-occurrence-network form of triangle counting (node_id = partkey,
     n_triangles = closed co-order triples through it)."""
     return triangle_counts(part_coorder_edges(sf_dir))
+
+
+def trade_ppr(sf_dir: str, damping: float = 0.85, iters: int = 3,
+              node_broadcast_limit: int = 50_000_000) -> pd.DataFrame:
+    """Personalized PageRank over the ONE-WAY cust→supp trade graph
+    from the two smallest customer nodes (deterministic seed pick,
+    mirrored in the SQL oracle): teleport, initial mass, and the
+    dangling redistribution all concentrate on the seeds — the "pages
+    relevant to THIS site" crawl-prioritization signal, vs the global
+    importance trade_pagerank gives. Suppliers are pure sinks here, so
+    the seed-directed dangling term is exercised, not just the teleport."""
+    edges = trade_edges_directed(sf_dir).materialize()
+
+    def min2(t: pa.Table) -> pa.Table:
+        s = np.unique(t["src"].to_numpy(zero_copy_only=False))[:2]
+        return pa.table({"node_id": pa.array(s, pa.int64())})
+
+    partials = edges.map_batches(min2, batch_format="pyarrow") \
+        .to_pandas()["node_id"].to_numpy()
+    seeds = np.unique(partials)[:2].tolist()
+    df = pagerank(edges, damping=damping, iters=iters,
+                  node_broadcast_limit=node_broadcast_limit,
+                  personalize=seeds)
+    df["score"] = df["score"].round(6)
+    return df.sort_values("node_id").reset_index(drop=True)

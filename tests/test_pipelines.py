@@ -2426,3 +2426,18 @@ def test_bigram_scorer_order_sensitivity(ray_session):
         .to_pandas().set_index("doc_id")
     assert out.loc[1, "n_bigrams"] == out.loc[2, "n_bigrams"]
     assert out.loc[1, "avg_nll2"] != out.loc[2, "avg_nll2"]
+
+
+def test_ppr_paths_and_mass(ray_session, sf_dir):
+    """Personalized PageRank: broadcast ≡ forced-distributed path, and
+    total mass stays 1 (teleport + dangling both land on the seeds)."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_ppr
+
+    a = trade_ppr(sf_dir)
+    b = trade_ppr(sf_dir, node_broadcast_limit=1) \
+        .sort_values("node_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert abs(a["score"].sum() - 1.0) < 1e-4
+    # seeds (two smallest customer = even ids) dominate their own scores
+    seeds = a[a["node_id"] % 2 == 0].nsmallest(2, "node_id")
+    assert (seeds["score"] > a["score"].median()).all()
