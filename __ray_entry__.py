@@ -363,6 +363,40 @@ def _q_ann_recall(sf_dir: str):
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
+def _q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (similarity.lsh_topk — random-hyperplane
+    tables + 1-bit multi-probe, streaming bucket filter, no shuffle)
+    as a per-query recall@10 hard gate vs exhaustive brute force over
+    8 queries (floor 0.7, same bar as the IVF gate). query_id universe
+    is oracle-checked (vec_id < 8 from embeddings)."""
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qvec = np.array(t.slice(0, 8)["embedding"].to_pylist(),
+                    dtype=np.float64)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = brute_force_topk(ds, qvec, k=10)
+    approx = lsh_topk(ds, qvec, k=10)
+    rows = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        rows.append({"query_id": int(qid), "k": 10,
+                     "recall_ok": (len(truth & got) / max(1, len(truth)))
+                     >= 0.7})
+    out = pd.DataFrame(rows)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["k"] = out["k"].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 # --- relational / events operators -----------------------------------------
 
 
@@ -2635,6 +2669,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall_gate,
         "ann_recall_detail": _q_ann_recall,
+        "ann_lsh": _q_ann_lsh,
         # relational / events
         "pricing_summary": lambda sf: _mk("pricing_summary")(sf),
         "top_revenue_orders": lambda sf: _mk("top_revenue_orders")(sf),
@@ -5088,6 +5123,11 @@ def oracle_sql_all() -> dict[str, str]:
         FROM topk ORDER BY rank
     """
     sql["ann_recall"] = """
+        SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+    """
+    sql["ann_lsh"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 8 ORDER BY vec_id

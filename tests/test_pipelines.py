@@ -163,6 +163,37 @@ def test_ivf_topk_recall(ray_session, sf_dir):
     assert approx[0] == exact[0] == 0            # self-match first
 
 
+def test_lsh_topk_recall_and_prune(ray_session, sf_dir):
+    """LSH-bucketed ANN: self-match first, recall@10 ≥ 0.7 vs brute
+    force, and the bucket filter actually prunes (survivor count is a
+    strict subset of the corpus at the tuned defaults)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.array(t.slice(0, 1)["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = similarity.brute_force_topk(ds, q, k=10)["vec_id"].tolist()
+    approx = similarity.lsh_topk(ds, q, k=10)
+    got = approx["vec_id"].tolist()
+    assert len(set(exact) & set(got)) / 10 >= 0.7
+    assert got[0] == exact[0] == 0               # self-match survives LSH
+    # prune evidence: single-query survivors < 85% of the corpus even
+    # on this near-uniform worst-case data
+    import stimson_web_scraper_ray.pipelines.similarity as sim
+    orig = sim.brute_force_topk
+    seen = {}
+    try:
+        def spy(inner_ds, *a, **k):
+            seen["n"] = inner_ds.count()
+            return orig(inner_ds, *a, **k)
+        sim.brute_force_topk = spy
+        similarity.lsh_topk(ds, q, k=10)
+    finally:
+        sim.brute_force_topk = orig
+    assert seen["n"] < 0.85 * t.num_rows, seen
+
+
 def test_corpus_keywords_match_pandas(docs_with_dups):
     got = textstats.corpus_top_keywords(docs_with_dups, k=5,
                                         stop_lang=None).to_pandas()
