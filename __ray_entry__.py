@@ -1677,6 +1677,23 @@ def _q_ngram_jaccard(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_prefix_jaccard(sf_dir: str):
+    """Prefix-filtered set-similarity join (dedup.prefix_jaccard_pairs
+    — AllPairs/PPJoin candidate generation: only each doc's p = n −
+    ⌈t·n⌉ + 1 globally-rarest grams enter the pairing exchange, df≥2
+    order map broadcast, exact verify restricted to candidate docs).
+    Same output contract as ngram_jaccard_pairs; the oracle re-derives
+    it independently from string grams in SQL."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import prefix_jaccard_pairs
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    df = prefix_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    df["a"] = df["a"].astype("int64")
+    df["b"] = df["b"].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (MOSS, Schleimer et al. 2003):
     3-token gram md5 hashes, rightmost-min selection over 8-gram
@@ -2661,6 +2678,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_groups": _q_minhash_dedup_groups,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "prefix_jaccard_pairs": _q_prefix_jaccard,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -5127,6 +5145,9 @@ def oracle_sql_all() -> dict[str, str]:
                TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
     """
+    # prefix-filtered join must reproduce the SAME truth the inverted-
+    # index form is graded against — one SQL derivation, two engines
+    sql["prefix_jaccard_pairs"] = sql["ngram_jaccard_pairs"]
     sql["ann_lsh"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                TRUE AS recall_ok

@@ -2459,6 +2459,30 @@ def test_bigram_scorer_order_sensitivity(ray_session):
     assert out.loc[1, "avg_nll2"] != out.loc[2, "avg_nll2"]
 
 
+def test_prefix_jaccard_matches_index_and_prunes(ray_session, sf_dir):
+    """AllPairs/PPJoin prefix filter ≡ the full inverted index on the
+    same corpus, and its candidate volume is a small fraction of the
+    all-pairs space (the point of the prefix)."""
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()
+    stats = {}
+    a = prefix_jaccard_pairs(ds, stats=stats).to_pandas() \
+        .reset_index(drop=True)
+    b = ngram_jaccard_pairs(ds).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+    # prune evidence: candidates ≪ all-pairs (measured ~882 of 124,750
+    # at sf0.001) and every true pair survived candidacy
+    assert stats["n_candidates"] < 0.05 * n_docs * (n_docs - 1) / 2
+    assert stats["n_candidates"] >= len(a)
+
+
 def test_ppr_paths_and_mass(ray_session, sf_dir):
     """Personalized PageRank: broadcast ≡ forced-distributed path, and
     total mass stays 1 (teleport + dangling both land on the seeds)."""
