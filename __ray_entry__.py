@@ -1694,6 +1694,31 @@ def _q_prefix_jaccard(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs —
+    range-partition by the blocking key + boundary-halo edge rows, so
+    within-window pairs that straddle parts are closed from n_parts×2w
+    boundary-scaled rows on the driver). Oracle: row_number over the
+    same total order + a band self-join."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return sorted_neighborhood_pairs(ds, window=5).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (analytics.cohort_retention): one salted
+    user exchange, part-local first-touch + offsets, partition-scaled
+    partial counts to the driver."""
+    from stimson_web_scraper_ray.pipelines.analytics import cohort_retention
+
+    return cohort_retention(sf_dir)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (MOSS, Schleimer et al. 2003):
     3-token gram md5 hashes, rightmost-min selection over 8-gram
@@ -2679,6 +2704,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "prefix_jaccard_pairs": _q_prefix_jaccard,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
+        "cohort_retention": _q_cohort_retention,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -5148,6 +5175,29 @@ def oracle_sql_all() -> dict[str, str]:
     # prefix-filtered join must reproduce the SAME truth the inverted-
     # index form is graded against — one SQL derivation, two engines
     sql["prefix_jaccard_pairs"] = sql["ngram_jaccard_pairs"]
+    sql["sorted_neighborhood_pairs"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY length(text), doc_id) AS rn
+          FROM documents)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(y.rn - x.rn AS BIGINT) AS gap
+        FROM p x JOIN p y ON y.rn - x.rn BETWEEN 1 AND 5
+        ORDER BY a, b
+    """
+    sql["cohort_retention"] = """
+        WITH f AS (
+          SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT DISTINCT e.user_id, f.cohort_day,
+                 date_diff('day', f.cohort_day,
+                           date_trunc('day', e.ts)) AS day_offset
+          FROM events e JOIN f USING (user_id))
+        SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+               count(*) AS n_users
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """
     sql["ann_lsh"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                TRUE AS recall_ok

@@ -388,6 +388,44 @@ def event_type_distinct_users(sf_dir: str):
     return df
 
 
+def cohort_retention(sf_dir: str):
+    """Cohort retention matrix (the SQL two-level self-referential
+    aggregate ``events ⋈ (min ts per user)``): cohort_day = day of each
+    user's FIRST event, day_offset = days since it, n_users = distinct
+    cohort users active at that offset — the canonical recrawl-cadence /
+    audience-retention rollup.
+
+    Scale shape: ONE salted exchange on user_id puts every user's full
+    history in a single part (the user_event_deltas invariant), so the
+    first-touch min, the per-(user, day) distinct and the offset math
+    are all part-local vectorized pandas; each part emits only its
+    (cohort_day, day_offset, partial count) rows — cohorts × offsets ×
+    n_parts scalars, summed in one tiny driver groupby. Nothing
+    event-scaled leaves the exchange and no second join pass re-ships
+    the first-touch table."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        d = pd.DataFrame({"user_id": df["user_id"], "day": day}) \
+            .drop_duplicates()
+        first = d.groupby("user_id", sort=False)["day"].transform("min")
+        offs = ((d["day"] - first) / np.timedelta64(1, "D")).astype("int64")
+        out = pd.DataFrame({"cohort_day": first, "day_offset": offs})
+        return out.groupby(["cohort_day", "day_offset"], sort=False) \
+            .size().reset_index(name="n_users")
+
+    partials = salted_partition_apply(
+        ds, part_fn, lambda t: t["user_id"].to_numpy()).to_pandas()
+    out = partials.groupby(["cohort_day", "day_offset"], sort=False)[
+        "n_users"].sum().reset_index()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]) \
+        .reset_index(drop=True)
+
+
 def parse_event_props(sf_dir: str):
     """JSON scalar function over the props column (§2.8 JSON ops):
     extract props.k per row, aggregate sum per event_type."""

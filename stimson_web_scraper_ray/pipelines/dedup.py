@@ -1963,3 +1963,139 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
     if df.empty:
         return rd.from_pandas(empty)
     return rd.from_pandas(df.sort_values(["a", "b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95) — the
+# third classic candidate-generation scheme next to the LSH buckets and
+# the AllPairs prefixes above: impose a total order on a cheap blocking
+# key and pair every record with its w predecessors in that order.
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(ds, window: int = 5, id_col: str = "doc_id",
+                              text_col: str = "text", n_parts: int = 32):
+    """Candidate pairs (a, b, gap) for all records within ``window``
+    positions of each other under the total order (len(text), id).
+
+    Distributed shape — the range-partition + boundary-halo idiom:
+    rows bucket into ``n_parts`` contiguous KEY ranges (order-
+    functional, so ties never straddle parts); phase 1 reduces one
+    count per part to the driver for the exclusive prefix scan; phase
+    2 sorts each part locally, assigns global positions against its
+    broadcast base offset, and emits its within-part pairs with one
+    shifted-array pass per gap (no per-row Python). Pairs that
+    straddle a part boundary have BOTH endpoints inside some part's
+    first/last ``window`` rows, so each part also emits those ≤ 2w
+    edge rows (n_parts × 2w total — boundary-scaled, not row-scaled)
+    and the driver closes the straddling pairs from them; a part
+    smaller than w is covered because its every row is an edge row.
+
+    The blocking KEY here is character length — the classic cheap
+    near-dup blocker (near-identical docs differ by a few chars, so
+    they sort adjacently); swap the key fn for phonetic/prefix keys in
+    entity-resolution uses. Output is exact and deterministic; the
+    oracle re-derives it with row_number + a band self-join."""
+    import ray
+
+    w = int(window)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        k = pc.utf8_length(t[text_col]).cast(pa.int64())
+        return pa.table({id_col: t[id_col], "key": k})
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
+    import ray.data as rd
+
+    kmin = keyed.min(on="key")
+    kmax = keyed.max(on="key")
+    if kmin is None:
+        return rd.from_pandas(pd.DataFrame(
+            {"a": pd.Series(dtype="int64"),
+             "b": pd.Series(dtype="int64"),
+             "gap": pd.Series(dtype="int64")}))
+    span = max(1.0, (float(kmax) - float(kmin) + 1.0) / n_parts)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t["key"].to_numpy().astype(np.float64)
+        part = np.minimum((v - float(kmin)) / span, n_parts - 1) \
+            .astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    parted = keyed.map_batches(add_part, batch_format="pyarrow") \
+        .materialize()
+    from ray.data.aggregate import Count
+
+    counts = parted.groupby("__part").aggregate(
+        Count(alias_name="n")).to_pandas().sort_values("__part")
+    offs = {int(p): int(b) for p, b in zip(
+        counts["__part"],
+        np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]))}
+    oref = ray.put(offs)
+
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(oref)[int(df["__part"].iloc[0])]
+        df = df.sort_values(["key", id_col], kind="mergesort") \
+            .reset_index(drop=True)
+        ids = df[id_col].to_numpy()
+        pos = base + np.arange(len(df), dtype=np.int64)
+        outs = []
+        for g in range(1, w + 1):
+            if g >= len(df):
+                break
+            outs.append(pd.DataFrame({
+                "a": pd.Series(ids[:-g], dtype="int64"),
+                "b": pd.Series(ids[g:], dtype="int64"),
+                "gap": pd.Series(np.full(len(df) - g, g), dtype="int64")}))
+        pairs = (pd.concat(outs, ignore_index=True) if outs
+                 else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                    "b": pd.Series(dtype="int64"),
+                                    "gap": pd.Series(dtype="int64")}))
+        # tag edge rows (first/last w, with their part id) for the
+        # driver's straddle pass — the tagged-union rides the same
+        # output schema: gap = -(part+1), b = global position
+        lo = min(w, len(df))
+        edge_idx = np.unique(np.concatenate(
+            [np.arange(lo), np.arange(max(0, len(df) - w), len(df))]))
+        p = int(df["__part"].iloc[0])
+        edges = pd.DataFrame({
+            "a": pd.Series(ids[edge_idx], dtype="int64"),
+            "b": pd.Series(pos[edge_idx], dtype="int64"),
+            "gap": pd.Series(np.full(len(edge_idx), -(p + 1)),
+                             dtype="int64")})
+        return pd.concat([pairs, edges], ignore_index=True)
+
+    raw = parted.groupby("__part").map_groups(
+        part_pairs, batch_format="pandas").materialize()
+    # local pairs stay a row-scaled DATASET; only the boundary-scaled
+    # edge rows (n_parts × 2w) come to the driver
+    local = raw.filter(expr="gap >= 1")
+    edges = raw.filter(expr="gap < 0").to_pandas() \
+        .rename(columns={"a": "id", "b": "pos"}).sort_values("pos")
+    eid = edges["id"].to_numpy()
+    epos = edges["pos"].to_numpy()
+    epart = (-edges["gap"].to_numpy()) - 1
+    # any pair with global gap ≤ w that crosses a part boundary has
+    # every row between its endpoints inside the edge set too (each is
+    # within w of SOME boundary), so edge-array index distance equals
+    # global distance — scanning gaps 1..w over the edge array is
+    # complete. Same-part edge pairs were already emitted locally.
+    outs = []
+    for g in range(1, w + 1):
+        if g >= len(edges):
+            break
+        gap = epos[g:] - epos[:-g]
+        keep = (gap >= 1) & (gap <= w) & (epart[g:] != epart[:-g])
+        outs.append(pd.DataFrame({
+            "a": pd.Series(eid[:-g][keep], dtype="int64"),
+            "b": pd.Series(eid[g:][keep], dtype="int64"),
+            "gap": pd.Series(gap[keep], dtype="int64")}))
+    import ray.data as rd
+
+    straddle = (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                   "b": pd.Series(dtype="int64"),
+                                   "gap": pd.Series(dtype="int64")}))
+    if straddle.empty:
+        return local
+    return local.union(rd.from_pandas(straddle))

@@ -2483,6 +2483,43 @@ def test_prefix_jaccard_matches_index_and_prunes(ray_session, sf_dir):
     assert stats["n_candidates"] >= len(a)
 
 
+def test_sorted_neighborhood_partition_invariance(ray_session, sf_dir):
+    """The boundary-halo straddle pass is exact: a 1-part run (no
+    straddles possible) and a 64-part run (parts of ~8 rows, straddles
+    everywhere) return identical pair sets."""
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    one = sorted_neighborhood_pairs(ds, window=5, n_parts=1).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    many = sorted_neighborhood_pairs(ds, window=5, n_parts=64).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert one.equals(many)
+    n = ds.count()
+    assert len(one) == 5 * n - 15      # n·w − w(w+1)/2 pairs exactly
+
+
+def test_cohort_retention_properties(ray_session, sf_dir):
+    """Offset-0 row of each cohort counts every cohort member (first
+    events land at offset 0) and dominates later offsets; offset-0
+    totals sum to the distinct user count."""
+    from stimson_web_scraper_ray.pipelines.analytics import cohort_retention
+
+    df = cohort_retention(sf_dir)
+    import pyarrow.parquet as pq
+
+    users = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n_users = len(np.unique(users["user_id"].to_numpy()))
+    day0 = df[df["day_offset"] == 0]
+    assert int(day0["n_users"].sum()) == n_users
+    m = df.merge(day0[["cohort_day", "n_users"]], on="cohort_day",
+                 suffixes=("", "_c0"))
+    assert (m["n_users"] <= m["n_users_c0"]).all()
+
+
 def test_ppr_paths_and_mass(ray_session, sf_dir):
     """Personalized PageRank: broadcast ≡ forced-distributed path, and
     total mass stays 1 (teleport + dangling both land on the seeds)."""
