@@ -1694,6 +1694,35 @@ def _q_prefix_jaccard(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_brand_volume_skewjoin(sf_dir: str):
+    """Per-brand quantity rollup routed through join.skew_join — the
+    heavy-hitter-detecting broadcast/exchange hybrid (hot left keys
+    bypass the exchange entirely; parity with hash_join pinned in
+    tests under forced 50%-one-key skew). hot_frac=0.0002 puts real
+    keys over the detection bar at this table's near-uniform partkey
+    distribution, so both routes execute."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import skew_join
+
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    pt = read(sf_dir, "part", ["p_partkey", "p_brand"]) \
+        .rename_columns({"p_partkey": "l_partkey"})
+    joined = skew_join(li, pt, "l_partkey", hot_frac=0.0002)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("p_brand", sort=False)[
+            "l_quantity"].sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    df = joined.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("p_brand", sort=False)["l_quantity"].sum().reset_index()
+    df = df.rename(columns={"l_quantity": "sum_qty"})
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df.sort_values("p_brand").reset_index(drop=True)
+
+
 def _q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs —
     range-partition by the blocking key + boundary-halo edge rows, so
@@ -2706,6 +2735,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "prefix_jaccard_pairs": _q_prefix_jaccard,
         "sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "cohort_retention": _q_cohort_retention,
+        "brand_volume_skewjoin": _q_brand_volume_skewjoin,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -5184,6 +5214,11 @@ def oracle_sql_all() -> dict[str, str]:
                CAST(y.rn - x.rn AS BIGINT) AS gap
         FROM p x JOIN p y ON y.rn - x.rn BETWEEN 1 AND 5
         ORDER BY a, b
+    """
+    sql["brand_volume_skewjoin"] = """
+        SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
     """
     sql["cohort_retention"] = """
         WITH f AS (

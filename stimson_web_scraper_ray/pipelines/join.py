@@ -245,3 +245,103 @@ def asof_join(left, right, *, on: str, by: str,
         n_parts=n_parts)
     return joined.map_batches(_normalize_to(out_fields),
                               batch_format="pyarrow")
+
+
+def skew_join(left, right, on: str, *, how: str = "inner",
+              hot_frac: float = 0.01, hot_bytes_limit: int = 64 << 20,
+              n_parts: int = 64, stats: dict | None = None):
+    """Skew-aware equi-join: HOT left keys bypass the exchange.
+
+    The hash_join above is key-functional, so one pathological key (the
+    celebrity user, the parked domain) lands its entire row mass in one
+    part and serializes that task. This variant routes around it:
+
+      1. Heavy-hitter detect — each left batch emits (key, count) only
+         for keys at ≥ ``hot_frac`` of the batch (a key at ≥ hot_frac of
+         the WHOLE left must reach that fraction in ≥ 1 batch, so the
+         candidate set is a superset of the true heavy set; ≤ 1/hot_frac
+         candidates per batch reach the driver — batch-scaled, not
+         row-scaled). Routing is a pure performance decision: ANY split
+         is correct, so the lower-bound counts need no second pass.
+      2. Right rows with hot keys materialize and broadcast (ray.put);
+         the hot left slice joins them INSIDE map_batches — the skewed
+         row mass never shuffles. If the hot right slice exceeds
+         ``hot_bytes_limit`` the whole join falls back to hash_join
+         (a key hot on BOTH sides is a genuine cross-product; no
+         routing fixes that).
+      3. Cold rows take the normal bucketed hash_join; hot and cold key
+         sets are disjoint, so the two output streams union exactly.
+
+    ``how``: inner | left. ``stats`` receives hot_keys / hot_left_rows
+    for the tests' routing assertions. Same output contract as
+    hash_join (column set, dtypes; row order differs)."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    overlap = (set(lcols) & set(rcols)) - {on}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    out_fields = ([(n, ltypes[n]) for n in lcols]
+                  + [(n, rtypes[n]) for n in rcols if n != on])
+
+    # --- 1. heavy-hitter candidates (batch-local Misra-Gries-style) ---
+    def hot_partial(t: pa.Table) -> pa.Table:
+        k = _key_to_int64(t, on)
+        keys, counts = np.unique(k, return_counts=True)
+        m = counts >= max(1, int(hot_frac * len(k)))
+        return pa.table({"__k": pa.array(keys[m], pa.int64()),
+                         "__c": pa.array(counts[m], pa.int64())})
+
+    cand = left.map_batches(hot_partial, batch_format="pyarrow") \
+        .to_pandas()
+    agg = cand.groupby("__k")["__c"].sum() if len(cand) else pd.Series(
+        dtype="int64")
+    n_left = left.count()
+    hot = np.sort(agg[agg >= hot_frac * n_left].index.to_numpy()
+                  .astype(np.int64))
+    if stats is not None:
+        stats["hot_keys"] = len(hot)
+
+    if len(hot) == 0:
+        if stats is not None:
+            stats["hot_left_rows"] = 0
+        return hash_join(left, right, on, how=how, n_parts=n_parts)
+
+    href = ray.put(hot)
+
+    def split(want_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = np.isin(_key_to_int64(t, on), ray.get(href))
+            return t.filter(pa.array(mask if want_hot else ~mask))
+        return fn
+
+    # --- 2. hot path: broadcast the right slice ---
+    right_hot = right.map_batches(split(True), batch_format="pyarrow") \
+        .materialize()
+    if right_hot.size_bytes() > hot_bytes_limit:
+        return hash_join(left, right, on, how=how, n_parts=n_parts)
+    rdf = right_hot.to_pandas()
+    rref = ray.put(rdf)
+    left_hot = left.map_batches(split(True), batch_format="pyarrow")
+    if stats is not None:
+        stats["hot_left_rows"] = left_hot.count()
+
+    def hot_merge(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(ray.get(rref), on=on, how=how)
+        return pa.table({n: pa.Array.from_pandas(m[n], type=typ)
+                         for n, typ in out_fields})
+
+    hot_out = left_hot.map_batches(hot_merge, batch_format="pandas")
+
+    # --- 3. cold path: the normal exchange (disjoint key sets) ---
+    cold_out = hash_join(
+        left.map_batches(split(False), batch_format="pyarrow"),
+        right.map_batches(split(False), batch_format="pyarrow"),
+        on, how=how, n_parts=n_parts)
+    return hot_out.union(cold_out)

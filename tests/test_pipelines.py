@@ -2483,6 +2483,65 @@ def test_prefix_jaccard_matches_index_and_prunes(ray_session, sf_dir):
     assert stats["n_candidates"] >= len(a)
 
 
+def test_skew_join_parity_and_routing(ray_session):
+    """skew_join ≡ hash_join under forced 50%-one-key skew (inner and
+    left), the hot rows actually route around the exchange, and the
+    hot_bytes_limit=0 fallback still matches."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.join import hash_join, skew_join
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    keys = np.where(rng.random(n) < 0.5, 42,
+                    rng.integers(0, 1000, n)).astype("int64")
+    left = rd.from_arrow(pa.table(
+        {"k": keys, "v": np.arange(n, dtype="int64")}))
+    right = rd.from_arrow(pa.table(
+        {"k": np.arange(0, 1000, 2, dtype="int64"),
+         "w": np.arange(500, dtype="int64") * 10}))
+    for how in ("inner", "left"):
+        stats = {}
+        a = skew_join(left, right, "k", how=how, hot_frac=0.05,
+                      stats=stats).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        b = hash_join(left, right, "k", how=how).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        assert a.equals(b), how
+        assert stats["hot_keys"] == 1
+        assert stats["hot_left_rows"] > 0.4 * n
+    fb = skew_join(left, right, "k", hot_frac=0.05,
+                   hot_bytes_limit=0).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    assert fb.equals(hash_join(left, right, "k").to_pandas()
+                     .sort_values(["k", "v"]).reset_index(drop=True))
+
+
+def test_skew_join_string_keys(ray_session):
+    """String keys fold for routing but merge on real values — a fold
+    collision can only co-route, never mis-join."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.join import hash_join, skew_join
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.5, -1, rng.integers(0, 200, n))
+    left = rd.from_arrow(pa.table(
+        {"k": np.where(keys == -1, "hot", keys.astype(str)),
+         "v": np.arange(n, dtype="int64")}))
+    right = rd.from_arrow(pa.table(
+        {"k": np.append(np.arange(200).astype(str), "hot"),
+         "w": np.arange(201, dtype="int64")}))
+    stats = {}
+    a = skew_join(left, right, "k", hot_frac=0.05, stats=stats) \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    b = hash_join(left, right, "k").to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert stats["hot_keys"] == 1
+
+
 def test_sorted_neighborhood_partition_invariance(ray_session, sf_dir):
     """The boundary-halo straddle pass is exact: a 1-part run (no
     straddles possible) and a 64-part run (parts of ~8 rows, straddles
