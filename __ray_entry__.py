@@ -2091,6 +2091,54 @@ def _q_index_parquet_lookup(sf_dir: str):
     return out[["term", "df", "postings"]].reset_index(drop=True)
 
 
+def _q_index_incremental_merge(sf_dir: str):
+    """Incremental index maintenance (index.merge_inverted_index): base
+    index over doc_id % 3 != 0 docs written to parquet, the % 3 == 0
+    delta merged in WITHOUT re-tokenizing the base (delta-scaled
+    exchange, per-partition distributed merge tasks, untouched parts
+    file-copied). The merged artifact must equal the full-corpus truth:
+    same top-3-df-terms SQL oracle as index_parquet_lookup."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        lookup_terms,
+        merge_inverted_index,
+        top_terms,
+        write_inverted_index,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(mod_eq):
+        def fn(t):
+            m = (t["doc_id"].to_numpy() % 3 == 0) == mod_eq
+            return t.filter(pa.array(m))
+        return fn
+
+    base = ds.map_batches(split(False), batch_format="pyarrow")
+    delta = ds.map_batches(split(True), batch_format="pyarrow")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base_dir = f"/tmp/swsr_imerge_base_{tag}"
+    out_dir = f"/tmp/swsr_imerge_out_{tag}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_inverted_index(build_inverted_index(base), base_dir)
+    merge_inverted_index(base_dir, delta, out_dir)
+    full_idx = build_inverted_index(ds).materialize()
+    terms = top_terms(full_idx, 3)
+    out = lookup_terms(out_dir, terms)
+    out["postings"] = out["postings"].map(
+        lambda p: ",".join(str(int(x)) for x in p))
+    out["df"] = out["df"].astype("int64")
+    out = out.sort_values(["df", "term"], ascending=[False, True])
+    return out[["term", "df", "postings"]].reset_index(drop=True)
+
+
 def _q_index_search_and(sf_dir: str):
     """Conjunctive boolean retrieval over the inverted index: docs
     containing ALL of the top-3 df terms (deterministic pick shared with
@@ -2717,6 +2765,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "inverted_index": _q_inverted_index,
         "index_parquet_lookup": _q_index_parquet_lookup,
+        "index_incremental_merge": _q_index_incremental_merge,
         "index_search_and": _q_index_search_and,
         "index_search_bm25": _q_index_search_bm25,
         "index_search_phrase": _q_index_search_phrase,
@@ -5215,6 +5264,8 @@ def oracle_sql_all() -> dict[str, str]:
         FROM p x JOIN p y ON y.rn - x.rn BETWEEN 1 AND 5
         ORDER BY a, b
     """
+    # merged-index artifact must equal the full-corpus index truth
+    sql["index_incremental_merge"] = sql["index_parquet_lookup"]
     sql["brand_volume_skewjoin"] = """
         SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -718,3 +718,120 @@ def anchor_text_rollup(pages_ds, url_col: str = "url",
     return salted_partition_apply(
         pages_ds.map_batches(harvest, batch_format="pyarrow"),
         merge, dst_key, n_parts=n_parts)
+
+
+def merge_inverted_index(old_dir: str, delta_ds, out_dir: str,
+                         n_partitions: int = 64,
+                         removed_doc_ids=None,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         stats: dict | None = None) -> str:
+    """Incremental index maintenance — the recrawl path: fold a DELTA
+    corpus (new/re-fetched pages) into an existing term-hash-partitioned
+    parquet index (write_inverted_index layout) without re-tokenizing
+    or re-shuffling the full history.
+
+    Cost shape: the only exchange is the delta's own index build
+    (delta-scaled); each partition the delta touches is merged INSIDE a
+    distributed task that reads just that ``part=NN`` directory and
+    writes its merged successor (the same per-partition resumability as
+    the sink — a killed merge re-runs only missing parts); partitions
+    the delta never touches are straight file copies, no read. At a
+    10^10-URL index a daily recrawl delta touches its own terms'
+    partitions only, so maintenance cost tracks the delta, not the
+    corpus.
+
+    ``removed_doc_ids`` (recrawl deletions / tombstones): postings drop
+    those ids everywhere. Removals can hide in partitions the delta
+    does not touch, so when given, every partition is processed (zero-
+    row marker rows force the fan-out); terms whose postings empty out
+    are dropped.
+
+    Returns ``out_dir``. Gate (tests + registry): merged artifact ≡ the
+    index built fresh over the union corpus."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .textstats import word_hash64
+
+    if os.path.abspath(old_dir) == os.path.abspath(out_dir):
+        raise ValueError("out_dir must differ from old_dir")
+    os.makedirs(out_dir, exist_ok=True)
+    removed = (np.unique(np.asarray(list(removed_doc_ids), np.int64))
+               if removed_doc_ids is not None else None)
+    rref = ray.put(removed)
+
+    delta_idx = build_inverted_index(delta_ds, id_col=id_col,
+                                     text_col=text_col)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        words = t["term"].to_pylist()
+        part = np.fromiter(
+            (word_hash64(w) % np.uint64(n_partitions) for w in words),
+            dtype=np.uint64, count=len(words)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    parted = delta_idx.map_batches(add_part, batch_format="pyarrow")
+    if removed is not None:
+        # tombstones may live in any partition — force full fan-out
+        # (Arrow table with the delta index's exact schema: unioning a
+        # pandas block against arrow blocks breaks the exchange)
+        marker = pa.table({
+            "term": pa.array([""] * n_partitions, pa.string()),
+            "df": pa.array(np.zeros(n_partitions, np.int64)),
+            "postings": pa.array([[] for _ in range(n_partitions)],
+                                 pa.list_(pa.int64())),
+            "part": pa.array(np.arange(n_partitions, dtype=np.int64))})
+        import ray.data as rd
+
+        parted = parted.union(rd.from_arrow(marker))
+    parted = parted.materialize()
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        p = int(df["part"].iloc[0])
+        df = df[df["term"] != ""]
+        frames = [pq.read_table(f).to_pandas()
+                  for f in sorted(glob.glob(
+                      os.path.join(old_dir, f"part={p}", "*.parquet")))]
+        both = pd.concat([*frames, df.drop(columns=["part"])],
+                         ignore_index=True) if frames else \
+            df.drop(columns=["part"])
+        rm = ray.get(rref)
+
+        def combine(lists) -> np.ndarray:
+            u = np.unique(np.concatenate(
+                [np.asarray(x, np.int64) for x in lists]))
+            return u if rm is None else u[~np.isin(u, rm)]
+
+        g = both.groupby("term", sort=True)["postings"].agg(combine)
+        out = pd.DataFrame({
+            "term": g.index,
+            "df": g.map(len).astype("int64"),
+            "postings": g.map(lambda a: a.tolist()).values,
+        }).reset_index(drop=True)
+        out = out[out["df"] > 0]
+        pdir = os.path.join(out_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       os.path.join(pdir, "merged.parquet"))
+        return pd.DataFrame({"part": pd.Series([p], dtype="int64"),
+                             "n_terms": pd.Series([len(out)],
+                                                  dtype="int64")})
+
+    receipts = parted.groupby("part").map_groups(
+        merge_part, batch_format="pandas").to_pandas()
+    touched = set(receipts["part"].tolist())
+    copied = 0
+    for d in sorted(glob.glob(os.path.join(old_dir, "part=*"))):
+        p = int(os.path.basename(d).split("=")[1])
+        if p not in touched:
+            shutil.copytree(d, os.path.join(out_dir, f"part={p}"),
+                            dirs_exist_ok=True)
+            copied += 1
+    if stats is not None:
+        stats["touched_parts"] = len(touched)
+        stats["copied_parts"] = copied
+    return out_dir

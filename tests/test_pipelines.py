@@ -2483,6 +2483,76 @@ def test_prefix_jaccard_matches_index_and_prunes(ray_session, sf_dir):
     assert stats["n_candidates"] >= len(a)
 
 
+def test_merge_inverted_index_exact_and_incremental(ray_session, sf_dir):
+    """Merged index ≡ fresh full-corpus index (with and without
+    tombstones), and a delta touching few terms leaves the other
+    partitions as straight file copies (the incremental-cost claim)."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        merge_inverted_index,
+        write_inverted_index,
+    )
+
+    full = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def split(mod_eq):
+        def fn(t):
+            m = (t["doc_id"].to_numpy() % 3 == 0) == mod_eq
+            return t.filter(pa.array(m))
+        return fn
+
+    def read_idx(d):
+        frames = [pq.read_table(f, columns=["term", "df", "postings"])
+                  .to_pandas()
+                  for f in glob.glob(os.path.join(d, "part=*",
+                                                  "*.parquet"))]
+        t = pd.concat(frames, ignore_index=True)
+        t["postings"] = t["postings"].map(
+            lambda p: ",".join(str(int(x)) for x in p))
+        return t.sort_values("term").reset_index(drop=True)
+
+    dirs = {n: f"/tmp/swsr_mi_test_{n}" for n in
+            ("base", "out", "full", "rm", "tiny")}
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    write_inverted_index(build_inverted_index(
+        full.map_batches(split(False), batch_format="pyarrow")),
+        dirs["base"])
+    delta = full.map_batches(split(True), batch_format="pyarrow")
+    merge_inverted_index(dirs["base"], delta, dirs["out"])
+    write_inverted_index(build_inverted_index(full), dirs["full"])
+    assert read_idx(dirs["out"]).equals(read_idx(dirs["full"]))
+
+    # tombstones: drop every doc_id % 7 == 0 everywhere
+    rm = full.to_pandas()
+    rm_ids = rm.loc[rm["doc_id"] % 7 == 0, "doc_id"].tolist()
+    merge_inverted_index(dirs["base"], delta, dirs["rm"],
+                         removed_doc_ids=rm_ids)
+    shutil.rmtree(dirs["full"], ignore_errors=True)
+    keep = rm[rm["doc_id"] % 7 != 0].reset_index(drop=True)
+    write_inverted_index(build_inverted_index(rd.from_pandas(keep)),
+                         dirs["full"])
+    assert read_idx(dirs["rm"]).equals(read_idx(dirs["full"]))
+
+    # incremental cost: a one-term delta touches ~1 partition; the rest
+    # of the base partitions are copied, not read
+    tiny = rd.from_arrow(pa.table({
+        "doc_id": pa.array([999_999], pa.int64()),
+        "text": pa.array(["zzzuniqueterm"], pa.string())}))
+    stats = {}
+    merge_inverted_index(dirs["base"], tiny, dirs["tiny"], stats=stats)
+    assert stats["touched_parts"] == 1
+    assert stats["copied_parts"] >= 1
+
+
 def test_skew_join_parity_and_routing(ray_session):
     """skew_join ≡ hash_join under forced 50%-one-key skew (inner and
     left), the hot rows actually route around the exchange, and the
