@@ -1275,6 +1275,18 @@ def _q_trade_ppr(sf_dir: str):
     return trade_ppr(sf_dir)
 
 
+def _q_trade_scc(sf_dir: str):
+    """Strongly connected components (graph.strongly_connected_components
+    — FW-BW-Trim coloring: trim the DAG fringe, forward max-label
+    coloring, backward root-reach within color; driver holds O(|V|)
+    arrays, every wave is a streamed partial reduction over the
+    index-mapped edge Dataset). Oracle: recursive-CTE mutual
+    reachability re-keyed to the component max."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_scc
+
+    return trade_scc(sf_dir)
+
+
 def _q_vq_residuals(sf_dir: str):
     """Vector-quantization error (similarity.vq_residuals): per-vector
     L2 distance to its label centroid — centroid combiner partials →
@@ -2853,6 +2865,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "vq_residuals": _q_vq_residuals,
         "trade_ppr": _q_trade_ppr,
+        "trade_scc": _q_trade_scc,
         "vocab_coverage": _q_vocab_coverage,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
@@ -4182,6 +4195,28 @@ def oracle_sql_all() -> dict[str, str]:
                          GROUP BY e.dst) con ON con.node = t.node)
             SELECT node AS node_id, round(score, 6) AS score
             FROM r3 ORDER BY node
+        """,
+        "trade_scc": """
+            WITH RECURSIVE edges AS (
+              SELECT DISTINCT
+                CASE WHEN l_quantity <= 2 THEN o_custkey*2
+                     ELSE l_suppkey*2+1 END AS src,
+                CASE WHEN l_quantity <= 2 THEN l_suppkey*2+1
+                     ELSE o_custkey*2 END AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_quantity <= 2 OR l_quantity >= 49),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            reach AS (SELECT src, dst FROM edges UNION
+                      SELECT r.src, e.dst FROM reach r
+                      JOIN edges e ON r.dst = e.src),
+            mutual AS (SELECT a.src AS u, a.dst AS v FROM reach a
+                       JOIN reach b ON a.src = b.dst AND a.dst = b.src)
+            SELECT CAST(n.node AS BIGINT) AS node_id,
+                   CAST(greatest(n.node, coalesce(max(m.v), n.node))
+                        AS BIGINT) AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+            GROUP BY n.node ORDER BY node_id
         """,
         "vq_residuals": """
             WITH flat AS (

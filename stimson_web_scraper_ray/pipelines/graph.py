@@ -1040,3 +1040,221 @@ def trade_ppr(sf_dir: str, damping: float = 0.85, iters: int = 3,
                   personalize=seeds)
     df["score"] = df["score"].round(6)
     return df.sort_values("node_id").reset_index(drop=True)
+
+
+def strongly_connected_components(edges_ds, max_rounds: int = 50,
+                                  max_waves: int = 200) -> pd.DataFrame:
+    """Exact SCC decomposition of a directed edge Dataset (src, dst) —
+    the FW-BW-Trim / coloring family (Fleischer-Hendrickson-Pinar 2000,
+    Orzan 2004; the standard distributed SCC since Tarjan's stack is
+    inherently sequential). Returns (node_id, scc_id) with scc_id = the
+    MAXIMUM node id in the component (the coloring root), matching an
+    oracle that derives components from mutual reachability.
+
+    Rounds: (1) TRIM — nodes with zero in- or out-degree in the active
+    subgraph are singleton SCCs, peeled to fixpoint (kills the DAG
+    fringe that would otherwise cost one round each); (2) COLOR —
+    forward max-label propagation to fixpoint partitions active nodes
+    into color classes rooted at their max reachable-from id;
+    (3) BACKWARD — within each color class, nodes that reach the root
+    against the edges form the root's SCC (every color class peels its
+    root SCC simultaneously — one round retires MANY components).
+    Raises if max_rounds/max_waves don't converge (loud, like the CC
+    non-convergence raise).
+
+    Scale shape (the pagerank broadcast pattern): driver state is FOUR
+    O(|V|) arrays (node ids, active, color, scc); edges map to index
+    space ONCE (node-array broadcast + searchsorted) and the indexed
+    edge Dataset materializes in the object store; every trim wave /
+    color wave / backward wave is one streaming map_batches over it
+    emitting per-batch partial reductions (bincounts, grouped maxima,
+    marked-source indices) — edge-scaled data never lands on the
+    driver. Above driver-memory node counts the same waves run with
+    Dataset-resident state via the _pagerank_distributed hash_join
+    algebra (documented upgrade path, not needed below ~50M nodes)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    # --- node universe + index-mapped edges (once) ---
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    parts = edges_ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
+    nodes = np.unique(parts["node"].to_numpy().astype(np.int64))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
+                             "scc_id": pd.Series(dtype="int64")})
+    nref = ray.put(nodes)
+
+    def to_idx(t: pa.Table) -> pa.Table:
+        nd = ray.get(nref)
+        si = np.searchsorted(nd, t["src"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)).astype(np.int64)
+        di = np.searchsorted(nd, t["dst"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)).astype(np.int64)
+        return pa.table({"si": pa.array(si), "di": pa.array(di)})
+
+    iedges = edges_ds.map_batches(to_idx, batch_format="pyarrow") \
+        .materialize()
+
+    active = np.ones(n, dtype=bool)
+    scc = np.full(n, -1, dtype=np.int64)
+
+    def stream(fn) -> pd.DataFrame:
+        return iedges.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+    for _round in range(max_rounds):
+        if not active.any():
+            break
+
+        # --- 1. TRIM to fixpoint ---
+        for _wave in range(max_waves):
+            aref = ray.put(active)
+
+            def degs(t: pa.Table) -> pa.Table:
+                act = ray.get(aref)
+                si = t["si"].to_numpy()
+                di = t["di"].to_numpy()
+                live = act[si] & act[di]
+                od = np.bincount(si[live], minlength=len(act))
+                ind = np.bincount(di[live], minlength=len(act))
+                nz = np.nonzero(od | ind)[0]
+                return pa.table({"i": pa.array(nz, pa.int64()),
+                                 "od": pa.array(od[nz], pa.int64()),
+                                 "ind": pa.array(ind[nz], pa.int64())})
+
+            d = stream(degs)
+            od = np.zeros(n, np.int64)
+            ind = np.zeros(n, np.int64)
+            if len(d):
+                np.add.at(od, d["i"].to_numpy(), d["od"].to_numpy())
+                np.add.at(ind, d["i"].to_numpy(), d["ind"].to_numpy())
+            kill = active & ((od == 0) | (ind == 0))
+            if not kill.any():
+                break
+            scc[kill] = nodes[kill]
+            active &= ~kill
+        else:
+            raise RuntimeError("SCC trim did not converge")
+        if not active.any():
+            break
+
+        # --- 2. COLOR: forward max-label propagation to fixpoint ---
+        color = np.where(active, nodes, np.int64(-1))
+        for _wave in range(max_waves):
+            cref = ray.put((color, active))
+
+            def fwd(t: pa.Table) -> pa.Table:
+                col, act = ray.get(cref)
+                si = t["si"].to_numpy()
+                di = t["di"].to_numpy()
+                live = act[si] & act[di]
+                si, di = si[live], di[live]
+                if not len(si):
+                    return pa.table({"i": pa.array([], pa.int64()),
+                                     "m": pa.array([], pa.int64())})
+                order = np.argsort(di, kind="stable")
+                di_s, cs = di[order], col[si[order]]
+                grp = np.concatenate([[True], di_s[1:] != di_s[:-1]])
+                starts = np.nonzero(grp)[0]
+                mx = np.maximum.reduceat(cs, starts)
+                return pa.table({"i": pa.array(di_s[starts], pa.int64()),
+                                 "m": pa.array(mx, pa.int64())})
+
+            p = stream(fwd)
+            new = color.copy()
+            if len(p):
+                np.maximum.at(new, p["i"].to_numpy(), p["m"].to_numpy())
+            if (new == color).all():
+                break
+            color = new
+        else:
+            raise RuntimeError("SCC coloring did not converge")
+
+        # --- 3. BACKWARD: reach the color root against the edges ---
+        mark = active & (color == nodes)
+        for _wave in range(max_waves):
+            mref = ray.put((mark, color, active))
+
+            def back(t: pa.Table) -> pa.Table:
+                mk, col, act = ray.get(mref)
+                si = t["si"].to_numpy()
+                di = t["di"].to_numpy()
+                hit = (act[si] & act[di] & mk[di] & ~mk[si]
+                       & (col[si] == col[di]))
+                return pa.table({"i": pa.array(
+                    np.unique(si[hit]), pa.int64())})
+
+            p = stream(back)
+            if not len(p):
+                break
+            newly = p["i"].to_numpy()
+            before = mark.sum()
+            mark[newly] = True
+            if mark.sum() == before:
+                break
+        else:
+            raise RuntimeError("SCC backward pass did not converge")
+
+        scc[mark] = color[mark]
+        active &= ~mark
+    else:
+        raise RuntimeError("SCC peel did not converge in max_rounds")
+
+    return pd.DataFrame({"node_id": pd.Series(nodes, dtype="int64"),
+                         "scc_id": pd.Series(scc, dtype="int64")}) \
+        .sort_values("node_id").reset_index(drop=True)
+
+
+def trade_edges_cyclic(sf_dir: str):
+    """Sparse DIRECTED trade graph with real cycles: cust→supp for
+    distinct pairs that ever traded at quantity ≤ 2, supp→cust for
+    quantity ≥ 49 (the tail extremes, so the graph is sparse enough
+    for non-trivial SCC structure — one big component + a DAG fringe
+    at the test scales, re-derived verbatim by the SQL oracle)."""
+    from .analytics import read
+    from .join import adaptive_join
+    from .shuffle import salted_partition_apply
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                   "l_quantity"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = adaptive_join(li, orders, on="l_orderkey",
+                           right_on="o_orderkey")
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) * 2
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) * 2 + 1
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        lo = q <= 2
+        hi = q >= 49
+        return pa.table({
+            "src": pa.array(np.concatenate([c[lo], s[hi]]), pa.int64()),
+            "dst": pa.array(np.concatenate([s[lo], c[hi]]), pa.int64())})
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["src", "dst"])
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t["src"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t["dst"].to_numpy().astype(np.uint64))
+        return k.view(np.int64)
+
+    return salted_partition_apply(
+        joined.map_batches(edge_rows, batch_format="pyarrow"),
+        distinct_pairs, pair_key)
+
+
+def trade_scc(sf_dir: str) -> pd.DataFrame:
+    """SCC decomposition of the cyclic trade graph; scc_id = max node
+    id of the component (coloring root), matching the recursive-CTE
+    mutual-reachability oracle re-keyed to the max."""
+    return strongly_connected_components(trade_edges_cyclic(sf_dir))

@@ -2483,6 +2483,31 @@ def test_prefix_jaccard_matches_index_and_prunes(ray_session, sf_dir):
     assert stats["n_candidates"] >= len(a)
 
 
+def test_scc_known_graph(ray_session):
+    """Hand-built graph with known SCC structure: two 3-cycles bridged
+    one-way, plus a chain tail — the trim, color, and backward passes
+    all exercise."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.graph import (
+        strongly_connected_components,
+    )
+
+    # cycle A: 1→2→3→1; cycle B: 10→11→12→10; bridge 3→10 (one-way);
+    # tail 12→20→21 (chain, all singletons)
+    src = [1, 2, 3, 10, 11, 12, 3, 12, 20]
+    dst = [2, 3, 1, 11, 12, 10, 10, 20, 21]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    out = strongly_connected_components(edges).set_index("node_id")[
+        "scc_id"].to_dict()
+    assert out[1] == out[2] == out[3] == 3
+    assert out[10] == out[11] == out[12] == 12
+    assert out[20] == 20 and out[21] == 21
+    assert out[3] != out[12]                 # one-way bridge ≠ merge
+
+
 def test_merge_inverted_index_exact_and_incremental(ray_session, sf_dir):
     """Merged index ≡ fresh full-corpus index (with and without
     tombstones), and a delta touching few terms leaves the other
