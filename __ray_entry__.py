@@ -363,6 +363,51 @@ def _q_ann_recall(sf_dir: str):
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
+def _q_pq_adc(sf_dir: str):
+    """Product quantization ANN (similarity.pq_train/pq_encode/
+    pq_adc_topk — per-subspace codebooks on the hash sample, vectors
+    stream-encoded to m uint8 codes, queries score via broadcast ADC
+    lookup tables; the 64×-compressed index representation). Gate:
+    per-query recall@10 vs the exact squared-L2 scan (floor 0.5 — PQ
+    at m=8 on 64-dim near-uniform data) plus self-match-first;
+    query_id universe oracle-checked (vec_id < 8)."""
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qvec = np.array(t.slice(0, 8)["embedding"].to_pylist(),
+                    dtype=np.float64)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds)
+    codes = pq_encode(ds, books).materialize()
+    approx = pq_adc_topk(codes, books, qvec, k=10)
+    # exact squared-L2 truth — full matrix is driver-feasible ONLY at
+    # oracle scales; the gate's denominator, not a pipeline
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    rows = []
+    for qi in range(len(qvec)):
+        d = ((vecs - qvec[qi]) ** 2).sum(axis=1)
+        truth = set(ids[np.lexsort((ids, d))[:10]].tolist())
+        got_rows = approx[approx["query_id"] == qi].sort_values("rank")
+        got = set(got_rows["vec_id"].tolist())
+        rows.append({
+            "query_id": qi, "k": 10,
+            "recall_ok": len(truth & got) / 10 >= 0.5,
+            "self_first": int(got_rows["vec_id"].iloc[0]) == int(qi)})
+    out = pd.DataFrame(rows)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["k"] = out["k"].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 def _q_ann_lsh(sf_dir: str):
     """LSH-bucketed ANN (similarity.lsh_topk — random-hyperplane
     tables + 1-bit multi-probe, streaming bucket filter, no shuffle)
@@ -2806,6 +2851,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall_gate,
         "ann_recall_detail": _q_ann_recall,
         "ann_lsh": _q_ann_lsh,
+        "pq_adc": _q_pq_adc,
         # relational / events
         "pricing_summary": lambda sf: _mk("pricing_summary")(sf),
         "top_revenue_orders": lambda sf: _mk("top_revenue_orders")(sf),
@@ -5322,6 +5368,11 @@ def oracle_sql_all() -> dict[str, str]:
     sql["ann_lsh"] = """
         SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+    """
+    sql["pq_adc"] = """
+        SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+               TRUE AS recall_ok, TRUE AS self_first
         FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
     """
     # distributed k-core peel ≡ independent exact peel: all-TRUE gate

@@ -577,3 +577,130 @@ def vq_residuals(ds, label_col: str = "label",
                          "dist": pa.array(dist, pa.float64())})
 
     return ds.map_batches(residual, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+# memory-compressed ANN representation: d-dim float vectors become m
+# uint8 codes (one k-means codebook per d/m-dim subspace), and queries
+# score candidates via ADC (asymmetric distance computation) — one
+# m × 256 lookup table per query, summed per candidate, no float vector
+# ever re-read. At 100 TB this is what makes an embedding index fit:
+# 64-dim float64 (512 B) → 8 B/vector at m=8.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(ds, m: int = 8, k: int = 256, id_col: str = "vec_id",
+             vec_col: str = "embedding", sample_rows: int = 2048,
+             iters: int = 10, seed: int = 23) -> np.ndarray:
+    """Train per-subspace codebooks on the deterministic hash sample
+    (same corpus-representative, shuffle-free sample as the IVF coarse
+    fit). Returns (m, k, d/m) float64 centroids. k is capped at the
+    sample size; euclidean k-means per subspace (PQ quantizes raw
+    subvectors — NOT the cosine-normalized full vector)."""
+    sample = hash_sample(ds, id_col, vec_col, sample_rows)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), np.float64)
+    for b in range(m):
+        x = sample[:, b * sub:(b + 1) * sub]
+        cents = x[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mem = x[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books[b] = cents
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Encode every vector to its m nearest-subcentroid codes — ONE
+    streaming map_batches with the codebook broadcast (ray.put); output
+    is (id, codes: list<uint8>), ~m bytes/vector."""
+    import ray
+
+    bref = ray.put(codebooks)
+
+    def encode(t: pa.Table) -> pa.Table:
+        books = ray.get(bref)
+        m, k, sub = books.shape
+        vecs = _as_matrix(t[vec_col])
+        if vecs.size == 0:
+            return pa.table({id_col: t[id_col],
+                             "codes": pa.array([], pa.list_(pa.uint8()))})
+        codes = np.empty((len(vecs), m), np.uint8)
+        for b in range(m):
+            x = vecs[:, b * sub:(b + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d2 = (-2.0 * x @ books[b].T
+                  + (books[b] ** 2).sum(axis=1)[None, :])
+            codes[:, b] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({id_col: t[id_col],
+                         "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(codes_ds, codebooks: np.ndarray,
+                query_vectors: np.ndarray, k: int = 10,
+                id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC search over PQ codes: per query, an (m × k_codebook) table
+    of squared subspace distances builds ONCE on the driver (tiny) and
+    broadcasts; each batch of codes scores via table lookups + a sum
+    over m — never touching a float vector. Partial top-k per batch →
+    driver merge (the brute_force_topk reduction shape). Returns
+    (query_id, vec_id, adc_dist, rank); approximate by construction,
+    gated in tests/registry on recall vs the exact scan."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float64))
+    m, kk, sub = codebooks.shape
+    # tables[qi, b, c] = ||q_sub - c||²
+    tables = np.empty((len(q), m, kk), np.float64)
+    for b in range(m):
+        diff = (q[:, None, b * sub:(b + 1) * sub]
+                - codebooks[b][None, :, :])
+        tables[:, b, :] = (diff ** 2).sum(axis=2)
+    tref = ray.put(tables)
+
+    def score(t: pa.Table) -> pa.Table:
+        tab = ray.get(tref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.float64())})
+        codes = np.array(t["codes"].to_pylist(), dtype=np.int64)  # (n, m)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(tab.shape[0]):
+            # gather: dist[i] = Σ_b tab[qi, b, codes[i, b]]
+            d = tab[qi][np.arange(codes.shape[1])[None, :],
+                        codes].sum(axis=1)
+            top = np.lexsort((ids, d))[: min(k, len(ids))]
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_d.extend(d[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "adc_dist": pa.array(np.round(out_d, 6),
+                                              pa.float64())})
+
+    df = codes_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                             id_col: pd.Series(dtype="int64"),
+                             "adc_dist": pd.Series(dtype="float64"),
+                             "rank": pd.Series(dtype="int64")})
+    df = df.sort_values(["query_id", "adc_dist", id_col],
+                        kind="mergesort")
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out

@@ -2483,6 +2483,49 @@ def test_prefix_jaccard_matches_index_and_prunes(ray_session, sf_dir):
     assert stats["n_candidates"] >= len(a)
 
 
+def test_pq_roundtrip_and_recall(ray_session, sf_dir):
+    """PQ codes reconstruct better than the global-mean baseline, ADC
+    self-distance ranks the encoded vector itself first for most
+    queries, and recall@10 vs the exact L2 scan clears the gate floor."""
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    books = pq_train(ds)
+    m, kk, sub = books.shape
+    codes_df = pq_encode(ds, books).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    codes = np.array(codes_df["codes"].tolist(), dtype=np.int64)
+    order = np.argsort(ids)
+    recon = np.concatenate(
+        [books[b][codes[:, b]] for b in range(m)], axis=1)
+    v_sorted = vecs[order]
+    pq_err = ((v_sorted - recon) ** 2).sum()
+    mean_err = ((v_sorted - v_sorted.mean(axis=0)) ** 2).sum()
+    assert pq_err < 0.7 * mean_err
+    qvec = vecs[ids < 8]
+    out = pq_adc_topk(pq_encode(ds, books), books, qvec, k=10)
+    hits = 0
+    for qi in range(8):
+        d = ((vecs - qvec[qi]) ** 2).sum(axis=1)
+        truth = set(ids[np.lexsort((ids, d))[:10]].tolist())
+        sub_df = out[out["query_id"] == qi].sort_values("rank")
+        got = set(sub_df["vec_id"].tolist())
+        assert len(truth & got) / 10 >= 0.5, qi
+        hits += int(sub_df["vec_id"].iloc[0] == qi)
+    assert hits >= 6          # self-match first for nearly all queries
+
+
 def test_scc_known_graph(ray_session):
     """Hand-built graph with known SCC structure: two 3-cycles bridged
     one-way, plus a chain tail — the trim, color, and backward passes
