@@ -2944,6 +2944,14 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
 # crawl_parity gate, #1). Everything pruned from the window stays in
 # queries_all() / oracle_sql_all(), which tests/test_oracle.py runs
 # in full at sf0.001.
+#
+# Round-4 curation: six redundant-family entries (doc_dedup_lines,
+# dsir_weights, corpus_mix, customer_top_orders, revenue_rollup,
+# event_hour_pivot — each a sibling of a row that stays) made room for
+# the round's new operator families: prefix-filtered similarity join,
+# incremental index merge, skew-aware join, cohort retention,
+# personalized PageRank, strongly connected components. All six
+# demoted entries remain registry+pytest-verified.
 _WINDOW: list[str] = [
     # crawl flagship family (crawl_parity = engine≡simulator hard gate)
     "crawl_parity",
@@ -2960,20 +2968,18 @@ _WINDOW: list[str] = [
     "heavy_hitter_words",
     "langid_accuracy",
     "doc_redact_pii",
-    "doc_dedup_lines",
     "url_parts",
     "decontaminate",
     "doc_unigram_nll",
-    "dsir_weights",
     "doc_classifier_score",
     "doc_tfidf_topk",
     "token_quantiles",
     # sampling / packing
     "train_set",
-    "corpus_mix",
     "pack_sequences",
     # dedup / similarity
     "minhash_pairs",
+    "prefix_jaccard_pairs",
     "minhash_dedup_groups",
     "simhash_quality",
     "embedding_neardup_quality",
@@ -2983,6 +2989,8 @@ _WINDOW: list[str] = [
     "hll_error_bounds",
     "profile_events",
     "top_image",
+    # retrieval (round-4: incremental index maintenance)
+    "index_incremental_merge",
     # relational / TPC-H-ish
     "pricing_summary",
     "top_revenue_orders",
@@ -2990,18 +2998,19 @@ _WINDOW: list[str] = [
     "shipping_priority",
     "local_supplier_volume",
     "customers_no_events",
-    "customer_top_orders",
-    "revenue_rollup",
-    "event_hour_pivot",
     "order_rank_windows",
     "range_join_value_bands",
+    "brand_volume_skewjoin",
     # events / streaming
     "events_tumbling_1h",
     "sessionize_events",
     "event_type_stats",
     "asof_clicks",
+    "cohort_retention",
     # graph
     "trade_pagerank",
+    "trade_ppr",
+    "trade_scc",
 ]
 
 
