@@ -2906,6 +2906,15 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": _q_cms_word_counts,
         "lineitem_cube": _q_lineitem_cube,
         "waiting_suppliers": _q_waiting_suppliers,
+        # Q13/Q16/Q22 shapes: distribution-of-counts with algebraic
+        # zero bucket, per-group COUNT DISTINCT behind a dedup'd
+        # composite exchange, scalar-subquery filter + anti-join
+        "order_count_distribution":
+            lambda sf: _mk("order_count_distribution")(sf),
+        "supplier_cnt_by_part":
+            lambda sf: _mk("supplier_cnt_by_part")(sf),
+        "idle_customer_balance":
+            lambda sf: _mk("idle_customer_balance")(sf),
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
@@ -4158,6 +4167,39 @@ def oracle_sql_all() -> dict[str, str]:
                                 AND l3.l_suppkey <> s.l_suppkey
                                 AND l3.l_shipdate > o.o_orderdate)
             GROUP BY 1 ORDER BY n_orders DESC, suppkey ASC LIMIT 20
+        """,
+        "order_count_distribution": """
+            SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM (
+              SELECT c.c_custkey,
+                     CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+              FROM customer c
+              LEFT JOIN (SELECT * FROM orders
+                         WHERE o_orderpriority <> '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY n_orders
+            ORDER BY n_customers DESC, n_orders DESC
+        """,
+        "supplier_cnt_by_part": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "idle_customer_balance": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   round(SUM(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT round(AVG(c_acctbal), 6)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM events
+                              WHERE user_id = c_custkey)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "url_hierarchy_rollup": """
             WITH u AS (

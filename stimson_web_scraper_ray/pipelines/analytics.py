@@ -1658,3 +1658,158 @@ def waiting_suppliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return df.sort_values(["n_orders", "suppkey"],
                           ascending=[False, True]) \
         .head(k).reset_index(drop=True)
+
+
+def order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape — the distribution of per-customer order counts,
+    INCLUDING never-ordered customers, with an excluded order class
+    (urgent orders don't count toward activity; stands in for Q13's
+    comment-pattern exclusion — this corpus has no o_comment).
+
+    Scale shape: no LEFT JOIN at fact scale. Per-customer counts come
+    from arrow per-batch partials + one salted custkey exchange (the
+    exchange carries at most |customers| pre-combined rows, not
+    |orders|); the count→customers distribution reduces to per-part
+    bucket partials, and the zero bucket is algebraic — |customer| −
+    |customers with a qualifying order| (valid under TPC-H FK
+    integrity, which the generator guarantees and the oracle's LEFT
+    JOIN re-derives independently). Only O(#distinct counts) rows ever
+    reach the driver."""
+    from .shuffle import salted_partition_apply
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT"))
+        agg = pa.table({"o_custkey": t["o_custkey"]}) \
+            .group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return agg.rename_columns(["o_custkey", "n"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby("o_custkey", sort=False)["n"].sum()
+        dist = per.value_counts()
+        return pd.DataFrame({
+            "n_orders": dist.index.to_numpy().astype("int64"),
+            "n_customers": dist.to_numpy().astype("int64")})
+
+    parts = salted_partition_apply(
+        orders.map_batches(partial, batch_format="pyarrow"), final,
+        combine_key=lambda t: t["o_custkey"].to_numpy().astype("int64"))
+    dist = parts.to_pandas() \
+        .groupby("n_orders", as_index=False)["n_customers"].sum()
+    n_cust = read(sf_dir, "customer", ["c_custkey"]).count()
+    n_zero = int(n_cust) - int(dist["n_customers"].sum())
+    if n_zero:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"n_orders": [0], "n_customers": [n_zero]})],
+            ignore_index=True)
+    dist["n_orders"] = dist["n_orders"].astype("int64")
+    dist["n_customers"] = dist["n_customers"].astype("int64")
+    return dist.sort_values(["n_customers", "n_orders"],
+                            ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+def supplier_cnt_by_part(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape — per-(brand, size) COUNT(DISTINCT supplier)
+    over the lineitem part-supplier relation, excluding a broadcast
+    NOT-IN set (suppliers in deficit; stands in for Q16's complaint
+    suppliers — this corpus has no s_comment).
+
+    Scale shape: part attributes and the exclusion set are dimension
+    data (one ray.put each, read per batch, never exchanged); lineitem
+    streams through a per-batch attach + drop_duplicates combiner so
+    the ONE exchange carries distinct (brand, size, suppkey) triples —
+    duplicate-free volume, not fact volume. The composite salt key is a
+    mixed hash of all three columns, so every copy of a triple lands in
+    one part and per-part distinct counts sum exactly; the final
+    (brand, size) recombine is group-table-sized."""
+    import ray
+
+    from .shuffle import salted_partition_apply
+
+    part = read(sf_dir, "part",
+                ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    supp = read(sf_dir, "supplier",
+                ["s_suppkey", "s_acctbal"]).to_pandas()
+    excl = frozenset(supp.loc[supp["s_acctbal"] < 0,
+                              "s_suppkey"].astype(int))
+    pref = ray.put(part)
+    xref = ray.put(excl)
+
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(pref)
+        x = ray.get(xref)
+        df = df[~df["l_suppkey"].isin(x)]
+        m = df.merge(p, left_on="l_partkey", right_on="p_partkey",
+                     how="inner")[["p_brand", "p_size", "l_suppkey"]] \
+            .drop_duplicates()
+        h = pd.util.hash_pandas_object(m["p_brand"],
+                                       index=False).to_numpy()
+        ck = (h * np.uint64(1000003)
+              + m["p_size"].to_numpy().astype(np.uint64)
+              * np.uint64(2654435761)
+              + m["l_suppkey"].to_numpy().astype(np.uint64))
+        return m.assign(ckey=ck.view(np.int64))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["ckey"])
+        out = d.groupby(["p_brand", "p_size"], sort=False,
+                        as_index=False).size()
+        return out.rename(columns={"size": "supplier_cnt"})
+
+    parts = salted_partition_apply(
+        li.map_batches(attach, batch_format="pandas"), per_part,
+        combine_key=lambda t: t["ckey"].to_numpy())
+    df = parts.to_pandas().groupby(["p_brand", "p_size"],
+                                   as_index=False)["supplier_cnt"].sum()
+    df["p_size"] = df["p_size"].astype("int64")
+    df["supplier_cnt"] = df["supplier_cnt"].astype("int64")
+    return df.sort_values(["supplier_cnt", "p_brand", "p_size"],
+                          ascending=[False, True, True]) \
+        .reset_index(drop=True)
+
+
+def idle_customer_balance(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape — customers with an above-average positive
+    account balance and ZERO event activity, rolled up per market
+    segment (events stand in for Q22's orders — this generator gives
+    every customer orders, but not every customer events).
+
+    Scale shape: the scalar subquery is a streamed (sum, n) partial
+    reduce whose single float broadcasts into the filter closure; NOT
+    EXISTS is the one-exchange anti-join (the events side ships only
+    its distinct key column into each part); the rollup is a tiny
+    groupby. The threshold is rounded to 6 dp on BOTH sides so the
+    engine's partial-sum order and the oracle's sum order cannot flip a
+    boundary row."""
+    from ray.data.aggregate import Count, Sum
+
+    from .join import hash_join
+
+    def psum(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        s = pc.sum(pos["c_acctbal"]).as_py() or 0.0
+        return pa.table({"s": pa.array([s], pa.float64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    bal = read(sf_dir, "customer", ["c_acctbal"]) \
+        .map_batches(psum, batch_format="pyarrow").to_pandas()
+    avg = round(float(bal["s"].sum()) / float(bal["n"].sum()), 6)
+
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_acctbal", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(pc.greater(t["c_acctbal"], avg)),
+                     batch_format="pyarrow")
+    events = read(sf_dir, "events", ["user_id"])
+    idle = hash_join(cust, events, on="c_custkey", right_on="user_id",
+                     how="anti")
+    agg = idle.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_custs"),
+        Sum("c_acctbal", alias_name="total_acctbal"))
+    df = agg.to_pandas()
+    df["n_custs"] = df["n_custs"].astype("int64")
+    df["total_acctbal"] = df["total_acctbal"].round(2)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
