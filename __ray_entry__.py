@@ -2915,6 +2915,13 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
             lambda sf: _mk("supplier_cnt_by_part")(sf),
         "idle_customer_balance":
             lambda sf: _mk("idle_customer_balance")(sf),
+        # exact distributed NTILE (two-phase value-range scan) and
+        # per-window trending top-k off a partition-scaled aggregate
+        "order_price_quartiles":
+            lambda sf: _mk("order_price_quartiles")(sf).to_pandas()
+            .sort_values("o_orderkey").reset_index(drop=True),
+        "trending_event_types":
+            lambda sf: _mk("trending_event_types")(sf),
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
@@ -4200,6 +4207,27 @@ def oracle_sql_all() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM events
                               WHERE user_id = c_custkey)
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "order_price_quartiles": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                       AS tile
+            FROM orders ORDER BY o_orderkey
+        """,
+        "trending_event_types": """
+            SELECT window_start, event_type, n_events, rnk FROM (
+              SELECT make_timestamp((epoch_us(ts) // 3600000000)
+                         * 3600000000) AS window_start,
+                     event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(row_number() OVER (
+                         PARTITION BY make_timestamp(
+                             (epoch_us(ts) // 3600000000) * 3600000000)
+                         ORDER BY COUNT(*) DESC, event_type)
+                       AS BIGINT) AS rnk
+              FROM events GROUP BY 1, 2)
+            WHERE rnk <= 3 ORDER BY window_start, rnk
         """,
         "url_hierarchy_rollup": """
             WITH u AS (

@@ -1813,3 +1813,111 @@ def idle_customer_balance(sf_dir: str) -> pd.DataFrame:
     df["n_custs"] = df["n_custs"].astype("int64")
     df["total_acctbal"] = df["total_acctbal"].round(2)
     return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def ntile_by_group(ds, group_col: str, value_col: str, tie_col: str,
+                   n: int, out_col: str = "tile", n_parts: int = 32):
+    """Exact SQL ``ntile(n) OVER (PARTITION BY group ORDER BY value,
+    tie)`` for every row — the percent_rank_by_group two-phase
+    value-range scan, specialized to a UNIQUE composite order: rows
+    bucket by contiguous value range (equal values never straddle
+    parts), phase 1 ships one (part, group) count table to the driver
+    for the per-group exclusive scan, phase 2 sorts each part by
+    (group, value, tie) so global row_number = broadcast base + local
+    offset, and the tile is pure arithmetic on it (SQL semantics: the
+    first N%n tiles get one extra row). Nothing row-scaled leaves the
+    cluster; the returned Dataset streams."""
+    import ray
+    from ray.data.aggregate import Count
+
+    vmin = ds.min(on=value_col)
+    vmax = ds.max(on=value_col)
+    span = max(1.0, (float(vmax) - float(vmin) + 1.0) / n_parts)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        part = np.minimum(((v - float(vmin)) / span), n_parts - 1) \
+            .astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow") \
+        .materialize()
+
+    counts = parted.groupby(["__part", group_col]) \
+        .aggregate(Count(alias_name="cnt")).to_pandas()
+    base: dict = {}
+    totals: dict = {}
+    for g, sub in counts.groupby(group_col, sort=False):
+        sub = sub.sort_values("__part")
+        cums = np.concatenate([[0], np.cumsum(sub["cnt"].to_numpy())[:-1]])
+        for p, b in zip(sub["__part"], cums):
+            base[(int(p), g)] = int(b)
+        totals[g] = int(sub["cnt"].sum())
+    ref = ray.put((base, totals))
+
+    def tile_part(df: pd.DataFrame) -> pd.DataFrame:
+        bases, tot = ray.get(ref)
+        p = int(df["__part"].iloc[0])
+        df = df.sort_values([group_col, value_col, tie_col],
+                            kind="mergesort").reset_index(drop=True)
+        g = df[group_col].to_numpy()
+        new_grp = np.empty(len(df), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = g[1:] != g[:-1]
+        idx = np.arange(len(df))
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        off = np.array([bases.get((p, gv), 0) for gv in g[new_grp]],
+                       dtype=np.int64)
+        rn0 = (idx - grp_start) + np.repeat(off, np.diff(
+            np.append(np.nonzero(new_grp)[0], len(df))))
+        N = np.array([tot[gv] for gv in g], dtype=np.int64)
+        q, r = N // n, N % n
+        big = r * (q + 1)
+        tile0 = np.where(rn0 < big, rn0 // np.maximum(q + 1, 1),
+                         r + (rn0 - big) // np.maximum(q, 1))
+        out = df.drop(columns=["__part"])
+        out[out_col] = (tile0 + 1).astype("int64")
+        return out
+
+    return parted.groupby("__part").map_groups(
+        tile_part, batch_format="pandas")
+
+
+def order_price_quartiles(sf_dir: str):
+    """NTILE(4) per order priority over total price — the
+    equal-frequency binning window (quartile assignment for
+    calibration / stratification), exact and distributed via
+    ntile_by_group. Returns the row-scaled Dataset."""
+    ds = read(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ntile_by_group(ds, "o_orderpriority", "o_totalprice",
+                          "o_orderkey", 4)
+
+
+def trending_event_types(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-window trending top-k: tumbling 1-hour windows, each
+    window's k most frequent event types (rank by count desc, type
+    asc). The count is a streamed per-batch partial + one tiny
+    (window, type) groupby — partition-scaled, never row-scaled; the
+    top-k selection runs on that aggregate table."""
+    from ray.data.aggregate import Count
+
+    ev = read(sf_dir, "events", ["ts", "event_type"])
+
+    def to_window(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, 3600000000), 3600000000)
+        return pa.table({
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "event_type": t["event_type"]})
+
+    agg = ev.map_batches(to_window, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .aggregate(Count(alias_name="n_events")).to_pandas()
+    agg = agg.sort_values(["window_start", "n_events", "event_type"],
+                          ascending=[True, False, True])
+    agg["rnk"] = agg.groupby("window_start", sort=False).cumcount() + 1
+    out = agg[agg["rnk"] <= k].reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["rnk"] = out["rnk"].astype("int64")
+    return out

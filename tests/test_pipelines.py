@@ -2730,3 +2730,44 @@ def test_ppr_paths_and_mass(ray_session, sf_dir):
     # seeds (two smallest customer = even ids) dominate their own scores
     seeds = a[a["node_id"] % 2 == 0].nsmallest(2, "node_id")
     assert (seeds["score"] > a["score"].median()).all()
+
+
+def test_ntile_by_group_matches_sql_semantics(ray_session):
+    """ntile_by_group == the SQL tile algebra (first N%n tiles get one
+    extra row under a UNIQUE (value, tie) order) on random data with
+    heavy value ties, a single-row group, and n > group size, at
+    several block layouts — the two-phase scan must be
+    layout-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.analytics import ntile_by_group
+
+    rng = np.random.default_rng(62)
+    df = pd.DataFrame({
+        "id": np.arange(700, dtype="int64"),
+        "g": rng.choice(["a", "b", "c"], 700),
+        "v": rng.integers(0, 20, 700).astype("int64"),  # heavy ties
+    })
+    df.loc[0, "g"] = "solo"  # single-row group, n=4 > size=1
+
+    def sql_ntile(sub: pd.DataFrame, n: int) -> np.ndarray:
+        sub = sub.sort_values(["v", "id"], kind="mergesort")
+        N = len(sub)
+        q, r = divmod(N, n)
+        rn0 = np.arange(N)
+        big = r * (q + 1)
+        tile0 = np.where(rn0 < big, rn0 // max(q + 1, 1),
+                         r + (rn0 - big) // max(q, 1))
+        return pd.Series(tile0 + 1, index=sub["id"].to_numpy())
+
+    want = pd.concat([sql_ntile(sub, 4)
+                      for _, sub in df.groupby("g", sort=False)])
+    for parts in (1, 5, 11):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = ntile_by_group(ds, "g", "v", "id", 4).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        got_map = pd.Series(got["tile"].to_numpy(),
+                            index=got["id"].to_numpy())
+        assert (got_map.sort_index() == want.sort_index()).all(), parts
