@@ -997,6 +997,32 @@ def _q_multimodal_resize(sf_dir: str):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def _q_image_ahash_dups(sf_dir: str):
+    """Perceptual image near-dup GATE: planted duplicates (brightness
+    shift, 2× nearest upscale — both aHash-invariant) must ALL be
+    recovered by the hamming-banded pair pipeline with zero cross-base
+    false pairs. One summary row; the same floors are hard-asserted in
+    tests/test_pipelines.py."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        image_ahash_pairs,
+        synth_media_with_dups,
+    )
+
+    n_base = 40
+    ds = rd.from_arrow(synth_media_with_dups(n_base=n_base))
+    pred = image_ahash_pairs(ds, max_hamming=7, fake=False).to_pandas()
+    truth = {(3 * i + a, 3 * i + b)
+             for i in range(n_base) for a, b in ((0, 1), (0, 2), (1, 2))}
+    p = set(zip(pred["a"].astype(int), pred["b"].astype(int)))
+    common = len(truth & p)
+    return pd.DataFrame([{
+        "n_truth": len(truth), "n_pred": len(p), "n_common": common,
+        "recall": round(common / max(1, len(truth)), 4),
+        "precision": round(common / max(1, len(p)), 4)}])
+
+
 def _q_audio_features(sf_dir: str):
     """Audio feature stage: duration / RMS / zero-crossing columns from
     binary payloads — even media ids are REAL PCM-16 WAV clips decoded
@@ -2945,6 +2971,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "url_algebra": _q_url_algebra,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_resize": _q_multimodal_resize,
+        "image_ahash_dups": _q_image_ahash_dups,
         "audio_features": _q_audio_features,
         "media_similar": _q_media_similar,
     }

@@ -527,36 +527,51 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(hs, pa.uint64()))
 
 
-def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
-    """Near-dup pairs by simhash hamming distance, bucketed by 16-bit
-    chunks (a pair within distance d≤3 shares at least one of 4 chunks —
-    pigeonhole), so the shuffle key is (chunk_idx, chunk_value)."""
+def hamming_near_dup_pairs(hashed, hash_col: str, *,
+                           id_col: str = "doc_id", max_hamming: int = 3,
+                           n_chunks: int = 4):
+    """Near-dup pairs over ANY 64-bit hash column by hamming distance,
+    bucketed by (64/n_chunks)-bit chunks: a pair within distance
+    d ≤ n_chunks−1 shares at least one intact chunk (pigeonhole), so
+    the shuffle key is (chunk_idx, chunk_value) and only real buckets
+    ever meet. Generic core shared by simhash (text, 4×16-bit chunks)
+    and image aHash (8×8-bit chunks for d ≤ 7)."""
     import pandas as pd
+    import ray.data as rd
 
-    hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_chunks "
+            f"(got {max_hamming} ≥ {n_chunks})")
+    width = 64 // n_chunks
+    mask = np.uint64((1 << width) - 1)
+    shifts = (np.arange(n_chunks, dtype=np.uint64) * np.uint64(width))
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hs = batch["simhash"].to_numpy(zero_copy_only=False)
-        cidx, cval, dids, full = [], [], [], []
-        for did, h in zip(ids, hs):
-            for c in range(4):
-                cidx.append(c)
-                cval.append(int((int(h) >> (16 * c)) & 0xFFFF))
-                dids.append(did)
-                full.append(int(h))
+        n = batch.num_rows
+        ids = pc.cast(batch[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hs = batch[hash_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        # vectorized explode: (n, n_chunks) chunk values, row-major
+        cval = ((hs[:, None] >> shifts[None, :]) & mask).astype(np.int64)
+        cidx = np.tile(np.arange(n_chunks, dtype=np.int32), n)
         return pa.table({"chunk_idx": pa.array(cidx, pa.int32()),
-                         "chunk_val": pa.array(cval, pa.int32()),
-                         "doc_id": pa.array(dids, pa.int64()),
-                         "simhash": pa.array(full, pa.uint64())})
+                         "chunk_val": pa.array(cval.ravel(), pa.int64()),
+                         "doc_id": pa.array(np.repeat(ids, n_chunks),
+                                            pa.int64()),
+                         "hash64": pa.array(np.repeat(hs, n_chunks),
+                                            pa.uint64())})
 
     def chunk_part_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # doc_id and simhash stay SEPARATE uint64/int64 arrays end to end —
-        # a mixed-dtype .values would promote simhashes to float64 and
+        # doc_id and hash64 stay SEPARATE uint64/int64 arrays end to end —
+        # a mixed-dtype .values would promote hashes to float64 and
         # corrupt high bits (wrong hamming distances)
         m = _self_merge_pairs(df, ["chunk_idx", "chunk_val"])
-        ham = _popcount64(m["simhash_x"].to_numpy(np.uint64)
-                          ^ m["simhash_y"].to_numpy(np.uint64))
+        ham = _popcount64(m["hash64_x"].to_numpy(np.uint64)
+                          ^ m["hash64_y"].to_numpy(np.uint64))
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"a": pd.Series(m["doc_id_x"].to_numpy()[keep], dtype="int64"),
@@ -566,13 +581,12 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
 
     # Distributed bucket pairing (same shape as minhash): Count-aggregate
     # bucket sizes, broadcast the multi-member (chunk_idx, chunk_val) keys
-    # back as an exact isin filter (chunk_val < 2^16 so the combined key
-    # val*4+idx is collision-free), per-group dispatch only on real
-    # buckets. No full-table to_pandas anywhere.
-    import ray.data as rd
-
+    # back as an exact isin filter (chunk_val < 2^width so the combined
+    # key val*n_chunks+idx is collision-free), per-group dispatch only on
+    # real buckets. No full-table to_pandas anywhere.
     def chunk_key(t: pa.Table) -> np.ndarray:
-        return (t["chunk_val"].to_numpy().astype(np.int64) * np.int64(4)
+        return (t["chunk_val"].to_numpy().astype(np.int64)
+                * np.int64(n_chunks)
                 + t["chunk_idx"].to_numpy().astype(np.int64))
 
     chunks = hashed.map_batches(chunk_rows, batch_format="pyarrow")
@@ -588,6 +602,19 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
     out = out.drop_duplicates(["a", "b"])
     out["hamming"] = out["hamming"].astype("int64")
     return rd.from_pandas(out.sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
+    """Near-dup pairs by simhash hamming distance — add_simhash + the
+    generic hamming_near_dup_pairs core. The chunk count is auto-sized
+    to the smallest 64-divisor > max_hamming so the pigeonhole recall
+    guarantee always holds (the pre-refactor 4-chunk scheme silently
+    missed pairs whose d∈[4,6] flipped bits touched all four chunks)."""
+    n_chunks = next(c for c in (2, 4, 8, 16, 32) if c > max_hamming)
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow")
+    return hamming_near_dup_pairs(hashed, "simhash", id_col=id_col,
+                                  max_hamming=max_hamming,
+                                  n_chunks=n_chunks)
 
 
 # --- embedding cosine near-dup ----------------------------------------------

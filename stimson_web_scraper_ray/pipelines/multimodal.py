@@ -454,3 +454,86 @@ def media_similarity(ds, query_media_id: int = 0, k: int = 10,
     qvec = np.array(q["channel_mean"].tolist(), dtype=np.float64)
     return brute_force_topk(feats, qvec, k=k, id_col="media_id",
                             vec_col="channel_mean")
+
+
+# --- perceptual near-dup: average hash (aHash) ------------------------------
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash: grayscale → 8×8 area-mean pooling (exact
+    block boundaries via reduceat, so integer-factor upscales of
+    8-multiple images pool to IDENTICAL blocks) → bit i set iff block i
+    is brighter than the image's pooled mean. Invariant to global
+    brightness shifts (threshold moves with the pixels) and to
+    nearest-neighbor integer upscaling; sensitive to content."""
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    if h < 8 or w < 8:  # tile tiny images so 8×8 pooling is defined
+        g = np.repeat(np.repeat(g, -(-8 // h), axis=0),
+                      -(-8 // w), axis=1)
+        h, w = g.shape
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(8) * w) // 8
+    pooled = np.add.reduceat(np.add.reduceat(g, ri, axis=0), ci, axis=1)
+    area = np.outer(np.diff(np.append(ri, h)), np.diff(np.append(ci, w)))
+    pooled = pooled / area
+    bits = (pooled > pooled.mean()).ravel()
+    return int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+
+
+class ImageAHash:
+    """Actor-pool stage: payload → 64-bit perceptual hash. Codec
+    dispatch is the shared _decode_image (real PPM, fake fallback);
+    per-row decode is inherent (opaque binary payloads), the hash math
+    is vectorized numpy per image."""
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = np.fromiter(
+            (ahash64(_decode_image(p.as_py(), m.as_py(), self.fake))
+             for p, m in zip(batch["payload"], batch["mime"])),
+            dtype=np.uint64, count=batch.num_rows)
+        return pa.table({"media_id": batch["media_id"],
+                         "ahash": pa.array(hs, pa.uint64())})
+
+
+def image_ahash_pairs(ds, max_hamming: int = 7, fake: bool = True):
+    """Image near-duplicate pairs: aHash actor pool (small batches for
+    wide binary rows) → the generic hamming_near_dup_pairs core with
+    8×8-bit chunks (pigeonhole guarantee for d ≤ 7). The exchange
+    carries (media_id, ahash) — 16 bytes/image, never pixels."""
+    from .dedup import hamming_near_dup_pairs
+
+    hashed = ds.map_batches(
+        ImageAHash, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 4), fn_constructor_kwargs={"fake": fake})
+    return hamming_near_dup_pairs(hashed, "ahash", id_col="media_id",
+                                  max_hamming=max_hamming, n_chunks=8)
+
+
+def synth_media_with_dups(n_base: int = 40, seed: int = 13) -> pa.Table:
+    """Planted-duplicate media table: each base image (real PPM, dims a
+    multiple of 8, pixels in [30, 220] so shifts never clip) ships with
+    a +8-brightness copy and a 2× nearest-upscale copy — both aHash-
+    invariant transforms. Ids: base 3i, bright 3i+1, upscaled 3i+2; the
+    ground truth is every within-triple pair."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, mimes = [], [], []
+    for i in range(n_base):
+        h = 8 * int(rng.integers(1, 4))
+        w = 8 * int(rng.integers(1, 4))
+        img = rng.integers(30, 221, size=(h, w, 3), dtype=np.uint8)
+        bright = img + np.uint8(8)
+        up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        for j, m in enumerate((img, bright, up)):
+            ids.append(3 * i + j)
+            payloads.append(encode_ppm(m))
+            mimes.append(PPM_MIME)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "mime": pa.array(mimes, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(["{}"] * len(ids), pa.string()),
+    })

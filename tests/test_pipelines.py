@@ -2771,3 +2771,30 @@ def test_ntile_by_group_matches_sql_semantics(ray_session):
         got_map = pd.Series(got["tile"].to_numpy(),
                             index=got["id"].to_numpy())
         assert (got_map.sort_index() == want.sort_index()).all(), parts
+
+
+def test_image_ahash_planted_dups_exact(ray_session):
+    """The aHash near-dup pipeline recovers EVERY planted duplicate
+    (brightness-shifted and 2x-upscaled copies hash identically — both
+    transforms are aHash-invariant by construction) with zero
+    cross-base false pairs, and the generic hamming core's pigeonhole
+    sizing holds (d=7 with 8x8-bit chunks)."""
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.multimodal import (
+        ahash64, decode_ppm, image_ahash_pairs, synth_media_with_dups)
+
+    tbl = synth_media_with_dups(n_base=24, seed=13)
+    # kernel invariants, checked directly on the payloads
+    imgs = [decode_ppm(p.as_py()) for p in tbl["payload"]]
+    for i in range(0, len(imgs), 3):
+        assert ahash64(imgs[i]) == ahash64(imgs[i + 1])  # brightness
+        assert ahash64(imgs[i]) == ahash64(imgs[i + 2])  # 2x upscale
+
+    pred = image_ahash_pairs(rd.from_arrow(tbl), max_hamming=7,
+                             fake=False).to_pandas()
+    got = set(zip(pred["a"].astype(int), pred["b"].astype(int)))
+    want = {(3 * i + a, 3 * i + b)
+            for i in range(24) for a, b in ((0, 1), (0, 2), (1, 2))}
+    assert got == want  # recall 1.0 AND precision 1.0
+    assert (pred["hamming"] == 0).all()
