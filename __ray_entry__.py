@@ -83,6 +83,39 @@ def _q_dedup_exact(sf_dir: str):
     return df.sort_values("text_md5").reset_index(drop=True)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Curation composition — exact dedup KEEPING THE BEST COPY, not
+    the first: per content-hash group, the keeper is the doc with the
+    lowest punctuation ratio (tie → lowest doc_id). One streamed
+    hash+score pass, then grouped_topk's single group-functional
+    exchange (k=1 argmin per md5 group); ranking runs on the
+    4-dp-rounded score on BOTH sides so float formatting can't flip a
+    tie."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import add_md5
+    from stimson_web_scraper_ray.pipelines.shuffle import grouped_topk
+    from stimson_web_scraper_ray.pipelines.textstats import (
+        add_quality_scores)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(add_quality_scores, batch_format="pyarrow") \
+        .map_batches(add_md5, batch_format="pyarrow") \
+        .select_columns(["text_md5", "doc_id", "punct_ratio"])
+
+    def md5_key(t):
+        return pd.util.hash_array(
+            t["text_md5"].to_numpy(zero_copy_only=False)) \
+            .view(np.int64)
+
+    best = grouped_topk(scored, ["text_md5"], "punct_ratio", k=1,
+                        descending=False, tie_cols=["doc_id"],
+                        combine_key=md5_key)
+    df = best.to_pandas().rename(columns={"doc_id": "keep_doc_id"})
+    df["keep_doc_id"] = df["keep_doc_id"].astype("int64")
+    return df[["text_md5", "keep_doc_id", "punct_ratio"]] \
+        .sort_values("text_md5").reset_index(drop=True)
+
+
 def _q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2784,6 +2817,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "dedup_exact": _q_dedup_exact,
+        "dedup_keep_best": _q_dedup_keep_best,
         "lang_counts": _q_lang_counts,
         "keywords_top10": _q_keywords_top10,
         "heavy_hitter_words": _q_heavy_hitter_words,
@@ -3141,6 +3175,21 @@ def oracle_sql_all() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY md5(text) ORDER BY text_md5
+        """,
+        "dedup_keep_best": """
+            SELECT text_md5, keep_doc_id, punct_ratio FROM (
+              SELECT md5(text) AS text_md5, doc_id AS keep_doc_id,
+                     round(CAST(length(regexp_replace(
+                               text, '[a-zA-Z0-9_\\s]', '', 'g'))
+                           AS DOUBLE) / length(text), 4) AS punct_ratio,
+                     row_number() OVER (
+                         PARTITION BY md5(text)
+                         ORDER BY round(CAST(length(regexp_replace(
+                                      text, '[a-zA-Z0-9_\\s]', '', 'g'))
+                                  AS DOUBLE) / length(text), 4),
+                                  doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1 ORDER BY text_md5
         """,
         "doc_fingerprints": """
             -- fingerprint = md5 of whitespace-normalized text; the split/
