@@ -155,7 +155,11 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "order_rank_windows", "semdedup", "inverted_index",
              "dup_substring_spans", "bloom_decontaminate",
              "index_search_phrase_pos", "crawl_snapshot_diff",
-             "doc_bigram_nll", "lineitem_rollup"]
+             "doc_bigram_nll", "lineitem_rollup",
+             # round-4 families, timed from BENCH_r04 on
+             "prefix_jaccard_pairs", "cohort_retention",
+             "brand_volume_skewjoin", "trade_scc",
+             "supplier_cnt_by_part", "order_price_quartiles"]
     qs = entry_mod.queries_all()
     # warmup: the first Dataset execution pays Ray worker-pool spin-up
     # and module imports (~3 s measured on pricing_summary cold vs warm);
