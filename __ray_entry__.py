@@ -1148,6 +1148,41 @@ def _q_hll_error_bounds(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_kll_value_quantiles(sf_dir: str):
+    """Oracle-GATED accuracy check for the mergeable KLL quantile
+    sketch (k=200, theoretical rank error O(1/k) w.h.p., measured
+    ≤0.6 %): per target quantile, the exact row count plus a
+    within_bound flag from an exact streamed rank recount of the
+    sketch's estimate (gate: |rank/N − q| ≤ 0.02). The oracle asserts
+    TRUE per row, so sketch drift fails the hash compare."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sketch import kll_quantiles
+
+    qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = read(sf_dir, "events", ["value"])
+    est, _ = kll_quantiles(ds, "value", qs, k=200)
+    thresholds = np.array([est[q] for q in qs], np.float64)
+
+    def rank_partial(t):
+        import pyarrow as pa
+
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        le = (v[:, None] <= thresholds[None, :]).sum(axis=0)
+        return pa.table({"i": pa.array(range(len(qs)), pa.int32()),
+                         "n_le": pa.array(le, pa.int64()),
+                         "n": pa.array([len(v)] * len(qs), pa.int64())})
+
+    parts = ds.map_batches(rank_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("i").sum()
+    n_rows = int(parts["n"].iloc[0])
+    ranks = parts["n_le"].to_numpy() / n_rows
+    return pd.DataFrame({
+        "q": pd.Series(qs, dtype="float64"),
+        "n_rows": pd.Series([n_rows] * len(qs), dtype="int64"),
+        "within_bound": np.abs(ranks - np.array(qs)) <= 0.02,
+    }).sort_values("q").reset_index(drop=True)
+
+
 def _q_doc_length_percentile(sf_dir: str):
     """Per-language percent_rank calibration of document length — the
     curation primitive that makes one threshold mean the same thing in
@@ -2950,6 +2985,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": _q_event_value_stats,
         "users_intersect": _q_users_intersect,
         "hll_error_bounds": _q_hll_error_bounds,
+        "kll_value_quantiles": _q_kll_value_quantiles,
         "hll_sharded_gate": _q_hll_sharded_gate,
         "hll_user_overlap": _q_hll_user_overlap,
         "doc_length_percentile": _q_doc_length_percentile,
@@ -4129,6 +4165,15 @@ def oracle_sql_all() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "kll_value_quantiles": """
+            SELECT CAST(q AS DOUBLE) AS q,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+                       AS n_rows,
+                   TRUE AS within_bound
+            FROM (VALUES (0.01), (0.05), (0.25), (0.5), (0.75),
+                         (0.9), (0.99)) t(q)
+            ORDER BY q
         """,
         "hll_sharded_gate": """
             SELECT event_type,

@@ -2798,3 +2798,36 @@ def test_image_ahash_planted_dups_exact(ray_session):
             for i in range(24) for a, b in ((0, 1), (0, 2), (1, 2))}
     assert got == want  # recall 1.0 AND precision 1.0
     assert (pred["hamming"] == 0).all()
+
+
+def test_kll_sketch_bounds_and_exact_small(ray_session):
+    """KLL: (1) exact quantiles while N <= k (no compaction yet);
+    (2) <=2% rank error on a heavy-tailed 120k-row mix at every tested
+    block layout (mergeability: each layout produces different partial
+    sketches that must still fold within bound)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.sketch import (
+        KLLSketch, kll_quantiles)
+
+    # (1) exact for small N
+    small = np.arange(100, dtype=np.float64)
+    sk = KLLSketch(k=200, seed=5)
+    sk.update_many(small)
+    assert sk.quantile(0.5) in small
+    assert abs(sk.quantile(0.5) - 50.0) <= 1.0  # exact rank, no decay
+
+    # (2) bound at several layouts
+    rng = np.random.default_rng(9)
+    data = np.concatenate([rng.lognormal(0.0, 1.5, 100_000),
+                           rng.normal(100.0, 1.0, 20_000)])
+    sd = np.sort(data)
+    df = pd.DataFrame({"value": data})
+    for parts in (1, 6, 17):
+        ds = rd.from_pandas(df).repartition(parts)
+        est, _ = kll_quantiles(ds, "value", [0.05, 0.5, 0.95], k=200)
+        for q, v in est.items():
+            rank = np.searchsorted(sd, v, side="right") / len(sd)
+            assert abs(rank - q) <= 0.02, (parts, q, rank)
