@@ -1589,6 +1589,87 @@ def _q_order_rank_windows(sf_dir: str):
     return df.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
 
 
+def _q_host_rank_weights(sf_dir: str):
+    """Domain-reputation weighting hard gate: the engine composition
+    (anchor-walk host edges → PageRank with dangling handling → per-
+    page annotate, graph.host_rank_for_docs) must EQUAL an independent
+    in-process re-derivation — DuckDB regexp edge extraction (the
+    anchor_texts absolutization CASE, hosts via split_part) + a
+    from-scratch numpy PageRank with the documented conventions —
+    within 1e-9 per page. Same gate shape as crawl_parity /
+    anchor_texts; the SQL oracle is the constant all-TRUE table."""
+    import duckdb
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import host_rank_for_docs
+    from stimson_web_scraper_ray.sources.pages import pages_path_for
+
+    pages_path = pages_path_for(sf_dir)
+    eng = host_rank_for_docs(
+        rd.read_parquet(pages_path, columns=["url", "html"])) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH tags AS (
+          SELECT url, unnest(regexp_extract_all(
+                     decode(html), '<a href="([^"]*)">', 1)) AS href
+          FROM read_parquet('{pages_path}/*.parquet')),
+        absu AS (
+          SELECT split_part(url, '/', 3) AS src_host,
+                 split_part(CASE WHEN href LIKE 'http%' THEN href
+                      WHEN href LIKE '/%' THEN
+                          'http://' || split_part(url, '/', 3) || href
+                      ELSE href END, '/', 3) AS dst_host
+          FROM tags)
+        SELECT DISTINCT src_host, dst_host FROM absu
+        WHERE src_host <> '' AND dst_host <> ''
+          AND src_host <> dst_host
+    """).df()
+    urls = con.execute(f"SELECT url FROM "
+                       f"read_parquet('{pages_path}/*.parquet')").df()
+    con.close()
+
+    hosts = np.unique(np.concatenate([edges["src_host"].to_numpy(),
+                                      edges["dst_host"].to_numpy()]))
+    hid = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    src = edges["src_host"].map(hid).to_numpy()
+    dst = edges["dst_host"].map(hid).to_numpy()
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    sinks = deg == 0.0
+    safe = np.where(sinks, 1.0, deg)
+    d = 0.85
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(3):
+        w = np.where(sinks, 0.0, ranks / safe)
+        dangling = float(ranks[sinks].sum())
+        new = np.full(n, (1.0 - d) / n + d * dangling / n)
+        np.add.at(new, dst, d * w[src])
+        ranks = new
+    rank_of = dict(zip(hosts, ranks))
+    ind = urls.copy()
+    ind["host"] = ind["url"].map(
+        lambda u: u.split("/")[2] if "://" in u else "")
+    ind["host_rank"] = ind["host"].map(
+        lambda h: float(rank_of.get(h, 0.0)))
+    ind = ind.sort_values("url").reset_index(drop=True)
+
+    checks = [
+        ("rows_match", bool(len(eng) == len(ind)
+                            and eng["url"].tolist() == ind["url"].tolist()
+                            and eng["host"].tolist()
+                            == ind["host"].tolist())),
+        ("rank_parity_1e9", bool(len(eng) == len(ind) and np.allclose(
+            eng["host_rank"].to_numpy(), ind["host_rank"].to_numpy(),
+            atol=1e-9, rtol=0.0))),
+        ("ranks_sum_to_1", bool(abs(ranks.sum() - 1.0) < 1e-9)),
+        ("multi_host_graph", bool(n >= 2 and len(edges) >= 2)),
+    ]
+    return pd.DataFrame(checks, columns=["check_name", "ok"]) \
+        .sort_values("check_name").reset_index(drop=True)
+
+
 def _q_anchor_texts(sf_dir: str):
     """Anchor-text corpus hard gate: the engine's DOM-walk rollup
     (index.anchor_text_rollup — parse → <a> harvest → prepare_url →
@@ -3029,6 +3110,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "trade_pagerank": _q_trade_pagerank_merged,
         "trade_hits": _q_trade_hits,
         "anchor_texts": _q_anchor_texts,
+        "host_rank_weights": _q_host_rank_weights,
         "trade_pagerank_undirected": _q_trade_pagerank,
         "trade_pagerank_directed": _q_trade_pagerank_directed,
         # crawl / url / multimodal
@@ -5580,6 +5662,16 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT * FROM (VALUES ('coreness_match', TRUE),
                               ('max_core_ge_2', TRUE),
                               ('nonempty', TRUE))
+            AS t(check_name, ok)
+        ORDER BY check_name
+    """
+    # host-graph PageRank doc weighting ≡ independent duckdb-regexp +
+    # numpy re-derivation: all-TRUE gate
+    sql["host_rank_weights"] = """
+        SELECT * FROM (VALUES ('multi_host_graph', TRUE),
+                              ('rank_parity_1e9', TRUE),
+                              ('ranks_sum_to_1', TRUE),
+                              ('rows_match', TRUE))
             AS t(check_name, ok)
         ORDER BY check_name
     """

@@ -1258,3 +1258,92 @@ def trade_scc(sf_dir: str) -> pd.DataFrame:
     id of the component (coloring root), matching the recursive-CTE
     mutual-reachability oracle re-keyed to the max."""
     return strongly_connected_components(trade_edges_cyclic(sf_dir))
+
+
+# --- host-level link graph from a pages table --------------------------------
+
+
+def host_link_edges(pages_ds, url_col: str = "url",
+                    html_col: str = "html", n_parts: int = 16):
+    """Distinct (src_host, dst_host) edges from the pages table's
+    anchor walk (the SAME harvest+absolutize path the anchor-text gate
+    pins byte-exact against a DuckDB regexp re-derivation) —
+    self-loops dropped. Per-batch distinct combiner where the html
+    lives, then ONE salted exchange keyed on the pair hash; html never
+    re-ships."""
+    from ..functions.dom import fromstring
+    from ..functions.extract import harvest_anchors_from_doc
+    from .shuffle import salted_partition_apply
+
+    def _host(u: str) -> str:
+        parts = u.split("/")
+        return parts[2] if len(parts) > 2 and "://" in u else ""
+
+    def harvest(t: pa.Table) -> pa.Table:
+        src: list[str] = []
+        dst: list[str] = []
+        for url, html in zip(t[url_col].to_pylist(),
+                             t[html_col].to_pylist()):
+            sh = _host(url)
+            if not sh:
+                continue
+            try:
+                doc = fromstring(html)
+            except Exception:
+                continue
+            for d, _txt in harvest_anchors_from_doc(doc, url):
+                dh = _host(d)
+                if dh and dh != sh:
+                    src.append(sh)
+                    dst.append(dh)
+        df = pd.DataFrame({"src_host": src, "dst_host": dst}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        a = pd.util.hash_array(
+            t["src_host"].to_numpy(zero_copy_only=False))
+        b = pd.util.hash_array(
+            t["dst_host"].to_numpy(zero_copy_only=False))
+        return (a * np.uint64(1000003) + b).view(np.int64)
+
+    return salted_partition_apply(
+        pages_ds.map_batches(harvest, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates(), pair_key, n_parts=n_parts)
+
+
+def host_rank_for_docs(pages_ds, damping: float = 0.85, iters: int = 3):
+    """Domain-reputation weighting — the webtext curation composition:
+    host link graph off the anchor walk → PageRank over hosts (full
+    dangling handling; hosts linked-to but never crawled are real
+    sinks) → every page annotated with its host's rank. Hosts are
+    node-scaled by definition (|hosts| ≪ |pages|), so the id map and
+    the rank lookup broadcast; the pages table streams through one
+    map_batches for the final annotate. Returns a Dataset of
+    (url, host, host_rank)."""
+    import ray
+
+    edges = host_link_edges(pages_ds).to_pandas().drop_duplicates()
+    hosts = np.unique(np.concatenate(
+        [edges["src_host"].to_numpy(), edges["dst_host"].to_numpy()]))
+    hid = {h: i for i, h in enumerate(hosts)}
+    import ray.data as rd
+    eds = rd.from_pandas(pd.DataFrame({
+        "src": edges["src_host"].map(hid).astype("int64"),
+        "dst": edges["dst_host"].map(hid).astype("int64")}))
+    pr = pagerank(eds, damping=damping, iters=iters)
+    rank_of = dict(zip(hosts[pr["node_id"].to_numpy()],
+                       pr["score"].to_numpy()))
+    ref = ray.put(rank_of)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        ro = ray.get(ref)
+        urls = t["url"].to_pylist()
+        hs = [u.split("/")[2] if "://" in u else "" for u in urls]
+        rk = [float(ro.get(h, 0.0)) for h in hs]
+        return pa.table({"url": t["url"],
+                         "host": pa.array(hs, pa.string()),
+                         "host_rank": pa.array(rk, pa.float64())})
+
+    return pages_ds.map_batches(
+        lambda t: annotate(t.select(["url"])), batch_format="pyarrow")
