@@ -3099,6 +3099,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
             .sort_values("o_orderkey").reset_index(drop=True),
         "trending_event_types":
             lambda sf: _mk("trending_event_types")(sf),
+        "session_paths": lambda sf: _mk("session_paths")(sf),
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
@@ -4256,6 +4257,32 @@ def oracle_sql_all() -> dict[str, str]:
             FROM (VALUES (0.01), (0.05), (0.25), (0.5), (0.75),
                          (0.9), (0.99)) t(q)
             ORDER BY q
+        """,
+        "session_paths": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM lagged),
+            paths AS (
+                SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                           || '>' || lead(event_type, 2) OVER w2 AS path,
+                       sid, lead(sid, 1) OVER w2 AS s1,
+                       lead(sid, 2) OVER w2 AS s2
+                FROM sess
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM paths WHERE sid = s1 AND sid = s2
+            GROUP BY path ORDER BY n_occ DESC, path LIMIT 10
         """,
         "hll_sharded_gate": """
             SELECT event_type,

@@ -1921,3 +1921,48 @@ def trending_event_types(sf_dir: str, k: int = 3) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype("int64")
     out["rnk"] = out["rnk"].astype("int64")
     return out
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30,
+                  k: int = 10) -> pd.DataFrame:
+    """Sequence mining over sessions: the top-k within-session
+    event-type TRIGRAMS (e1>e2>e3 in timestamp order), the classic
+    clickstream path report. One salted exchange on user_id (every
+    user's events co-locate), then a fully vectorized per-part pass:
+    session ids are one cumsum over (new-user | gap-exceeded) flags,
+    trigrams are three shifted object-array concats filtered to
+    same-session triples, and each part emits PARTIAL path counts —
+    the driver sees only the path-vocabulary-scaled sum. Ordering ties
+    are broken by event_id on BOTH sides so same-timestamp events
+    cannot flip a path."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                 "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"path": pd.Series(dtype="object"),
+                              "n_occ": pd.Series(dtype="int64")})
+        if len(df) < 3:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        new_user = df["user_id"] != df["user_id"].shift()
+        gap_break = df["ts"].diff() > gap
+        sid = (new_user | gap_break).cumsum().to_numpy()
+        e = df["event_type"].to_numpy(dtype=object)
+        same = (sid[:-2] == sid[1:-1]) & (sid[:-2] == sid[2:])
+        if not same.any():
+            return empty
+        path = e[:-2] + ">" + e[1:-1] + ">" + e[2:]
+        vc = pd.Series(path[same]).value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(),
+                             "n_occ": vc.to_numpy().astype("int64")})
+
+    parts = salted_partition_apply(
+        ds, part_fn, combine_key=lambda t: t["user_id"].to_numpy())
+    df = parts.to_pandas().groupby("path", as_index=False)["n_occ"].sum()
+    df["n_occ"] = df["n_occ"].astype("int64")
+    return df.sort_values(["n_occ", "path"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
