@@ -3100,6 +3100,9 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "trending_event_types":
             lambda sf: _mk("trending_event_types")(sf),
         "session_paths": lambda sf: _mk("session_paths")(sf),
+        "event_value_zscores":
+            lambda sf: _mk("event_value_zscores")(sf).to_pandas()
+            .sort_values("event_id").reset_index(drop=True),
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
@@ -4283,6 +4286,17 @@ def oracle_sql_all() -> dict[str, str]:
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occ
             FROM paths WHERE sid = s1 AND sid = s2
             GROUP BY path ORDER BY n_occ DESC, path LIMIT 10
+        """,
+        "event_value_zscores": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN stddev_samp(value) OVER w IS NULL
+                              OR stddev_samp(value) OVER w = 0 THEN 0.0
+                         ELSE (value - avg(value) OVER w)
+                              / stddev_samp(value) OVER w END,
+                         4) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+            ORDER BY event_id
         """,
         "hll_sharded_gate": """
             SELECT event_type,

@@ -1966,3 +1966,54 @@ def session_paths(sf_dir: str, gap_minutes: int = 30,
     df["n_occ"] = df["n_occ"].astype("int64")
     return df.sort_values(["n_occ", "path"], ascending=[False, True]) \
         .head(k).reset_index(drop=True)
+
+
+def event_value_zscores(sf_dir: str):
+    """Per-type standardization (anomaly calibration): every event's
+    value as a z-score against its event_type's sample mean/stddev.
+    Two streamed passes, nothing fact-scaled on the driver: pass 1
+    reduces (n, Σx, Σx²) combiner partials to a type-scaled table
+    whose derived (mean, std) broadcast into pass 2's row-local
+    annotate. z is rounded to 4 dp on both engine and oracle sides so
+    the partial-sum order can't flip a digit; a zero/singleton-std
+    type yields z = 0 by convention."""
+    import ray
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "v": t["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64)})
+        g = df.groupby("event_type", sort=False)["v"]
+        agg = g.agg(n="size", s="sum")
+        agg["s2"] = g.apply(lambda x: float((x.to_numpy() ** 2).sum()))
+        return pa.Table.from_pandas(agg.reset_index(),
+                                    preserve_index=False)
+
+    mom = ds.map_batches(moments, batch_format="pyarrow").to_pandas() \
+        .groupby("event_type", as_index=False).sum()
+    n = mom["n"].to_numpy().astype(np.float64)
+    s = mom["s"].to_numpy()
+    s2 = mom["s2"].to_numpy()
+    mean = s / n
+    var = np.where(n > 1, (s2 - n * mean * mean) / np.maximum(n - 1, 1),
+                   0.0)
+    std = np.sqrt(np.maximum(var, 0.0))
+    stats = {t: (float(m), float(sd)) for t, m, sd in
+             zip(mom["event_type"], mean, std)}
+    ref = ray.put(stats)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        types = t["event_type"].to_pylist()
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ms = np.array([st[x][0] for x in types])
+        sd = np.array([st[x][1] for x in types])
+        z = np.where(sd > 0.0, (v - ms) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "zscore": pa.array(np.round(z, 4), pa.float64())})
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
