@@ -116,6 +116,19 @@ def _q_dedup_keep_best(sf_dir: str):
         .sort_values("text_md5").reset_index(drop=True)
 
 
+def _q_ngram_containment_pairs(sf_dir: str):
+    """Asymmetric (directed) n-gram containment pairs — the
+    quote/excerpt detector; exact via the same two key-functional
+    exchanges as ngram_jaccard_pairs."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        ngram_containment_pairs)
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_containment_pairs(ds, n=3, threshold=0.6).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2934,6 +2947,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_best": _q_dedup_keep_best,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
         "lang_counts": _q_lang_counts,
         "keywords_top10": _q_keywords_top10,
         "heavy_hitter_words": _q_heavy_hitter_words,
@@ -4091,6 +4105,36 @@ def oracle_sql_all() -> dict[str, str]:
             JOIN gsets nb ON nb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
             ORDER BY a, b
+        """,
+        "ngram_containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+              FROM toks
+            ), gsets AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ), directed AS (
+              SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst,
+                     round(CAST(i AS DOUBLE) / na.n, 4) AS containment
+              FROM inter JOIN gsets na ON na.doc_id = a
+              WHERE round(CAST(i AS DOUBLE) / na.n, 4) >= 0.6
+              UNION ALL
+              SELECT CAST(b AS BIGINT) AS src, CAST(a AS BIGINT) AS dst,
+                     round(CAST(i AS DOUBLE) / nb.n, 4) AS containment
+              FROM inter JOIN gsets nb ON nb.doc_id = b
+              WHERE round(CAST(i AS DOUBLE) / nb.n, 4) >= 0.6
+            )
+            SELECT src, dst, containment FROM directed ORDER BY src, dst
         """,
         "asof_error_click": """
             -- deterministic as-of: max click ts <= err ts, ties broken by

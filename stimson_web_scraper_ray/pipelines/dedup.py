@@ -2126,3 +2126,82 @@ def sorted_neighborhood_pairs(ds, window: int = 5, id_col: str = "doc_id",
     if straddle.empty:
         return local
     return local.union(rd.from_pandas(straddle))
+
+
+def ngram_containment_pairs(ds, n: int = 3, threshold: float = 0.6,
+                            id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """ASYMMETRIC near-dup: exact n-gram containment |A∩B|/|A| — the
+    quote/excerpt detector Jaccard misses (a short doc fully embedded
+    in a long one has tiny Jaccard but containment ≈ 1). Same two
+    key-functional exchanges as ngram_jaccard_pairs (gram-hash
+    inverted index → per-bucket pairs → pair-keyed intersection
+    count); the final filter emits DIRECTED (src, dst) rows, one per
+    direction that clears the threshold, so both 'a quotes b' and
+    'b quotes a' surface independently."""
+    import ray.data as rd
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        gh_parts, dids, nsz = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            grams = _gram_hashes(text, n)
+            gh_parts.append(grams)
+            dids.extend([did] * len(grams))
+            nsz.extend([len(grams)] * len(grams))
+        gh = (np.concatenate(gh_parts) if gh_parts
+              else np.empty(0, np.uint64))
+        return pa.table({"gram": pa.array(gh, pa.uint64()),
+                         "doc_id": pa.array(dids, pa.int64()),
+                         "n_grams": pa.array(nsz, pa.int64())})
+
+    def gram_part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = _self_merge_pairs(df[["gram", "doc_id", "n_grams"]], ["gram"],
+                              cap=None)
+        return pd.DataFrame(
+            {"a": pd.Series(m["doc_id_x"].to_numpy(), dtype="int64"),
+             "b": pd.Series(m["doc_id_y"].to_numpy(), dtype="int64"),
+             "na": pd.Series(m["n_grams_x"].to_numpy(), dtype="int64"),
+             "nb": pd.Series(m["n_grams_y"].to_numpy(), dtype="int64")})
+
+    def gram_key(t: pa.Table) -> np.ndarray:
+        return t["gram"].to_numpy().view(np.int64)
+
+    pairs = _salted_partition_apply(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        gram_part_pairs, gram_key)
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            k = (t["a"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + t["b"].to_numpy().astype(np.uint64))
+        return k.view(np.int64)
+
+    def count_filter(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False).agg(
+            i=("na", "size"), na=("na", "first"),
+            nb=("nb", "first")).reset_index()
+        ca = (g["i"] / g["na"]).round(4)       # a contained in b
+        cb = (g["i"] / g["nb"]).round(4)       # b contained in a
+        fwd = g[ca >= threshold].assign(containment=ca[ca >= threshold])
+        rev = g[cb >= threshold].assign(containment=cb[cb >= threshold])
+        out = pd.concat([
+            pd.DataFrame({"src": fwd["a"], "dst": fwd["b"],
+                          "containment": fwd["containment"]}),
+            pd.DataFrame({"src": rev["b"], "dst": rev["a"],
+                          "containment": rev["containment"]}),
+        ], ignore_index=True)
+        out["src"] = out["src"].astype("int64")
+        out["dst"] = out["dst"].astype("int64")
+        out["containment"] = out["containment"].astype("float64")
+        return out
+
+    df = _salted_partition_apply(pairs, count_filter, pair_key).to_pandas()
+    if df.empty:
+        return rd.from_pandas(pd.DataFrame(
+            {"src": pd.Series(dtype="int64"),
+             "dst": pd.Series(dtype="int64"),
+             "containment": pd.Series(dtype="float64")}))
+    return rd.from_pandas(df.sort_values(["src", "dst"])
+                          .reset_index(drop=True))
