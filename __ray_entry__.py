@@ -129,6 +129,19 @@ def _q_ngram_containment_pairs(sf_dir: str):
         .sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _q_supplier_name_matches(sf_dir: str):
+    """Entity-resolution string join: supplier-name pairs within one
+    edit, via SymSpell deletion-neighborhood candidate generation +
+    exact ≤1-distance verify — the distributed shape the oracle's
+    quadratic levenshtein self-join cannot scale to."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import name_edit_pairs
+
+    ds = read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return name_edit_pairs(ds).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2948,6 +2961,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_best": _q_dedup_keep_best,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
+        "supplier_name_matches": _q_supplier_name_matches,
         "lang_counts": _q_lang_counts,
         "keywords_top10": _q_keywords_top10,
         "heavy_hitter_words": _q_heavy_hitter_words,
@@ -4135,6 +4149,15 @@ def oracle_sql_all() -> dict[str, str]:
               WHERE round(CAST(i AS DOUBLE) / nb.n, 4) >= 0.6
             )
             SELECT src, dst, containment FROM directed ORDER BY src, dst
+        """,
+        "supplier_name_matches": """
+            SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+                   CAST(levenshtein(a.s_name, b.s_name) AS BIGINT)
+                       AS dist
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ORDER BY a, b
         """,
         "asof_error_click": """
             -- deterministic as-of: max click ts <= err ts, ties broken by
