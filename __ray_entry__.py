@@ -129,6 +129,23 @@ def _q_ngram_containment_pairs(sf_dir: str):
         .sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+_BLOCKLIST = ["value merge", "query agg", "part line", "merge row",
+              "line table", "table value", "value table", "fast merge",
+              "slow fast", "key agg", "agg row", "a a the"]
+
+
+def _q_doc_blocklist_flags(sf_dir: str):
+    """Multi-pattern policy filter: per doc, how many blocklist
+    phrases occur (substring semantics) — ONE Aho–Corasick pass per
+    doc regardless of pattern count, automaton built once per actor."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.textstats import blocklist_flags
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return blocklist_flags(ds, _BLOCKLIST).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_supplier_name_matches(sf_dir: str):
     """Entity-resolution string join: supplier-name pairs within one
     edit, via SymSpell deletion-neighborhood candidate generation +
@@ -2962,6 +2979,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "supplier_name_matches": _q_supplier_name_matches,
+        "doc_blocklist_flags": _q_doc_blocklist_flags,
         "lang_counts": _q_lang_counts,
         "keywords_top10": _q_keywords_top10,
         "heavy_hitter_words": _q_heavy_hitter_words,
@@ -4158,6 +4176,35 @@ def oracle_sql_all() -> dict[str, str]:
               ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
             ORDER BY a, b
+        """,
+        "doc_blocklist_flags": """
+            SELECT doc_id,
+                   CAST(CAST(contains(lower(text), 'value merge') AS INT)
+                      + CAST(contains(lower(text), 'query agg') AS INT)
+                      + CAST(contains(lower(text), 'part line') AS INT)
+                      + CAST(contains(lower(text), 'merge row') AS INT)
+                      + CAST(contains(lower(text), 'line table') AS INT)
+                      + CAST(contains(lower(text), 'table value') AS INT)
+                      + CAST(contains(lower(text), 'value table') AS INT)
+                      + CAST(contains(lower(text), 'fast merge') AS INT)
+                      + CAST(contains(lower(text), 'slow fast') AS INT)
+                      + CAST(contains(lower(text), 'key agg') AS INT)
+                      + CAST(contains(lower(text), 'agg row') AS INT)
+                      + CAST(contains(lower(text), 'a a the') AS INT)
+                      AS BIGINT) AS n_matched,
+                   (contains(lower(text), 'value merge')
+                    OR contains(lower(text), 'query agg')
+                    OR contains(lower(text), 'part line')
+                    OR contains(lower(text), 'merge row')
+                    OR contains(lower(text), 'line table')
+                    OR contains(lower(text), 'table value')
+                    OR contains(lower(text), 'value table')
+                    OR contains(lower(text), 'fast merge')
+                    OR contains(lower(text), 'slow fast')
+                    OR contains(lower(text), 'key agg')
+                    OR contains(lower(text), 'agg row')
+                    OR contains(lower(text), 'a a the')) AS blocked
+            FROM documents ORDER BY doc_id
         """,
         "asof_error_click": """
             -- deterministic as-of: max click ts <= err ts, ties broken by

@@ -630,3 +630,78 @@ def doc_token_entropy(ds, id_col: str = "doc_id",
             "entropy": pa.array(np.round(hs, 6), pa.float64())})
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+# --- multi-pattern blocklist matching (Aho–Corasick) -------------------------
+
+
+class BlocklistMatcher:
+    """Actor-pool stage: substring-match a phrase blocklist against
+    every document in ONE pass per doc, independent of pattern count —
+    the C4-style policy-filter shape where the naive per-pattern scan
+    is O(patterns × chars). The Aho–Corasick automaton (goto trie +
+    BFS failure links + merged output sets) builds ONCE per actor in
+    __init__ from the broadcast pattern list; __call__ streams
+    batches, emitting per doc the count of DISTINCT patterns present
+    (substring semantics over lowercased text — exactly SQL
+    contains(lower(text), p))."""
+
+    def __init__(self, patterns: list[str]):
+        self.patterns = [p.lower() for p in patterns]
+        goto: list[dict] = [{}]
+        out: list[set] = [set()]
+        for pid, p in enumerate(self.patterns):
+            s = 0
+            for ch in p:
+                if ch not in goto[s]:
+                    goto.append({})
+                    out.append(set())
+                    goto[s][ch] = len(goto) - 1
+                s = goto[s][ch]
+            out[s].add(pid)
+        fail = [0] * len(goto)
+        from collections import deque
+        dq = deque(goto[0].values())
+        while dq:
+            s = dq.popleft()
+            for ch, t in goto[s].items():
+                dq.append(t)
+                f = fail[s]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t \
+                    else 0
+                out[t] |= out[fail[t]]
+        self._goto, self._fail, self._out = goto, fail, out
+
+    def _match(self, text: str) -> int:
+        goto, fail, out = self._goto, self._fail, self._out
+        s = 0
+        hit: set = set()
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                hit |= out[s]
+                if len(hit) == len(self.patterns):
+                    break
+        return len(hit)
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        n = [self._match((x or "").lower())
+             for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_matched": pa.array(np.array(n, np.int64), pa.int64()),
+            "blocked": pa.array([x > 0 for x in n], pa.bool_())})
+
+
+def blocklist_flags(ds, patterns: list[str]):
+    """Dataset wiring: broadcast patterns into an autoscaling actor
+    pool (automaton built once per actor), stream the corpus."""
+    return ds.map_batches(
+        BlocklistMatcher, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 8), fn_constructor_kwargs={"patterns": patterns})
