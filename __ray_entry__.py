@@ -129,6 +129,19 @@ def _q_ngram_containment_pairs(sf_dir: str):
         .sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-balanced language resampling (T=2, target half the
+    corpus): tempered shares from one tiny counts pass, deterministic
+    md5-threshold membership."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sampling import (
+        temperature_sample)
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang"])
+    return temperature_sample(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 _BLOCKLIST = ["value merge", "query agg", "part line", "merge row",
               "line table", "table value", "value table", "fast merge",
               "slow fast", "key agg", "agg row", "a a the"]
@@ -2980,6 +2993,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "supplier_name_matches": _q_supplier_name_matches,
         "doc_blocklist_flags": _q_doc_blocklist_flags,
+        "temperature_mix": _q_temperature_mix,
         "lang_counts": _q_lang_counts,
         "keywords_top10": _q_keywords_top10,
         "heavy_hitter_words": _q_heavy_hitter_words,
@@ -3557,6 +3571,23 @@ def oracle_sql_all() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 3000
                               WHEN 'es' THEN 6000
                               ELSE 10000 END
+            ORDER BY doc_id
+        """,
+        "temperature_mix": """
+            -- tempered shares q_l ∝ n_l^(1/2); keep prob
+            -- p_l = min(1, 0.5·N·q_l/n_l); integer md5 thresholds
+            WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY lang),
+            p AS (SELECT lang,
+                    CAST(floor(least(1.0,
+                        0.5 * SUM(n) OVER ()
+                        * (pow(n, 0.5) / SUM(pow(n, 0.5)) OVER ()) / n)
+                      * 10000) AS BIGINT) AS th
+                  FROM c)
+            SELECT d.doc_id, d.lang FROM documents d
+            JOIN p ON d.lang = p.lang
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000
+                  < p.th
             ORDER BY doc_id
         """,
         # same LM as doc_unigram_nll, then the CCNet split: per-lang

@@ -147,3 +147,36 @@ def weighted_reservoir_topk(ds, k: int = 50, id_col: str = "doc_id",
     top["key"] = top["key"].round(6)
     top["weight"] = top["weight"].astype("int64")
     return top.sort_values(id_col).reset_index(drop=True)
+
+
+def temperature_sample(ds, temperature: float = 2.0, frac: float = 0.5,
+                       id_col: str = "doc_id", strat_col: str = "lang"):
+    """Temperature-balanced corpus resampling (the multilingual mixing
+    rule: target share of stratum l ∝ count_l^(1/T), T>1 flattens the
+    distribution toward rare languages). Keep probability per stratum
+    p_l = min(1, frac·N·q_l/n_l) with q_l the tempered share; the
+    decision stays the repo's deterministic md5-threshold membership
+    rule (resumable, row-local, RNG-free), with INTEGER thresholds
+    ⌊p_l·10000⌋ so engine and oracle compare the same integers. One
+    tiny counts pass feeds the thresholds; the corpus then streams
+    through a stateless filter."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(strat_col).aggregate(
+        Count(alias_name="n")).to_pandas()
+    n = counts["n"].to_numpy().astype(np.float64)
+    q = n ** (1.0 / temperature)
+    q = q / q.sum()
+    p = np.minimum(1.0, frac * n.sum() * q / n)
+    th = {s: int(np.floor(pv * _MOD))
+          for s, pv in zip(counts[strat_col], p)}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        strata = batch[strat_col].to_pylist()
+        h = _keep_hash(ids)
+        t = np.fromiter((th.get(s, _MOD) for s in strata),
+                        dtype=np.int64, count=len(strata))
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
