@@ -2831,3 +2831,94 @@ def test_kll_sketch_bounds_and_exact_small(ray_session):
         for q, v in est.items():
             rank = np.searchsorted(sd, v, side="right") / len(sd)
             assert abs(rank - q) <= 0.02, (parts, q, rank)
+
+
+def test_name_edit_pairs_all_edit_kinds(ray_session):
+    """The SymSpell deletion-neighborhood join finds ALL three edit
+    kinds — substitution, insertion, deletion — and nothing at
+    distance 2 (the supplier oracle corpus only exercises equal-length
+    substitutions, so the length-changing paths are pinned here)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import name_edit_pairs
+
+    names = {
+        1: "alpha-node",
+        2: "alpha-nodx",   # substitution of 1  (dist 1)
+        3: "alpha-nodes",  # insertion vs 1     (dist 1)
+        4: "alpha-nod",    # deletion vs 1      (dist 1)
+        5: "alpha-nxdx",   # dist 2 from 1 — must NOT pair with 1
+        6: "zzzz",         # unrelated
+    }
+    df = pd.DataFrame({"s_suppkey": list(names), "s_name":
+                       [names[k] for k in names]})
+    for parts in (1, 3):
+        got = name_edit_pairs(rd.from_pandas(df).repartition(parts)) \
+            .to_pandas()
+        pairs = set(zip(got["a"], got["b"]))
+        assert (1, 2) in pairs      # substitution
+        assert (1, 3) in pairs      # insertion
+        assert (1, 4) in pairs      # deletion
+        assert (2, 5) in pairs      # nodx→nxdx is one substitution
+        assert (1, 5) not in pairs  # distance 2
+        assert all(d in (0, 1) for d in got["dist"])
+        # 3 vs 4: "alpha-nodes" vs "alpha-nod" is distance 2 — absent
+        assert (3, 4) not in pairs
+
+
+def test_ngram_containment_planted_quote(ray_session):
+    """A short doc fully embedded in a long one has containment 1.0 in
+    the short→long direction but (by construction) low Jaccard — the
+    asymmetric operator surfaces exactly the directed row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        ngram_containment_pairs)
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [quote, filler + " " + quote + " " + filler,
+                 "entirely different content with no shared grams at all"],
+    })
+    got = ngram_containment_pairs(rd.from_pandas(df), n=3,
+                                  threshold=0.9).to_pandas()
+    rows = set(zip(got["src"], got["dst"]))
+    assert (1, 2) in rows           # quote contained in long doc
+    assert (2, 1) not in rows       # long doc NOT contained in quote
+    assert not any(3 in r for r in rows)
+    c = got[(got["src"] == 1) & (got["dst"] == 2)]["containment"].iloc[0]
+    assert c == 1.0
+
+
+def test_temperature_sample_flattens_and_is_layout_invariant(ray_session):
+    """T=2 resampling keeps rare strata nearly whole while downsampling
+    the head, and the md5-membership rule makes the kept set identical
+    at every block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.sampling import (
+        temperature_sample)
+
+    rng = np.random.default_rng(17)
+    langs = (["en"] * 4000) + (["fr"] * 500) + (["xx"] * 50)
+    df = pd.DataFrame({"doc_id": np.arange(len(langs), dtype="int64"),
+                       "lang": langs})
+    kept_sets = []
+    for parts in (1, 7):
+        got = temperature_sample(
+            rd.from_pandas(df).repartition(parts)).to_pandas()
+        kept_sets.append(frozenset(got["doc_id"]))
+        share = got["lang"].value_counts(normalize=True)
+        raw = pd.Series(langs).value_counts(normalize=True)
+        # head compressed, tail inflated vs the raw distribution
+        assert share["en"] < raw["en"]
+        assert share["xx"] > raw["xx"]
+        # rare stratum kept (almost) whole: p_xx should be 1.0
+        assert (got["lang"] == "xx").sum() == 50
+    assert kept_sets[0] == kept_sets[1]
