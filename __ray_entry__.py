@@ -3163,6 +3163,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "event_value_zscores":
             lambda sf: _mk("event_value_zscores")(sf).to_pandas()
             .sort_values("event_id").reset_index(drop=True),
+        "event_rate_spikes": lambda sf: _mk("event_rate_spikes")(sf),
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
@@ -4442,6 +4443,28 @@ def oracle_sql_all() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY event_type)
             ORDER BY event_id
+        """,
+        "event_rate_spikes": """
+            WITH counts AS (
+              SELECT event_type,
+                     make_timestamp((epoch_us(ts) // 3600000000)
+                         * 3600000000) AS window_start,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+            trailed AS (
+              SELECT event_type, window_start, n_events,
+                     AVG(n_events) OVER w3 AS trailing_mean,
+                     COUNT(*) OVER w3 AS n_prior
+              FROM counts
+              WINDOW w3 AS (PARTITION BY event_type ORDER BY window_start
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, window_start, n_events,
+                   round(trailing_mean, 4) AS trailing_mean,
+                   round(n_events / trailing_mean, 4) AS ratio
+            FROM trailed
+            WHERE n_prior = 3
+              AND round(n_events / trailing_mean, 4) > 2.0
+            ORDER BY event_type, window_start
         """,
         "hll_sharded_gate": """
             SELECT event_type,

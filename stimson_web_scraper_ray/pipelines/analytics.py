@@ -2017,3 +2017,40 @@ def event_value_zscores(sf_dir: str):
             "zscore": pa.array(np.round(z, 4), pa.float64())})
 
     return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def event_rate_spikes(sf_dir: str, factor: float = 2.0):
+    """Windowed-rate anomaly report: per (event_type, 1h tumbling
+    window), flag windows whose count exceeds ``factor`` × the trailing
+    mean of the previous THREE windows (only windows with a full
+    3-window history qualify). The corpus-scaled work is one streamed
+    count pass into a partition-scaled (type, window) aggregate; the
+    lag/mean window math runs on that tiny table. Ratios are rounded
+    to 4 dp on both sides."""
+    from ray.data.aggregate import Count
+
+    ev = read(sf_dir, "events", ["ts", "event_type"])
+
+    def to_window(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, 3600000000), 3600000000)
+        return pa.table({
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "event_type": t["event_type"]})
+
+    agg = ev.map_batches(to_window, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Count(alias_name="n_events")).to_pandas() \
+        .sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+    g = agg.groupby("event_type", sort=False)["n_events"]
+    trail = (g.shift(1) + g.shift(2) + g.shift(3)) / 3.0
+    ratio = (agg["n_events"] / trail).round(4)
+    out = agg[trail.notna() & (ratio > factor)].copy()
+    out["trailing_mean"] = trail[out.index].round(4)
+    out["ratio"] = ratio[out.index]
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["event_type", "window_start", "n_events",
+                "trailing_mean", "ratio"]] \
+        .sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
