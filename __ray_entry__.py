@@ -159,6 +159,35 @@ def _q_doc_blocklist_flags(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_supplier_entity_clusters(sf_dir: str):
+    """End-to-end entity resolution: SymSpell edit-distance pairs →
+    distributed connected components (large-star/small-star over the
+    pair Dataset) → one cluster id (min member) per supplier,
+    singletons kept as their own cluster. The oracle re-derives the
+    same labels with a quadratic levenshtein join + recursive
+    reachability closure."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.dedup import name_edit_pairs
+    from stimson_web_scraper_ray.pipelines.graph import (
+        connected_components)
+
+    pairs = name_edit_pairs(read(sf_dir, "supplier",
+                                 ["s_suppkey", "s_name"]))
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+        batch_format="pyarrow")
+    comp = connected_components(edges)
+    supp = read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    out = supp.merge(comp, left_on="s_suppkey", right_on="node_id",
+                     how="left")
+    out["cluster_id"] = out["component_id"] \
+        .fillna(out["s_suppkey"]).astype("int64")
+    return out[["s_suppkey", "cluster_id"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
 def _q_supplier_name_matches(sf_dir: str):
     """Entity-resolution string join: supplier-name pairs within one
     edit, via SymSpell deletion-neighborhood candidate generation +
@@ -2992,6 +3021,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "supplier_name_matches": _q_supplier_name_matches,
+        "supplier_entity_clusters": _q_supplier_entity_clusters,
         "doc_blocklist_flags": _q_doc_blocklist_flags,
         "temperature_mix": _q_temperature_mix,
         "lang_counts": _q_lang_counts,
@@ -4208,6 +4238,27 @@ def oracle_sql_all() -> dict[str, str]:
               ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
             ORDER BY a, b
+        """,
+        "supplier_entity_clusters": """
+            WITH RECURSIVE cand AS (
+                SELECT a.s_suppkey AS a, b.s_suppkey AS b
+                FROM supplier a JOIN supplier b
+                  ON a.s_suppkey < b.s_suppkey
+                WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM cand
+                UNION ALL
+                SELECT b AS src, a AS dst FROM cand
+            ), w(node, r) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT w.node, e.dst FROM w JOIN edges e ON w.r = e.src
+            )
+            SELECT s.s_suppkey,
+                   CAST(COALESCE(LEAST(s.s_suppkey, MIN(w.r)),
+                                 s.s_suppkey) AS BIGINT) AS cluster_id
+            FROM supplier s LEFT JOIN w ON w.node = s.s_suppkey
+            GROUP BY s.s_suppkey ORDER BY s.s_suppkey
         """,
         "doc_blocklist_flags": """
             SELECT doc_id,
