@@ -2922,3 +2922,30 @@ def test_temperature_sample_flattens_and_is_layout_invariant(ray_session):
         # rare stratum kept (almost) whole: p_xx should be 1.0
         assert (got["lang"] == "xx").sum() == 50
     assert kept_sets[0] == kept_sets[1]
+
+
+def test_late_round4_ops_block_layout_invariant(ray_session):
+    """session_paths-style trigram partials, ngram containment, NTILE
+    and the KLL gate's rank recount are identical (or in-bound)
+    regardless of input block layout — retried blocks and different
+    read parallelism must not change outputs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.dedup import (
+        ngram_containment_pairs)
+
+    rng = np.random.default_rng(23)
+    vocab = "aa bb cc dd ee".split()
+    base = " ".join(rng.choice(vocab, size=30))
+    docs = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " ff gg hh ii jj kk ll mm"},
+            {"doc_id": 3, "text": " ".join(rng.choice(vocab, size=25))}]
+
+    outs = []
+    for blocks in (1, 3):
+        ds = rd.from_items(docs, override_num_blocks=blocks)
+        outs.append(ngram_containment_pairs(ds, n=3, threshold=0.5)
+                    .to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) > 0  # the planted containment actually fires
