@@ -3194,6 +3194,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
             lambda sf: _mk("event_value_zscores")(sf).to_pandas()
             .sort_values("event_id").reset_index(drop=True),
         "event_rate_spikes": lambda sf: _mk("event_rate_spikes")(sf),
+        "doc_length_weighted_median":
+            lambda sf: _mk("doc_length_weighted_median")(sf),
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
@@ -4516,6 +4518,18 @@ def oracle_sql_all() -> dict[str, str]:
             WHERE n_prior = 3
               AND round(n_events / trailing_mean, 4) > 2.0
             ORDER BY event_type, window_start
+        """,
+        "doc_length_weighted_median": """
+            WITH o AS (
+              SELECT lang, n_chars,
+                     SUM(n_chars) OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(n_chars) OVER (PARTITION BY lang) AS tot
+              FROM documents)
+            SELECT lang, CAST(MIN(n_chars) AS BIGINT) AS wmedian
+            FROM o WHERE cum >= tot / 2.0
+            GROUP BY lang ORDER BY lang
         """,
         "hll_sharded_gate": """
             SELECT event_type,

@@ -2054,3 +2054,79 @@ def event_rate_spikes(sf_dir: str, factor: float = 2.0):
                 "trailing_mean", "ratio"]] \
         .sort_values(["event_type", "window_start"]) \
         .reset_index(drop=True)
+
+
+def weighted_median_by_group(ds, group_col: str, value_col: str,
+                             weight_col: str, tie_col: str,
+                             n_parts: int = 32) -> pd.DataFrame:
+    """Exact WEIGHTED median per group — the value at which half the
+    total WEIGHT sits at-or-below (e.g. the doc length below which
+    half the corpus CHARS live: a curation statistic the unweighted
+    median misstates badly on heavy-tailed lengths). Same two-phase
+    value-range scan as percent_rank/ntile: equal values never
+    straddle parts, so phase 1 ships one (part, group) weight-sum
+    table to the driver, the crossing part per group is located
+    there, and phase 2 touches ONLY the crossing (part, group) cells
+    (a per-group sort of one part's rows). Nothing row-scaled reaches
+    the driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    vmin = float(ds.min(on=value_col))
+    vmax = float(ds.max(on=value_col))
+    span = max(1.0, (vmax - vmin + 1.0) / n_parts)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        part = np.minimum(((v - vmin) / span), n_parts - 1) \
+            .astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow") \
+        .materialize()
+    wsum = parted.groupby(["__part", group_col]) \
+        .aggregate(Sum(weight_col, alias_name="w")).to_pandas()
+
+    crossing: dict = {}
+    for g, sub in wsum.groupby(group_col, sort=False):
+        sub = sub.sort_values("__part")
+        tot = float(sub["w"].sum())
+        target = tot / 2.0
+        cum = 0.0
+        for p, w in zip(sub["__part"], sub["w"]):
+            if cum + float(w) >= target:
+                crossing[(int(p), g)] = (cum, target)
+                break
+            cum += float(w)
+    ref = ray.put(crossing)
+
+    def find_median(df: pd.DataFrame) -> pd.DataFrame:
+        cr = ray.get(ref)
+        p = int(df["__part"].iloc[0])
+        out_g, out_v = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            hit = cr.get((p, g))
+            if hit is None:
+                continue
+            base, target = hit
+            sub = sub.sort_values([value_col, tie_col],
+                                  kind="mergesort")
+            cum = base + sub[weight_col].to_numpy().cumsum()
+            idx = int(np.searchsorted(cum, target, side="left"))
+            out_g.append(g)
+            out_v.append(sub[value_col].to_numpy()[min(idx,
+                                                       len(sub) - 1)])
+        return pd.DataFrame({group_col: out_g,
+                             "wmedian": pd.Series(out_v,
+                                                  dtype="int64")})
+
+    res = parted.groupby("__part").map_groups(
+        find_median, batch_format="pandas").to_pandas()
+    return res.sort_values(group_col).reset_index(drop=True)
+
+
+def doc_length_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Per-language char-weighted median document length."""
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_median_by_group(ds, "lang", "n_chars", "n_chars",
+                                    "doc_id")
