@@ -159,6 +159,34 @@ def _q_doc_blocklist_flags(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bloom_join_rollup(sf_dir: str):
+    """Bloom semi-join pushdown, end to end: orders join a SMALL
+    filtered customer set (acctbal > 9000) through the broadcast-
+    bitmap prefilter + exact hash_join, rolled up per segment. The
+    oracle is the plain SQL join — the bloom stage is exactness-
+    transparent by the no-false-negative property."""
+    import pyarrow.compute as pc_
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import bloom_filter_join
+
+    small = read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc_.greater(t["c_acctbal"], 9000.0))
+            .select(["c_custkey", "c_mktsegment"]),
+            batch_format="pyarrow")
+    big = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    j = bloom_filter_join(big, small, on="o_custkey",
+                          right_on="c_custkey")
+    df = j.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+        n_orders=("o_totalprice", "size"),
+        revenue=("o_totalprice", "sum"))
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def _q_supplier_entity_clusters(sf_dir: str):
     """End-to-end entity resolution: SymSpell edit-distance pairs →
     distributed connected components (large-star/small-star over the
@@ -3022,6 +3050,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _q_ngram_containment_pairs,
         "supplier_name_matches": _q_supplier_name_matches,
         "supplier_entity_clusters": _q_supplier_entity_clusters,
+        "bloom_join_rollup": _q_bloom_join_rollup,
         "doc_blocklist_flags": _q_doc_blocklist_flags,
         "temperature_mix": _q_temperature_mix,
         "lang_counts": _q_lang_counts,
@@ -4261,6 +4290,14 @@ def oracle_sql_all() -> dict[str, str]:
                                  s.s_suppkey) AS BIGINT) AS cluster_id
             FROM supplier s LEFT JOIN w ON w.node = s.s_suppkey
             GROUP BY s.s_suppkey ORDER BY s.s_suppkey
+        """,
+        "bloom_join_rollup": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   round(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal > 9000
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "doc_blocklist_flags": """
             SELECT doc_id,

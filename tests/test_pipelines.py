@@ -2949,3 +2949,47 @@ def test_late_round4_ops_block_layout_invariant(ray_session):
                     .to_pandas())
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) > 0  # the planted containment actually fires
+
+
+def test_bloom_filter_join_parity_and_pruning(ray_session):
+    """bloom_filter_join ≡ hash_join on inner and semi (the prefilter
+    has no false negatives, the exact join removes false positives),
+    and the broadcast-bitmap probe actually PRUNES: with a 5%-of-keys
+    small side, far fewer than half the big rows survive the filter."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.join import (
+        bloom_filter_join, bloom_key_mask, build_key_bloom, hash_join)
+
+    rng = np.random.default_rng(31)
+    big = pd.DataFrame({"k": rng.integers(0, 2000, 20_000)
+                        .astype("int64"),
+                        "v": np.arange(20_000, dtype="int64")})
+    small = pd.DataFrame({"k2": np.arange(0, 100, dtype="int64"),
+                          "s": np.arange(100, dtype="int64") * 10})
+
+    import pyarrow as pa_
+
+    big_ds = rd.from_arrow(pa_.Table.from_pandas(big)).repartition(4)
+    small_ds = rd.from_arrow(pa_.Table.from_pandas(small))
+    for how in ("inner", "semi"):
+        a = bloom_filter_join(big_ds, small_ds, on="k",
+                              right_on="k2", how=how).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        b = hash_join(big_ds, small_ds, on="k", right_on="k2",
+                      how=how).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)])
+
+    # pruning evidence: probe the bitmap directly — survivors ≈ the 5%
+    # matching mass, far below half the big side
+    bits = build_key_bloom(rd.from_pandas(small.rename(
+        columns={"k2": "k"})), "k")
+    mask = bloom_key_mask(big["k"].to_numpy(), bits, 1 << 20, 7)
+    assert mask.sum() < 0.2 * len(big)
+    # no false negatives: every truly-matching row survives
+    truly = big["k"].isin(set(small["k2"])).to_numpy()
+    assert bool(np.all(mask[truly]))
