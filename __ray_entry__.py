@@ -3225,6 +3225,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "event_rate_spikes": lambda sf: _mk("event_rate_spikes")(sf),
         "doc_length_weighted_median":
             lambda sf: _mk("doc_length_weighted_median")(sf),
+        "nucleus_doc_select": lambda sf: _mk("nucleus_doc_select")(sf),
         "url_hierarchy_rollup": _q_url_hierarchy_rollup,
         "per_host_sample": _q_per_host_sample,
         "bigram_pmi": _q_bigram_pmi,
@@ -4567,6 +4568,25 @@ def oracle_sql_all() -> dict[str, str]:
             SELECT lang, CAST(MIN(n_chars) AS BIGINT) AS wmedian
             FROM o WHERE cum >= tot / 2.0
             GROUP BY lang ORDER BY lang
+        """,
+        "nucleus_doc_select": """
+            WITH q AS (
+              SELECT doc_id, lang,
+                     round(CAST(length(regexp_replace(
+                           text, '[a-zA-Z0-9_\\s]', '', 'g'))
+                       AS DOUBLE) / length(text), 4) AS punct_ratio,
+                     length(text) AS w
+              FROM documents),
+            o AS (
+              SELECT doc_id, lang, punct_ratio, w,
+                     SUM(w) OVER (PARTITION BY lang
+                         ORDER BY punct_ratio, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(w) OVER (PARTITION BY lang) AS tot
+              FROM q)
+            SELECT doc_id, lang, punct_ratio FROM o
+            WHERE cum - w < 0.6 * tot
+            ORDER BY doc_id
         """,
         "hll_sharded_gate": """
             SELECT event_type,

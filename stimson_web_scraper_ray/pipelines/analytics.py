@@ -2130,3 +2130,110 @@ def doc_length_weighted_median(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     return weighted_median_by_group(ds, "lang", "n_chars", "n_chars",
                                     "doc_id")
+
+
+def mass_fraction_select(ds, group_col: str, order_col: str,
+                         weight_col: str, tie_col: str,
+                         frac: float = 0.6, n_parts: int = 32):
+    """Top-p (nucleus) corpus selection per group: walking each group
+    in ``order_col`` order, KEEP rows until ``frac`` of the group's
+    total WEIGHT is covered — "the best docs per language until 60 %
+    of the char mass". Same two-phase value-range scan as the
+    weighted median, generalized to an arbitrary mass target: the
+    driver sees one (part, group) weight table, locates each group's
+    crossing ROW (order value + tie id, so tie-runs split exactly
+    where SQL's running cumsum splits them), and one streamed filter
+    keeps rows lexicographically ≤ the broadcast cutoff. Keep rule ≡
+    SQL ``cum − w < frac·tot`` (a row is kept iff its mass BEGINS
+    before the target)."""
+    import ray
+
+    vmin = float(ds.min(on=order_col))
+    vmax = float(ds.max(on=order_col))
+    span = max(1.0, (vmax - vmin + 1.0) / n_parts)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        part = np.minimum(((v - vmin) / span), n_parts - 1) \
+            .astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    from ray.data.aggregate import Sum
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow") \
+        .materialize()
+    wsum = parted.groupby(["__part", group_col]) \
+        .aggregate(Sum(weight_col, alias_name="w")).to_pandas()
+
+    # phase 1.5: find each group's crossing PART on the driver, then
+    # resolve the exact crossing ROW by scanning only those cells
+    crossing_part: dict = {}
+    for g, sub in wsum.groupby(group_col, sort=False):
+        sub = sub.sort_values("__part")
+        tot = float(sub["w"].sum())
+        target = frac * tot
+        cum = 0.0
+        for p, w in zip(sub["__part"], sub["w"]):
+            if cum + float(w) >= target:
+                crossing_part[(int(p), g)] = (cum, target)
+                break
+            cum += float(w)
+    cref = ray.put(crossing_part)
+
+    def find_cutoff(df: pd.DataFrame) -> pd.DataFrame:
+        cr = ray.get(cref)
+        p = int(df["__part"].iloc[0])
+        gs, vs, ts = [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            hit = cr.get((p, g))
+            if hit is None:
+                continue
+            base, target = hit
+            sub = sub.sort_values([order_col, tie_col],
+                                  kind="mergesort")
+            cum = base + sub[weight_col].to_numpy().cumsum()
+            idx = int(np.searchsorted(cum, target, side="left"))
+            idx = min(idx, len(sub) - 1)
+            gs.append(g)
+            vs.append(float(sub[order_col].to_numpy()[idx]))
+            ts.append(int(sub[tie_col].to_numpy()[idx]))
+        return pd.DataFrame({group_col: gs, "cut_v": vs, "cut_t": ts})
+
+    cuts = parted.groupby("__part").map_groups(
+        find_cutoff, batch_format="pandas").to_pandas()
+    cutoff = {g: (v, t) for g, v, t in
+              zip(cuts[group_col], cuts["cut_v"], cuts["cut_t"])}
+    kref = ray.put(cutoff)
+
+    def keep(t: pa.Table) -> pa.Table:
+        co = ray.get(kref)
+        gs = t[group_col].to_pylist()
+        v = t[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ti = t[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = np.array([co.get(g, (np.inf, 0))[0] for g in gs])
+        ct = np.array([co.get(g, (np.inf, 0))[1] for g in gs],
+                      dtype=np.int64)
+        mask = (v < cv) | ((v == cv) & (ti <= ct))
+        return t.drop_columns(["__part"]).filter(pa.array(mask))
+
+    return parted.map_batches(keep, batch_format="pyarrow")
+
+
+def nucleus_doc_select(sf_dir: str, frac: float = 0.6) -> pd.DataFrame:
+    """Per-language nucleus selection: keep the LEAST-punctuated docs
+    (quality proxy, 4 dp) until ``frac`` of each language's char mass
+    is covered. Returns the kept (doc_id, lang, punct_ratio)
+    memberships."""
+    from .textstats import add_quality_scores
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+        .map_batches(add_quality_scores, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(
+            ["doc_id", "lang", "punct_ratio", "n_chars_q"]),
+            batch_format="pyarrow")
+    kept = mass_fraction_select(ds, "lang", "punct_ratio", "n_chars_q",
+                                "doc_id", frac=frac)
+    df = kept.to_pandas()[["doc_id", "lang", "punct_ratio"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
