@@ -1296,6 +1296,64 @@ def _q_kll_value_quantiles(sf_dir: str):
     }).sort_values("q").reset_index(drop=True)
 
 
+def _q_kll_group_medians(sf_dir: str):
+    """Oracle-GATED grouped KLL: per-language doc-length quartiles from
+    sketch-per-group partials merged through one group-functional
+    exchange (sketch.kll_group_quantiles). Gate per (lang, q): the
+    sketch's item count must equal the exact group count (KLL merge
+    preserves total weight) AND an exact streamed rank recount of the
+    estimate must sit within 2 % of the target rank. The oracle asserts
+    the exact per-group counts and TRUE per row, so either drift
+    hash-fails the query."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sketch import \
+        kll_group_quantiles
+
+    qs = [0.25, 0.5, 0.75]
+    ds = read(sf_dir, "documents", ["lang", "n_chars"])
+    est = kll_group_quantiles(ds, "lang", "n_chars", qs, k=200)
+    langs = sorted(est["lang"].unique())
+    lang_idx = {g: i for i, g in enumerate(langs)}
+    th = np.full((len(langs), len(qs)), np.nan)
+    for _, r in est.iterrows():
+        th[lang_idx[r["lang"]], qs.index(r["q"])] = r["est"]
+
+    def rank_partial(t):
+        import pyarrow as pa
+
+        g = t["lang"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        gi = np.asarray([lang_idx[x] for x in g], np.int64)
+        # (rows, qs) ≤ comparison against each row's own group row of
+        # the threshold matrix, reduced per (group, q) with add.at
+        le = (v[:, None] <= th[gi]).astype(np.int64)
+        n_le = np.zeros((len(langs), len(qs)), np.int64)
+        np.add.at(n_le, gi, le)
+        n = np.bincount(gi, minlength=len(langs)).astype(np.int64)
+        gg, ii = np.meshgrid(np.arange(len(langs)), np.arange(len(qs)),
+                             indexing="ij")
+        return pa.table({"gi": pa.array(gg.ravel(), pa.int32()),
+                         "i": pa.array(ii.ravel(), pa.int32()),
+                         "n_le": pa.array(n_le.ravel(), pa.int64()),
+                         "n": pa.array(np.repeat(n, len(qs)),
+                                       pa.int64())})
+
+    parts = ds.map_batches(rank_partial, batch_format="pyarrow") \
+        .to_pandas().groupby(["gi", "i"], sort=True).sum().reset_index()
+    rows = []
+    for _, r in parts.iterrows():
+        g, q = langs[int(r["gi"])], qs[int(r["i"])]
+        n = int(r["n"])
+        sk_row = est[(est["lang"] == g) & (est["q"] == q)].iloc[0]
+        ok = (abs(r["n_le"] / n - q) <= 0.02
+              and int(sk_row["n_est"]) == n)
+        rows.append((g, float(q), n, bool(ok)))
+    return pd.DataFrame(rows, columns=["lang", "q", "n_rows",
+                                       "within_bound"]) \
+        .sort_values(["lang", "q"]).reset_index(drop=True)
+
+
 def _q_doc_length_percentile(sf_dir: str):
     """Per-language percent_rank calibration of document length — the
     curation primitive that makes one threshold mean the same thing in
@@ -3186,6 +3244,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "users_intersect": _q_users_intersect,
         "hll_error_bounds": _q_hll_error_bounds,
         "kll_value_quantiles": _q_kll_value_quantiles,
+        "kll_group_medians": _q_kll_group_medians,
         "hll_sharded_gate": _q_hll_sharded_gate,
         "hll_user_overlap": _q_hll_user_overlap,
         "doc_length_percentile": _q_doc_length_percentile,
@@ -4497,6 +4556,18 @@ def oracle_sql_all() -> dict[str, str]:
             FROM (VALUES (0.01), (0.05), (0.25), (0.5), (0.75),
                          (0.9), (0.99)) t(q)
             ORDER BY q
+        """,
+        # grouped-KLL gate: exact per-group counts + TRUE per row (the
+        # engine side re-derives the count from a streamed recount and
+        # flags rank error > 2% or a sketch-weight mismatch FALSE)
+        "kll_group_medians": """
+            SELECT d.lang, CAST(t.q AS DOUBLE) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   TRUE AS within_bound
+            FROM documents d
+            CROSS JOIN (VALUES (0.25), (0.5), (0.75)) t(q)
+            GROUP BY d.lang, t.q
+            ORDER BY d.lang, q
         """,
         "session_paths": """
             WITH lagged AS (

@@ -570,11 +570,20 @@ class KLLSketch:
                 return
             buf = np.sort(self.levels[over])
             off = int(self._rng.integers(0, 2))
+            if len(buf) % 2:
+                # hold one item back (an end, alternating by the seeded
+                # coin) so m·w -> (m-1)/2·2w + 1·w: total weight is
+                # preserved EXACTLY through every compaction, which the
+                # grouped gate relies on (n_est == exact group count)
+                keep, buf = (buf[:1], buf[1:]) if off else \
+                    (buf[-1:], buf[:-1])
+            else:
+                keep = buf[:0]
             if over + 1 == len(self.levels):
                 self.levels.append(np.empty(0, np.float64))
             self.levels[over + 1] = np.concatenate(
                 [self.levels[over + 1], buf[off::2]])
-            self.levels[over] = np.empty(0, np.float64)
+            self.levels[over] = keep
 
     def update_many(self, vals: np.ndarray) -> None:
         vals = np.asarray(vals, np.float64)
@@ -648,3 +657,76 @@ def kll_quantiles(ds, value_col: str, qs: list[float], k: int = 200):
     sk.merge_rows(rows["level"].to_numpy(np.int32),
                   rows["value"].to_numpy(np.float64))
     return {q: sk.quantile(q) for q in qs}, sk.total()
+
+
+def kll_group_quantiles(ds, group_col: str, value_col: str,
+                        qs: list[float], k: int = 200,
+                        n_parts: int = 16) -> pd.DataFrame:
+    """Sketch-per-group quantiles — the mergeable-KLL shape applied per
+    key: each block builds one KLL per group it sees and ships only
+    (group, level, value) rows (O(k·log) per block-group cell), then ONE
+    group-functional salted exchange merges each group's partials
+    levelwise and reads the quantiles off the merged sketch where it
+    lives. Nothing group-scaled touches the driver until the final
+    n_groups × n_qs frame — the distributed analogue of DataSketches'
+    per-dimension KLL rollup, and the scale path for "median doc length
+    per language" when the group count is itself large.
+
+    Returns (group, q, est, n_est) — n_est is the sketch's item count
+    (exact: merge preserves total weight)."""
+
+    def part_sketch(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        out_g, out_l, out_v = [], [], []
+        for g in pd.unique(groups):
+            v = vals[groups == g]
+            seed = int.from_bytes(hashlib.blake2b(
+                str(g).encode() + v[:8].tobytes()
+                + len(v).to_bytes(8, "little"),
+                digest_size=4).digest(), "little")
+            sk = KLLSketch(k, seed=seed)
+            sk.update_many(v)
+            lv, vv = sk.to_rows()
+            out_g.append(np.full(len(lv), g, dtype=object))
+            out_l.append(lv)
+            out_v.append(vv)
+        return pa.table({
+            group_col: pa.array(np.concatenate(out_g) if out_g else []),
+            "level": pa.array(
+                np.concatenate(out_l) if out_l else
+                np.empty(0, np.int32), pa.int32()),
+            "value": pa.array(
+                np.concatenate(out_v) if out_v else
+                np.empty(0, np.float64), pa.float64())})
+
+    def group_key(t: pa.Table) -> np.ndarray:
+        import hashlib
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(groups)
+        hashed = np.asarray(
+            [int.from_bytes(hashlib.blake2b(str(g).encode("utf-8"),
+                                            digest_size=8).digest(),
+                            "little") & 0x7FFFFFFF for g in uniq],
+            dtype=np.int64)
+        return hashed[codes]
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            sk = KLLSketch(k, seed=1)
+            sk.merge_rows(sub["level"].to_numpy(np.int32),
+                          sub["value"].to_numpy(np.float64))
+            n = sk.total()
+            for q in qs:
+                rows.append((g, float(q), sk.quantile(q), n))
+        return pd.DataFrame(rows, columns=[group_col, "q", "est",
+                                           "n_est"])
+
+    out = salted_partition_apply(
+        ds.map_batches(part_sketch, batch_format="pyarrow"),
+        merge_part, group_key, n_parts=n_parts).to_pandas()
+    return out.sort_values([group_col, "q"]).reset_index(drop=True)

@@ -2833,6 +2833,52 @@ def test_kll_sketch_bounds_and_exact_small(ray_session):
             assert abs(rank - q) <= 0.02, (parts, q, rank)
 
 
+def test_kll_group_quantiles_bounds_and_layouts(ray_session):
+    """Grouped KLL (sketch-per-group + one group-functional exchange):
+    (1) exact per-group quantiles while every group's N <= k;
+    (2) <=2% per-group rank error on groups with very different
+    distributions AND sizes, at several block layouts (each layout
+    yields different partials that must fold within bound);
+    (3) n_est equals the exact group size (merge preserves weight)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.sketch import \
+        kll_group_quantiles
+
+    # (1) exact while N <= k: two tiny groups of known medians
+    small = pd.DataFrame({
+        "g": ["a"] * 99 + ["b"] * 51,
+        "v": list(range(99)) + list(range(0, 5100, 100))})
+    ds = rd.from_pandas(small).repartition(4)
+    out = kll_group_quantiles(ds, "g", "v", [0.5], k=200)
+    est = dict(zip(out["g"], out["est"]))
+    assert est["a"] == 49.0 and est["b"] == 2500.0
+    assert dict(zip(out["g"], out["n_est"])) == {"a": 99, "b": 51}
+
+    # (2)/(3) bound per group across layouts, skewed sizes + shapes
+    rng = np.random.default_rng(11)
+    frames = {
+        "heavy": rng.lognormal(0.0, 1.5, 60_000),
+        "normal": rng.normal(100.0, 1.0, 9_000),
+        "uniform": rng.uniform(-5, 5, 700),
+    }
+    df = pd.concat([pd.DataFrame({"g": g, "v": v})
+                    for g, v in frames.items()], ignore_index=True)
+    sorted_by_g = {g: np.sort(v) for g, v in frames.items()}
+    qs = [0.1, 0.5, 0.9]
+    for parts in (1, 7, 23):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = kll_group_quantiles(ds, "g", "v", qs, k=200)
+        assert len(out) == len(frames) * len(qs)
+        for _, r in out.iterrows():
+            sd = sorted_by_g[r["g"]]
+            assert int(r["n_est"]) == len(sd), (parts, r["g"])
+            rank = np.searchsorted(sd, r["est"], side="right") / len(sd)
+            assert abs(rank - r["q"]) <= 0.02, (parts, r["g"], r["q"])
+
+
 def test_name_edit_pairs_all_edit_kinds(ray_session):
     """The SymSpell deletion-neighborhood join finds ALL three edit
     kinds — substitution, insertion, deletion — and nothing at
