@@ -3211,6 +3211,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "customer_nation_rollup": lambda sf: _mk("customer_nation_rollup")(sf),
         "events_tumbling_1h": lambda sf: _mk("events_tumbling_window")(sf),
         "events_hopping_15m": lambda sf: _mk("events_hopping_window")(sf),
+        "watermark_late_counts":
+            lambda sf: _mk("watermark_late_events")(sf),
         "sessionize_events": lambda sf: _mk("sessionize_events")(sf)
             .select_columns(["user_id", "session_start", "n_events"]),
         "event_distinct_users": lambda sf: _mk("event_type_distinct_users")(sf),
@@ -4493,6 +4495,36 @@ def oracle_sql_all() -> dict[str, str]:
                    round(SUM(value), 2) AS sum_value
             FROM events CROSS JOIN k
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # watermark semantics: the "stream order" is event-time plus a
+        # deterministic arithmetic jitter (bounded disorder <= 24h),
+        # re-derived identically here; watermark = running max TRUE
+        # event-time over prior arrivals minus 6h; late = window closed
+        "watermark_late_counts": """
+            WITH w AS (
+                SELECT ts, event_id,
+                       MAX(ts) OVER (
+                          ORDER BY epoch_us(ts)
+                                   + ((event_id * 2654435761) % 86400)
+                                     * 1000000,
+                                   event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+                FROM events
+            ), f AS (
+                SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+                       CASE WHEN prev_max IS NOT NULL
+                             AND (epoch_us(ts) // 3600000000 + 1)
+                                 * 3600000000
+                                 <= epoch_us(prev_max)
+                                    - CAST(21600000000 AS BIGINT)
+                            THEN 1 ELSE 0 END AS late
+                FROM w
+            )
+            SELECT make_timestamp(ws) AS window_start,
+                   CAST(SUM(1 - late) AS BIGINT) AS n_on_time,
+                   CAST(SUM(late) AS BIGINT) AS n_late
+            FROM f GROUP BY ws ORDER BY window_start
         """,
         "sessionize_events": """
             WITH lagged AS (

@@ -242,6 +242,98 @@ def events_hopping_window(sf_dir: str, window_minutes: int = 60,
     return df
 
 
+def watermark_late_events(sf_dir: str, window_minutes: int = 60,
+                          delay_hours: int = 6, n_parts: int = 32):
+    """Watermark / allowed-lateness accounting (the Flink/Beam
+    semantics) replayed at rest: events arrive in a deterministic
+    bounded-disorder order — event-time plus a per-event arithmetic
+    jitter of up to 24 h ((event_id·2654435761) mod 86400 seconds;
+    identical in the SQL oracle, so the "stream" is re-derivable — and
+    the watermark at each arrival is the running max TRUE event-time
+    over all prior arrivals minus ``delay_hours``. A tumbling window is
+    closed once the watermark passes its end; an event arriving for a
+    closed window is late (excluded from the on-time aggregate, counted
+    separately).
+
+    The running max over the global arrival order is a two-phase scan
+    (pack_sequences' shape with max as the monoid), no global sort:
+    arrival keys are VALUE-range bucketed into n_parts contiguous
+    ranges (order-functional), phase 1 ships one (part, max_ts) row per
+    range to the driver for the exclusive prefix-max, phase 2 cummaxes
+    inside each range over (arrival, event_id) order and folds in the
+    broadcast base. Per-part output is already the (window, on_time,
+    late) partial, so the final exchange is window-scaled.
+
+    Returns pandas (window_start, n_on_time, n_late) — hour-scaled."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    w_us = window_minutes * 60 * 1_000_000
+    delay_us = delay_hours * 3_600_000_000
+    NEG = np.int64(np.iinfo(np.int64).min)
+
+    ds = read(sf_dir, "events", ["event_id", "ts"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        jit = ((eid.astype(np.uint64) * np.uint64(2654435761))
+               % np.uint64(86400)).astype(np.int64) * 1_000_000
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": pa.array(ts_us, pa.int64()),
+                         "arrival": pa.array(ts_us + jit, pa.int64())})
+
+    slim_ds = ds.map_batches(slim, batch_format="pyarrow").materialize()
+    amin = int(slim_ds.min(on="arrival"))
+    amax = int(slim_ds.max(on="arrival"))
+    span = max(1, (amax - amin) // n_parts + 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["arrival"].to_numpy(zero_copy_only=False) - amin) \
+            // span
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    parted = slim_ds.map_batches(add_part, batch_format="pyarrow") \
+        .materialize()
+    # phase 1: one (part, max_ts) row per range -> exclusive prefix max
+    maxes = parted.groupby("part") \
+        .aggregate(Max("ts_us", alias_name="mx")).to_pandas() \
+        .sort_values("part")
+    run = np.maximum.accumulate(maxes["mx"].to_numpy(np.int64))
+    bases = dict(zip(maxes["part"],
+                     np.concatenate([[NEG], run[:-1]])))
+    base_ref = ray.put(bases)
+
+    def scan_part(df: pd.DataFrame) -> pd.DataFrame:
+        base = np.int64(ray.get(base_ref)[int(df["part"].iloc[0])])
+        df = df.sort_values(["arrival", "event_id"], kind="mergesort")
+        ts = df["ts_us"].to_numpy(np.int64)
+        # the broadcast base joins the running chain (prev[i] =
+        # max(base, ts[:i])), not just row 0 — earlier parts can
+        # dominate the whole range
+        prev = np.maximum.accumulate(
+            np.concatenate([[base], ts]))[:-1]
+        win_start = ts // w_us * w_us
+        # guard the global-first sentinel: NEG - delay would wrap
+        late = (prev != NEG) & (win_start + w_us <= prev - delay_us)
+        out = pd.DataFrame({"window_start": win_start,
+                            "late": late.astype("int64")})
+        g = out.groupby("window_start", sort=False)["late"]
+        agg = g.agg(n_late="sum", n="count").reset_index()
+        agg["n_on_time"] = agg["n"] - agg["n_late"]
+        return agg[["window_start", "n_on_time", "n_late"]]
+
+    partials = parted.groupby("part").map_groups(
+        scan_part, batch_format="pandas")
+    df = partials.groupby("window_start") \
+        .aggregate(Sum("n_on_time", alias_name="n_on_time"),
+                   Sum("n_late", alias_name="n_late")).to_pandas()
+    df["window_start"] = pd.to_datetime(df["window_start"], unit="us")
+    df["n_on_time"] = df["n_on_time"].astype("int64")
+    df["n_late"] = df["n_late"].astype("int64")
+    return df.sort_values("window_start").reset_index(drop=True)
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: sorted event-time gap splitting. ONE
     salted exchange on user_id, then a fully vectorized per-part pass —

@@ -2833,6 +2833,25 @@ def test_kll_sketch_bounds_and_exact_small(ray_session):
             assert abs(rank - q) <= 0.02, (parts, q, rank)
 
 
+def test_watermark_scan_part_invariance(ray_session):
+    """The distributed watermark scan's two-phase prefix max must be
+    invariant in n_parts: n_parts=1 is the trivially-correct single
+    scan (one range holds the whole stream), so equality across part
+    counts pins the cross-part base handoff — including the case where
+    an earlier part's max dominates an entire later range."""
+    import pandas as pd
+
+    from stimson_web_scraper_ray.pipelines.analytics import \
+        watermark_late_events
+
+    sf = "/root/testdata/sf0.001"
+    ref = watermark_late_events(sf, n_parts=1)
+    assert ref["n_late"].sum() > 0 and ref["n_on_time"].sum() > 0
+    for parts in (4, 13, 64):
+        out = watermark_late_events(sf, n_parts=parts)
+        pd.testing.assert_frame_equal(out, ref)
+
+
 def test_kll_group_quantiles_bounds_and_layouts(ray_session):
     """Grouped KLL (sketch-per-group + one group-functional exchange):
     (1) exact per-group quantiles while every group's N <= k;
