@@ -2858,6 +2858,63 @@ def _q_trade_bfs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_label_communities(sf_dir: str):
+    """Oracle-GATED community detection: deterministic synchronous
+    label propagation (self-vote + (count desc, label asc) tie-break,
+    graph.label_propagation) on a planted-partition graph derived
+    arithmetically from the part keys — 10-node cliques with one bridge
+    edge between consecutive communities. Connected components would
+    flood through every bridge into ONE community; LPA must heal the
+    bridges and recover the planted partition exactly. Gate: every
+    recovered label maps to exactly one planted community and vice
+    versa (purity both ways), counts per community oracle-checked; a
+    leak flips `pure` and hash-fails the row."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.graph import label_propagation
+
+    m = 10
+    ds = read(sf_dir, "part", ["p_partkey"])
+    n_nodes = ds.count()  # p_partkey is 0..n-1 contiguous
+
+    def planted_edges(t):
+        import pyarrow as pa
+
+        k = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        base = k // m * m
+        reps = base + m - 1 - k           # intra partners j > k
+        src = np.repeat(k, reps)
+        starts = np.concatenate([[0], reps.cumsum()[:-1]])
+        off = np.arange(int(reps.sum())) - np.repeat(starts, reps)
+        dst = src + off + 1
+        bridge = k[(k % m == m - 1) & (k + 1 < n_nodes)]
+        s = np.concatenate([src, bridge])
+        d = np.concatenate([dst, bridge + 1])
+        return pa.table({"src": pa.array(np.concatenate([s, d]),
+                                         pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]),
+                                         pa.int64())})
+
+    edges = ds.map_batches(planted_edges, batch_format="pyarrow")
+    lab = label_propagation(edges, iters=4).to_pandas()
+    lab["community"] = lab["node"] // m
+    pure = bool((lab.groupby("label")["community"].nunique() == 1).all()
+                and (lab.groupby("community")["label"].nunique()
+                     == 1).all()
+                and len(lab) == n_nodes)
+    # one row per RECOVERED cluster (community = min planted id among
+    # members): an exact recovery reproduces the oracle's planted rows;
+    # a leak changes row count / n_nodes AND flips pure
+    out = lab.groupby("label") \
+        .agg(community=("community", "min"), n_nodes=("node", "size")) \
+        .reset_index(drop=True)
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    out["community"] = out["community"].astype("int64")
+    out["pure"] = pure
+    return out.sort_values("community").reset_index(drop=True) \
+        [["community", "n_nodes", "pure"]]
+
+
 def _q_trade_components(sf_dir: str):
     """Connected components of the trade graph (the public
     graph.connected_components operator — large-star/small-star edge
@@ -3225,6 +3282,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "asof_join_generic": _q_asof_join_generic,
         "kmv_bottomk": _q_kmv_bottomk,
         "trade_components": _q_trade_components,
+        "label_communities": _q_label_communities,
         "trade_bfs": _q_trade_bfs,
         "kcore_decomposition": _q_kcore_decomposition,
         "label_centroids": _q_label_centroids,
@@ -5998,6 +6056,16 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node_id,
                CAST(LEAST(node, MIN(r)) AS BIGINT) AS component_id
         FROM w GROUP BY node ORDER BY node_id
+    """
+    # LPA planted-partition gate: the oracle re-derives the planted
+    # communities (size-10 key blocks) and asserts purity TRUE; the
+    # engine side recomputes counts from the RECOVERED clusters, so a
+    # bridge leak changes n_nodes (or flips pure) and hash-fails
+    sql["label_communities"] = """
+        SELECT CAST(p_partkey // 10 AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               TRUE AS pure
+        FROM part GROUP BY 1 ORDER BY community
     """
     # BFS hop distances: bounded recursive walk closure, MIN(dist) per
     # node; seeds = the two smallest node ids of the same edge encoding

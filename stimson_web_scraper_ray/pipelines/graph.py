@@ -1347,3 +1347,75 @@ def host_rank_for_docs(pages_ds, damping: float = 0.85, iters: int = 3):
 
     return pages_ds.map_batches(
         lambda t: annotate(t.select(["url"])), batch_format="pyarrow")
+
+
+def label_propagation(edges_ds, iters: int = 4,
+                      n_parts: int = 64) -> pd.DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made deterministic: every node votes its CURRENT
+    label for itself and for each neighbor, and each node adopts the
+    plurality label with the tie-break (count desc, label asc). The
+    self-vote keeps singleton-phase ties anchored, so dense groups
+    converge to their min node id while sparse bridges heal back (a
+    leaked label loses the plurality vote on the next round) — unlike
+    min-label propagation, which IS connected components and floods
+    through every bridge.
+
+    ``edges_ds`` must be SYMMETRIC (src, dst) int64 — the same contract
+    as `pagerank`. Fixed ``iters`` synchronous rounds (the planted-gate
+    suite converges in 2; the deterministic rule cannot oscillate once
+    votes are stable, and fixed rounds keep the oracle re-derivable).
+
+    Scale shape: per round, one hash_join ships each node's label to
+    its out-edges (edge-scaled, key-functional), then one salted
+    exchange keyed on dst counts votes and takes the argmax where the
+    node lives — the driver never sees anything node- or edge-scaled.
+    Returns a Dataset (node, label)."""
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    edges_ds = edges_ds.materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        u = np.unique(t["dst"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "label": pa.array(u, pa.int64())})
+
+    # symmetric edges => dst alone covers every node; distinct via one
+    # salted exchange (node-scaled, never on the driver)
+    labels = salted_partition_apply(
+        edges_ds.map_batches(init_labels, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates("node"),
+        combine_key=lambda t: t["node"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=min(n_parts, 16)).materialize()
+
+    def vote_argmax(df: pd.DataFrame) -> pd.DataFrame:
+        votes = df.groupby(["node", "label"], sort=False) \
+            .size().reset_index(name="n")
+        votes = votes.sort_values(["node", "n", "label"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        return votes.drop_duplicates("node")[["node", "label"]]
+
+    def _ren(ds, mapping):
+        # arrow-map rename: Dataset.rename_columns chokes on the pandas
+        # blocks map_groups emits (same workaround as pagerank)
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    for _ in range(iters):
+        shipped = _ren(
+            hash_join(edges_ds, _ren(labels, {"node": "src"}),
+                      on="src", n_parts=n_parts),
+            {"dst": "node"}).select_columns(["node", "label"])
+        ballots = shipped.union(_ren(labels, {}))  # arrow-normalized
+        labels = salted_partition_apply(
+            ballots, vote_argmax,
+            combine_key=lambda t: t["node"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            n_parts=n_parts).materialize()
+    return labels

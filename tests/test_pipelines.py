@@ -2551,6 +2551,36 @@ def test_scc_known_graph(ray_session):
     assert out[3] != out[12]                 # one-way bridge ≠ merge
 
 
+def test_label_propagation_heals_bridges(ray_session):
+    """LPA on two 5-cliques joined by one bridge edge 4–9: connected
+    components would flood everything into one cluster; deterministic
+    plurality-vote LPA must keep the cliques separate (the bridge
+    endpoint's leaked vote loses to 4 intra-clique votes) and converge
+    each clique to its min node id. Layout-invariant across block
+    splits."""
+    import itertools
+
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.graph import label_propagation
+
+    pairs = (list(itertools.combinations(range(5), 2))
+             + list(itertools.combinations(range(5, 10), 2))
+             + [(4, 9)])
+    src = [a for a, b in pairs] + [b for a, b in pairs]
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    for n_blocks in (1, 4):
+        lab = label_propagation(edges.repartition(n_blocks), iters=3,
+                                n_parts=4).to_pandas()
+        got = dict(zip(lab["node"].astype(int),
+                       lab["label"].astype(int)))
+        assert got == {**{i: 0 for i in range(5)},
+                       **{i: 5 for i in range(5, 10)}}, n_blocks
+
+
 def test_merge_inverted_index_exact_and_incremental(ray_session, sf_dir):
     """Merged index ≡ fresh full-corpus index (with and without
     tombstones), and a delta touching few terms leaves the other
