@@ -3151,6 +3151,100 @@ def _q_trade_pagerank_merged(sf_dir: str):
         .sort_values(["variant", "node_id"]).reset_index(drop=True)
 
 
+def _q_copurchase_similarity(sf_dir: str):
+    """Item-item co-purchase similarity (analytics.copurchase_topk):
+    top-100 part pairs by co-order count with Jaccard over their order
+    sets — one order-keyed exchange for the basket pairing, one
+    pair-keyed exchange for the counts, broadcast dimension-scaled part
+    frequencies, per-block top-k. Jaccard is emitted as exact integers
+    (co_cnt, union_cnt, jaccard_ppm = co·10⁶ // union) so no float
+    rounding tie can split engine and oracle."""
+    from stimson_web_scraper_ray.pipelines.analytics import copurchase_topk
+
+    return copurchase_topk(sf_dir, k=100)
+
+
+def _q_trade_shortest_paths(sf_dir: str):
+    """Bounded-hop weighted shortest paths (graph.trade_shortest_paths)
+    over the trade graph with arithmetic edge weights (src+dst)%7+1 from
+    the two smallest node ids: per round one hash_join distance shipment
+    + one salted min-reduce, distances stay Datasets. Oracle = three
+    chained min-relaxation CTEs over the same derived weights."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_shortest_paths
+
+    return trade_shortest_paths(sf_dir, max_hops=3)
+
+
+def _q_embedding_coreset(sf_dir: str):
+    """Greedy farthest-point k-center coreset over the embeddings
+    table (similarity.kcenter_select, k=6): the diverse-subset /
+    data-selection primitive. Distances in float64 rounded to 6 dp
+    BEFORE each argmax so the chained-CTE oracle (LEAST over per-center
+    ROUND, same tie-break) reproduces the picks exactly — the oracle
+    casts to DOUBLE[] because DuckDB's list_cosine_similarity computes
+    float32 on raw FLOAT[] lists (measured 1e-7 drift, 499/500 6-dp
+    mismatches without the cast)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.similarity import kcenter_select
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_select(ds, k=6)
+
+
+def _q_customer_order_full_outer(sf_dir: str):
+    """FULL OUTER hash_join surface: high-balance customers (acctbal >
+    7000) ⟗ per-customer F-order rollups — unmatched rows survive on
+    BOTH sides (high-balance customers with no F orders; F-order
+    customers under the balance cut), the key coalesces, and the other
+    side's columns come back null → sentinel-filled so the value hash
+    is exact. The right side is pre-aggregated (batch combiner + one
+    custkey exchange) before the join, never a fact-scale outer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+    from stimson_web_scraper_ray.pipelines.shuffle import (
+        salted_partition_apply,
+    )
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["c_acctbal"], pa.scalar(7000.0))),
+            batch_format="pyarrow")
+
+    orders = read(sf_dir, "orders",
+                  ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        df = t.select(["o_custkey", "o_totalprice"]).to_pandas() \
+            .groupby("o_custkey", as_index=False) \
+            .agg(order_cnt=("o_totalprice", "size"),
+                 total_f=("o_totalprice", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        # rename to the join key here: Dataset.rename_columns' Project
+        # stage rejects the exchange's pandas blocks (Ray 2.49)
+        out = df.groupby("o_custkey", as_index=False) \
+            .agg({"order_cnt": "sum", "total_f": "sum"})
+        return out.rename(columns={"o_custkey": "c_custkey"})
+
+    agg = salted_partition_apply(
+        orders.map_batches(partial, batch_format="pyarrow"), final,
+        combine_key=lambda t: t["o_custkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+
+    out = hash_join(cust, agg, on="c_custkey", how="full").to_pandas()
+    res = pd.DataFrame({
+        "custkey": out["c_custkey"].astype("int64"),
+        "acctbal": out["c_acctbal"].fillna(-1.0).round(2),
+        "order_cnt": out["order_cnt"].fillna(0).astype("int64"),
+        "total_f": out["total_f"].fillna(0.0).round(2)})
+    return res.sort_values("custkey").reset_index(drop=True)
+
+
 def queries_all() -> dict[str, Callable[[str], Any]]:
     """EVERY implemented pipeline, including the detail forms of queries
     whose window entry is a merged/gated variant. tests/test_oracle.py
@@ -3252,6 +3346,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "cohort_retention": _q_cohort_retention,
         "brand_volume_skewjoin": _q_brand_volume_skewjoin,
+        "customer_order_full_outer": _q_customer_order_full_outer,
+        "copurchase_similarity": _q_copurchase_similarity,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -3284,8 +3380,10 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "trade_components": _q_trade_components,
         "label_communities": _q_label_communities,
         "trade_bfs": _q_trade_bfs,
+        "trade_shortest_paths": _q_trade_shortest_paths,
         "kcore_decomposition": _q_kcore_decomposition,
         "label_centroids": _q_label_centroids,
+        "embedding_coreset": _q_embedding_coreset,
         "embedding_covariance": _q_embedding_covariance,
         "pca_embeddings": _q_pca_embeddings,
         "part_triangles": _q_part_triangles,
@@ -6091,6 +6189,119 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node_id,
                CAST(MIN(dist) AS BIGINT) AS dist
         FROM walk GROUP BY node ORDER BY node_id
+    """
+    # Weighted shortest paths: three chained min-relaxation rounds
+    # (Bellman-Ford) over the SAME arithmetic edge weights the engine
+    # derives — dist after round r = min cost over paths of <= r edges
+    sql["trade_shortest_paths"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS c,
+                            l.l_suppkey * 2 + 1 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst, (c + s) % 7 + 1 AS w FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst, (c + s) % 7 + 1 AS w FROM pairs
+        ), seeds AS (
+            SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
+            ORDER BY node LIMIT 2
+        ), d0 AS (
+            SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+        ), d1 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst AS node, d0.dist + e.w AS dist
+                FROM d0 JOIN edges e ON e.src = d0.node
+            ) GROUP BY node
+        ), d2 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst AS node, d1.dist + e.w AS dist
+                FROM d1 JOIN edges e ON e.src = d1.node
+            ) GROUP BY node
+        ), d3 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.dst AS node, d2.dist + e.w AS dist
+                FROM d2 JOIN edges e ON e.src = d2.node
+            ) GROUP BY node
+        )
+        SELECT CAST(node AS BIGINT) AS node_id,
+               CAST(dist AS BIGINT) AS dist
+        FROM d3 ORDER BY node_id
+    """
+    # FULL OUTER join: unmatched rows on both sides, key coalesced,
+    # sentinel fills mirror the engine's fillna exactly
+    sql["customer_order_full_outer"] = """
+        WITH cust AS (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_acctbal > 7000
+        ), ords AS (
+            SELECT o_custkey, COUNT(*) AS cnt,
+                   SUM(o_totalprice) AS tot
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        )
+        SELECT CAST(COALESCE(c_custkey, o_custkey) AS BIGINT) AS custkey,
+               ROUND(COALESCE(c_acctbal, -1.0), 2) AS acctbal,
+               CAST(COALESCE(cnt, 0) AS BIGINT) AS order_cnt,
+               ROUND(COALESCE(tot, 0.0), 2) AS total_f
+        FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+        ORDER BY custkey
+    """
+    # Co-purchase similarity: basket self-join on DISTINCT (order,
+    # part), Jaccard emitted as exact integers (see _q docstring for
+    # why no float: 1/128-style exact decimal ties split np/SQL round)
+    sql["copurchase_similarity"] = """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), pairs AS (
+            SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co_cnt
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+        ), freq AS (
+            SELECT p, COUNT(*) AS n FROM op GROUP BY 1
+        )
+        SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+               CAST(co_cnt AS BIGINT) AS co_cnt,
+               CAST(f1.n + f2.n - co_cnt AS BIGINT) AS union_cnt,
+               CAST(co_cnt * 1000000 // (f1.n + f2.n - co_cnt)
+                    AS BIGINT) AS jaccard_ppm
+        FROM pairs JOIN freq f1 ON p1 = f1.p JOIN freq f2 ON p2 = f2.p
+        ORDER BY co_cnt DESC, p1, p2 LIMIT 100
+    """
+    # Greedy k-center (k=6): chained per-pick CTEs — s_i holds each
+    # point's min ROUNDED distance to the first i centers (LEAST of
+    # per-center ROUND mirrors the engine's round-before-min), c_i the
+    # (d DESC, vec_id) argmax. CAST to DOUBLE[] is load-bearing:
+    # list_cosine_similarity computes float32 on FLOAT[] inputs
+    _kc = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+           " FROM embeddings)",
+           "c0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1)",
+           "s1 AS (SELECT e.vec_id, e.emb, ROUND(1.0 -"
+           " list_cosine_similarity(e.emb, (SELECT emb FROM c0)), 6)"
+           " AS d FROM e)"]
+    for i in range(1, 6):
+        _kc.append(f"c{i} AS (SELECT vec_id, emb, d FROM s{i}"
+                   f" ORDER BY d DESC, vec_id LIMIT 1)")
+        if i < 5:
+            _kc.append(
+                f"s{i + 1} AS (SELECT s.vec_id, s.emb, LEAST(s.d,"
+                f" ROUND(1.0 - list_cosine_similarity(s.emb,"
+                f" (SELECT emb FROM c{i})), 6)) AS d FROM s{i} s)")
+    _kc_picks = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS sel_rank, vec_id,"
+        f" d AS dist_at_pick FROM c{i}" for i in range(1, 6))
+    sql["embedding_coreset"] = f"""
+        WITH {', '.join(_kc)}
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS sel_rank,
+                   (SELECT vec_id FROM c0) AS vec_id,
+                   0.0 AS dist_at_pick
+            UNION ALL {_kc_picks}
+        ) ORDER BY sel_rank
     """
     # KMV: same md5_number_lower hash as corpus_mix; the estimate
     # mirrors the engine's float ops exactly (UBIGINT->DOUBLE cast,

@@ -159,7 +159,10 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              # round-4 families, timed from BENCH_r04 on
              "prefix_jaccard_pairs", "cohort_retention",
              "brand_volume_skewjoin", "trade_scc",
-             "supplier_cnt_by_part", "order_price_quartiles"]
+             "supplier_cnt_by_part", "order_price_quartiles",
+             # late round-4 families
+             "kll_group_medians", "watermark_late_counts",
+             "label_communities"]
     qs = entry_mod.queries_all()
     # warmup: the first Dataset execution pays Ray worker-pool spin-up
     # and module imports (~3 s measured on pricing_summary cold vs warm);

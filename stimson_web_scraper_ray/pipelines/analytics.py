@@ -2329,3 +2329,120 @@ def nucleus_doc_select(sf_dir: str, frac: float = 0.6) -> pd.DataFrame:
                                 "doc_id", frac=frac)
     df = kept.to_pandas()[["doc_id", "lang", "punct_ratio"]]
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def copurchase_topk(sf_dir: str, k: int = 100,
+                    n_parts: int = 64) -> pd.DataFrame:
+    """Item-item co-occurrence similarity (market-basket / co-purchase):
+    the top-``k`` part pairs by the number of orders that contain BOTH
+    parts, annotated with the Jaccard of their order sets — the
+    collaborative-filtering / related-items primitive.
+
+    Scale shape (the basket self-join never goes all-pairs global):
+      1. per-batch distinct on (order, part) — combiner before the wire;
+      2. ONE order-keyed salted exchange co-locates each basket whole,
+         so the within-order pair expansion (p1<p2) is part-local
+         vectorized pandas (baskets are short — TPC-H ≤7 items; a web
+         corpus would cap basket size the same way DISTINCT caps it
+         here) and the same pass emits per-part basket-frequency
+         partials (tagged p2 = -1) so the frequency table costs no
+         second order-keyed exchange;
+      3. ONE pair-keyed salted exchange sums partial counts — each pair
+         finishes wholly in one part;
+      4. Jaccard via a broadcast of the part-frequency table
+         (dimension-scaled: one row per distinct part, the small side
+         by construction) and per-block top-k + driver merge of
+         ≤ k·n_blocks rows — no global sort of the pair table.
+
+    Returns pandas (p1, p2, co_cnt, union_cnt, jaccard_ppm) ordered by
+    (co_cnt desc, p1, p2), k rows. The similarity is emitted as exact
+    integers (union = n1 + n2 − co; jaccard_ppm = co·10⁶ // union)
+    because Jaccard over small-int sets hits exact decimal ties (1/128
+    = 0.0078125) where numpy's half-even and SQL's half-away rounding
+    split — integer emission removes the tie class outright."""
+    import ray
+
+    from .shuffle import salted_partition_apply
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    def order_key(t: pa.Table) -> np.ndarray:
+        return t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # cross-block duplicates of one (order, part) collapse HERE —
+        # the order lives wholly in this part
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        pairs = m.groupby(["l_partkey_x", "l_partkey_y"]) \
+            .size().reset_index(name="cnt")
+        pairs.columns = ["p1", "p2", "cnt"]
+        freq = df.groupby("l_partkey").size().reset_index(name="cnt")
+        freq = pd.DataFrame({"p1": freq["l_partkey"].astype("int64"),
+                             "p2": np.int64(-1), "cnt": freq["cnt"]})
+        out = pd.concat([pairs, freq], ignore_index=True)
+        return out.astype({"p1": "int64", "p2": "int64", "cnt": "int64"})
+
+    partials = salted_partition_apply(
+        li.map_batches(batch_distinct, batch_format="pyarrow"),
+        per_order, order_key, n_parts=n_parts)
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (t["p1"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + t["p2"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64))
+        return h.view(np.int64)
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["p1", "p2"], as_index=False)["cnt"].sum()
+
+    counts = salted_partition_apply(partials, sum_part, pair_key,
+                                    n_parts=n_parts).materialize()
+
+    def freq_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p2"], pa.scalar(-1, pa.int64())))
+
+    freq_df = counts.map_batches(freq_only, batch_format="pyarrow") \
+        .to_pandas()
+    order_n = dict(zip(freq_df["p1"].to_numpy(np.int64),
+                       freq_df["cnt"].to_numpy(np.int64)))
+    nref = ray.put(order_n)
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["p2"] >= 0]
+        if df.empty:
+            return pa.table({"p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64()),
+                             "co_cnt": pa.array([], pa.int64()),
+                             "union_cnt": pa.array([], pa.int64()),
+                             "jaccard_ppm": pa.array([], pa.int64())})
+        n = ray.get(nref)
+        n1 = df["p1"].map(n).to_numpy(np.int64)
+        n2 = df["p2"].map(n).to_numpy(np.int64)
+        co = df["cnt"].to_numpy(np.int64)
+        union = n1 + n2 - co
+        df = pd.DataFrame({"p1": df["p1"].to_numpy(np.int64),
+                           "p2": df["p2"].to_numpy(np.int64),
+                           "co_cnt": co,
+                           "union_cnt": union,
+                           "jaccard_ppm": co * np.int64(1_000_000)
+                           // union})
+        df = df.sort_values(["co_cnt", "p1", "p2"],
+                            ascending=[False, True, True],
+                            kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    top = counts.map_batches(topk_block, batch_format="pyarrow") \
+        .to_pandas()
+    top = top.sort_values(["co_cnt", "p1", "p2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+    return top.reset_index(drop=True)

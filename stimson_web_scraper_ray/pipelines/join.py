@@ -62,12 +62,16 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
               how: str = "inner", n_parts: int = 64):
     """Join two Datasets on an equi-key. ``right_on`` renames the right
     key to ``on`` first (output carries ``on`` once). Non-key column
-    names must be disjoint. ``how``: inner | left | semi | anti —
+    names must be disjoint. ``how``: inner | left | full | semi | anti —
     semi/anti return left rows with/without a right match (left columns
     only), the shape of EXISTS / NOT EXISTS decorrelation; the right
     side contributes only its distinct keys to each part, so a hot right
-    key costs one set entry, not a row explosion."""
-    if how not in ("inner", "left", "semi", "anti"):
+    key costs one set entry, not a row explosion. ``full`` keeps
+    unmatched rows of BOTH sides (the key column is coalesced; the other
+    side's columns come back null) — exchange-only semantics: a
+    streaming broadcast path can't know a right row matched *nowhere*,
+    so ``adaptive_join`` deliberately doesn't offer it."""
+    if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if right_on and right_on != on:
         right = right.rename_columns({right_on: on})
@@ -112,13 +116,13 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
             hit = l[on].isin(df.loc[df[_SIDE] == 1, on].unique())
             return l[hit if how == "semi" else ~hit]
         r = df[df[_SIDE] == 1][[on] + rkeep]
-        return l.merge(r, on=on, how=how)
+        return l.merge(r, on=on, how="outer" if how == "full" else how)
 
     joined = salted_partition_apply(
         both, merge_part,
         combine_key=lambda t: _key_to_int64(t, on),
         n_parts=n_parts)
-    keep = out_fields if how in ("inner", "left") \
+    keep = out_fields if how in ("inner", "left", "full") \
         else [(n, ltypes[n]) for n in lcols]
     return joined.map_batches(_normalize_to(keep), batch_format="pyarrow")
 

@@ -704,3 +704,86 @@ def pq_adc_topk(codes_ds, codebooks: np.ndarray,
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount().astype("int64")
     return out
+
+
+def kcenter_select(ds, k: int = 6, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> pd.DataFrame:
+    """Greedy farthest-point k-center selection (Gonzalez 1985) — the
+    classic coreset / diverse-subset picker for training-data selection:
+    start from the smallest id, then repeatedly take the point FARTHEST
+    (max over points of the min cosine distance) from everything
+    selected so far. The 2-approximation to the k-center objective, and
+    the standard seed for diverse fine-tuning subsets.
+
+    Deterministic: distances are computed in float64, ROUNDED to 6 dp
+    before the argmax (so the SQL oracle's LEAST/ORDER BY reproduces the
+    same picks bit-for-bit; raw float ordering would hinge on summation
+    order), ties broken by lower id.
+
+    Scale shape: per round the ≤k selected vectors broadcast via
+    ``ray.put`` and ONE streamed pass emits a per-block argmax partial
+    (the block's farthest point + its vector, so the winner's vector
+    reaches the driver without a second pass) — k passes total, zero
+    exchanges, nothing corpus-scaled ever leaves the workers. O(k²·n)
+    similarity work, the right trade below k ≈ 10³; an IVF-bucketed
+    variant would cut the recompute for large k."""
+    import ray
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return t.slice(0, 0).select([id_col, vec_col])
+        i = int(np.argmin(ids))
+        return pa.table({
+            id_col: pa.array([ids[i]], pa.int64()),
+            vec_col: pa.array([t[vec_col].to_pylist()[i]])})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow") \
+        .to_pandas().sort_values(id_col)
+    sel_ids = [int(seeds[id_col].iloc[0])]
+    sel_vecs = [np.asarray(seeds[vec_col].iloc[0], dtype=np.float64)]
+    sel_dist = [0.0]
+
+    for _ in range(k - 1):
+        C = np.stack(sel_vecs)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cref = ray.put(C)
+
+        def far_partial(t: pa.Table, _cref=cref) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if ids.size == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "d": pa.array([], pa.float64()),
+                    vec_col: pa.array([], pa.list_(pa.float64()))})
+            Cm = ray.get(_cref)
+            X = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            # per-center rounding BEFORE the min mirrors the oracle's
+            # LEAST over per-center ROUND(..., 6) exactly
+            d = np.round(1.0 - Xn @ Cm.T, 6).min(axis=1)
+            order = np.lexsort((ids, -d))        # d desc, id asc
+            i = int(order[0])
+            return pa.table({
+                id_col: pa.array([ids[i]], pa.int64()),
+                "d": pa.array([d[i]], pa.float64()),
+                vec_col: pa.array([X[i].tolist()])})
+
+        parts = ds.map_batches(far_partial, batch_format="pyarrow") \
+            .to_pandas()
+        parts = parts.sort_values(["d", id_col],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        sel_ids.append(int(parts[id_col].iloc[0]))
+        sel_vecs.append(np.asarray(parts[vec_col].iloc[0],
+                                   dtype=np.float64))
+        sel_dist.append(float(parts["d"].iloc[0]))
+
+    return pd.DataFrame({
+        "sel_rank": np.arange(len(sel_ids), dtype=np.int64),
+        id_col: np.asarray(sel_ids, dtype=np.int64),
+        "dist_at_pick": np.round(np.asarray(sel_dist), 6)})

@@ -2572,13 +2572,19 @@ def test_label_propagation_heals_bridges(ray_session):
     edges = rd.from_arrow(pa.table({
         "src": pa.array(src, pa.int64()),
         "dst": pa.array(dst, pa.int64())}))
+    # limit 500k = broadcast fast path; limit 0 = forced exchange path
+    # (the pagerank-style two-path parity pin)
     for n_blocks in (1, 4):
-        lab = label_propagation(edges.repartition(n_blocks), iters=3,
-                                n_parts=4).to_pandas()
-        got = dict(zip(lab["node"].astype(int),
-                       lab["label"].astype(int)))
-        assert got == {**{i: 0 for i in range(5)},
-                       **{i: 5 for i in range(5, 10)}}, n_blocks
+        for limit in (500_000, 0):
+            lab = label_propagation(edges.repartition(n_blocks),
+                                    iters=3, n_parts=4,
+                                    node_broadcast_limit=limit) \
+                .to_pandas()
+            got = dict(zip(lab["node"].astype(int),
+                           lab["label"].astype(int)))
+            assert got == {**{i: 0 for i in range(5)},
+                           **{i: 5 for i in range(5, 10)}}, \
+                (n_blocks, limit)
 
 
 def test_merge_inverted_index_exact_and_incremental(ray_session, sf_dir):
@@ -3088,3 +3094,125 @@ def test_bloom_filter_join_parity_and_pruning(ray_session):
     # no false negatives: every truly-matching row survives
     truly = big["k"].isin(set(small["k2"])).to_numpy()
     assert bool(np.all(mask[truly]))
+
+
+def test_full_outer_hash_join_parity(ray_session):
+    """hash_join(how='full') vs pandas outer merge on a planted key
+    layout with left-only, right-only and both-side keys; the key
+    column coalesces and the off-side columns come back null with the
+    declared dtypes (the _normalize_to contract)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.join import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 3, 5], "lv": [10, 20, 30, 31, 50]})
+    right = pd.DataFrame({"k": [2, 3, 4], "rv": [200.0, 300.0, 400.0]})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", how="full", n_parts=3)
+    got = out.to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+
+    exp = left.merge(right, on="k", how="outer") \
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    assert list(got["k"]) == list(exp["k"])          # key coalesced
+    assert got["k"].notna().all()
+    # matched values identical; unmatched are null on the off side
+    assert got.loc[got["k"] == 4, "rv"].tolist() == [400.0]
+    assert got.loc[got["k"] == 4, "lv"].isna().all()
+    assert got.loc[got["k"] == 5, "rv"].isna().all()
+    pd.testing.assert_series_equal(
+        got["rv"].astype("float64"), exp["rv"].astype("float64"),
+        check_names=False)
+
+
+def test_shortest_paths_cost_vs_hops(ray_session):
+    """Weighted min-COST distance must take the 2-edge light route over
+    the 1-edge heavy route (where BFS hop distance would stop at 1),
+    and the hop bound truncates relaxation at max_hops edges."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import shortest_paths
+
+    # 0 -10-> 3 ; 0 -1-> 1 -2-> 3 ; 3 -1-> 4 : cheapest 0->3 is 3 via
+    # two hops, not 10 direct; 4 needs three hops at cost 4
+    edges = pd.DataFrame({
+        "src": [0, 0, 1, 3],
+        "dst": [3, 1, 3, 4],
+        "w":   [10, 1, 2, 1]})
+    ds = rd.from_pandas(edges)
+    got = shortest_paths(ds, [0], max_hops=3, n_parts=2)
+    dist = dict(zip(got["node_id"], got["dist"]))
+    assert dist == {0: 0, 1: 1, 3: 3, 4: 4}
+    # with only 1 hop allowed the heavy direct edge wins
+    got1 = shortest_paths(ds, [0], max_hops=1, n_parts=2)
+    dist1 = dict(zip(got1["node_id"], got1["dist"]))
+    assert dist1 == {0: 0, 1: 1, 3: 10}
+
+
+def test_copurchase_planted_and_layout_invariant(ray_session, tmp_path):
+    """Planted baskets: duplicate (order, part) rows (the multi-
+    lineitem case) must collapse before pairing, the Jaccard integers
+    must be exact, and a 1-block vs many-block parquet layout must
+    produce identical output."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import copurchase_topk
+
+    # baskets: {1,2} x3 orders, {1,3} x1, {2,3} x1; order 4 carries a
+    # duplicated (4, 1) row that must NOT inflate any count
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2),
+            (4, 1), (4, 1), (4, 3), (5, 2), (5, 3)]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    outs = []
+    for tag, rg in (("one", 10**6), ("many", 2)):
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       d / "lineitem.parquet", row_group_size=rg)
+        outs.append(copurchase_topk(str(d), k=10))
+    one, many = outs
+    pd.testing.assert_frame_equal(one, many)
+    got = {(r.p1, r.p2): (r.co_cnt, r.union_cnt, r.jaccard_ppm)
+           for r in one.itertuples()}
+    # part1 in orders {1,2,3,4}, part2 in {1,2,3,5}, part3 in {4,5}
+    assert got[(1, 2)] == (3, 5, 600000)
+    assert got[(1, 3)] == (1, 5, 200000)
+    assert got[(2, 3)] == (1, 5, 200000)
+    assert list(one.itertuples(index=False))[0][:2] == (1, 2)
+
+
+def test_kcenter_picks_directions_and_layouts(ray_session):
+    """Planted geometry: three well-separated direction bundles — k=3
+    greedy farthest-point must pick exactly one point per direction
+    (diversity), starting from the min id, invariant across block
+    layouts; dist_at_pick is non-increasing after the first pick."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.similarity import kcenter_select
+
+    rng = np.random.default_rng(7)
+    dirs = np.eye(3)
+    vecs, ids = [], []
+    for b in range(3):
+        for j in range(5):
+            v = dirs[b] + rng.normal(0, 0.01, 3)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            ids.append(b * 5 + j)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    outs = []
+    for n_blocks in (1, 4):
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        outs.append(kcenter_select(ds, k=3))
+    one, many = outs
+    pd.testing.assert_frame_equal(one, many)
+    assert one["vec_id"].iloc[0] == 0              # min-id seed
+    buckets = sorted(one["vec_id"] // 5)
+    assert buckets == [0, 1, 2]                    # one per direction
+    d = one["dist_at_pick"].to_numpy()
+    assert d[0] == 0.0 and d[1] >= d[2] > 0.5      # far then nearer
