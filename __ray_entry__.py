@@ -3191,6 +3191,40 @@ def _q_embedding_coreset(sf_dir: str):
     return kcenter_select(ds, k=6)
 
 
+def _q_host_shard_assignment(sf_dir: str):
+    """Rendezvous (HRW) sharding of the document sources
+    (shuffle.hrw_assign): per distinct source the argmax-of-md5 shard
+    under 8 shards AND under 9 — the `moved` column is the churn a
+    pool resize causes (HRW's point: ~1/9 in expectation vs ~8/9 for
+    modulo routing; the exact 1/9 gate lives in pytest over 10k
+    synthetic keys). md5 matches DuckDB's md5_number_lower bit-exactly
+    (little-endian read of the LAST 8 digest bytes), so the oracle's
+    max_by reproduces every assignment."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.shuffle import hrw_assign
+
+    ds = read(sf_dir, "documents", ["source"])
+    out = hrw_assign(ds, "source", n_shards=8, alt_shards=9) \
+        .to_pandas()
+    out = out.rename(columns={"shard": "shard_8",
+                              "shard_alt": "shard_9"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _q_interval_join_events(sf_dir: str):
+    """Windowed stream-stream (interval) join
+    (analytics.interval_join_events): every (error, click) pair of the
+    same user with the click within 30 min AFTER the error — all
+    matches, not the as-of nearest. Exact integer-microsecond deltas."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        interval_join_events,
+    )
+
+    out = interval_join_events(sf_dir).to_pandas()
+    return out.sort_values(["error_id", "click_id"]) \
+        .reset_index(drop=True)
+
+
 def _q_customer_order_full_outer(sf_dir: str):
     """FULL OUTER hash_join surface: high-balance customers (acctbal >
     7000) ⟗ per-customer F-order rollups — unmatched rows survive on
@@ -3348,6 +3382,8 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "brand_volume_skewjoin": _q_brand_volume_skewjoin,
         "customer_order_full_outer": _q_customer_order_full_outer,
         "copurchase_similarity": _q_copurchase_similarity,
+        "host_shard_assignment": _q_host_shard_assignment,
+        "interval_join_events": _q_interval_join_events,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -6271,6 +6307,37 @@ def oracle_sql_all() -> dict[str, str]:
                     AS BIGINT) AS jaccard_ppm
         FROM pairs JOIN freq f1 ON p1 = f1.p JOIN freq f2 ON p2 = f2.p
         ORDER BY co_cnt DESC, p1, p2 LIMIT 100
+    """
+    # HRW sharding: argmax-of-md5 per (source, shard); max_by has no
+    # ties because md5 values are distinct across the tiny probe set
+    sql["host_shard_assignment"] = """
+        WITH s AS (SELECT DISTINCT source FROM documents),
+        h AS (
+            SELECT s.source, t.i AS shard,
+                   md5_number_lower(s.source || '#' ||
+                                    CAST(t.i AS VARCHAR)) AS hv
+            FROM s CROSS JOIN generate_series(0, 8) t(i)
+        )
+        SELECT source,
+               CAST(max_by(shard, hv) FILTER (shard < 8) AS BIGINT)
+                   AS shard_8,
+               CAST(max_by(shard, hv) AS BIGINT) AS shard_9,
+               max_by(shard, hv) FILTER (shard < 8)
+                   <> max_by(shard, hv) AS moved
+        FROM h GROUP BY source ORDER BY source
+    """
+    # Interval join: all same-user (error, click) pairs with the click
+    # in [error.ts, error.ts + 30 min]; exact integer-us deltas
+    sql["interval_join_events"] = """
+        SELECT e.user_id,
+               e.event_id AS error_id, c.event_id AS click_id,
+               CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT)
+                   AS delta_us
+        FROM events e JOIN events c ON c.user_id = e.user_id
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+          AND c.ts >= e.ts
+          AND c.ts <= e.ts + INTERVAL 30 MINUTE
+        ORDER BY error_id, click_id
     """
     # Greedy k-center (k=6): chained per-pick CTEs — s_i holds each
     # point's min ROUNDED distance to the first i centers (LEAST of

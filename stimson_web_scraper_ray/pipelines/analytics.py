@@ -2446,3 +2446,60 @@ def copurchase_topk(sf_dir: str, k: int = 100,
                           ascending=[False, True, True],
                           kind="mergesort").head(k)
     return top.reset_index(drop=True)
+
+
+def interval_join_events(sf_dir: str, left_type: str = "error",
+                         right_type: str = "click",
+                         window_minutes: int = 30,
+                         n_parts: int = 64):
+    """Windowed stream-stream join (Flink-style interval join): ALL
+    (left, right) event pairs of the same user with the right event in
+    ``[left.ts, left.ts + window]`` — the many-match sibling of the
+    as-of join (which keeps only the nearest). Returns a Dataset
+    (user_id, error_id, click_id, delta_us).
+
+    Scale shape: both sides ride ONE user-keyed exchange with a side
+    flag (each user's pair expansion is part-local vectorized pandas —
+    a time-bucketed composite key would bound the per-key expansion for
+    users hot enough to matter); delta is exact integer microseconds so
+    the oracle compare is tie-free."""
+    from .shuffle import salted_partition_apply
+
+    ds = read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.or_(pc.equal(et, pa.scalar(left_type)),
+                      pc.equal(et, pa.scalar(right_type)))
+        t = t.filter(keep)
+        return pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"],
+            "is_left": pc.equal(t["event_type"], pa.scalar(left_type))})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["is_left"]][["user_id", "event_id", "ts"]]
+        r = df[~df["is_left"]][["user_id", "event_id", "ts"]]
+        m = l.merge(r, on="user_id", suffixes=("_e", "_c"))
+        if m.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "error_id": pd.Series(dtype="int64"),
+                                 "click_id": pd.Series(dtype="int64"),
+                                 "delta_us": pd.Series(dtype="int64")})
+        delta = (m["ts_c"].to_numpy("datetime64[us]")
+                 - m["ts_e"].to_numpy("datetime64[us]")) \
+            .astype("timedelta64[us]").astype(np.int64)
+        keep = (delta >= 0) & (delta <= window_minutes * 60_000_000)
+        m = m[keep]
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "error_id": m["event_id_e"].to_numpy(np.int64),
+            "click_id": m["event_id_c"].to_numpy(np.int64),
+            "delta_us": delta[keep]})
+
+    return salted_partition_apply(
+        ds.map_batches(mark, batch_format="pyarrow"), per_user,
+        combine_key=lambda t: t["user_id"]
+        .to_numpy(zero_copy_only=False).astype(np.int64),
+        n_parts=n_parts)

@@ -79,3 +79,59 @@ def grouped_topk(ds, group_cols: list[str], order_col: str, k: int,
         return g.head(k)
 
     return salted_partition_apply(ds, part_fn, combine_key, n_parts)
+
+
+def hrw_assign(ds, key_col: str, n_shards: int,
+               alt_shards: int | None = None, n_parts: int = 16):
+    """Rendezvous (highest-random-weight, Thaler–Ravishankar 1998)
+    assignment of each DISTINCT key to one of ``n_shards``: shard =
+    argmax over s of md5(key + '#' + s). The minimal-churn alternative
+    to the seen-set's ``hash % n_shards`` routing — growing the pool to
+    ``alt_shards`` moves only the keys whose new shard's hash wins
+    (expectation 1 − n/alt of nothing: ~1/alt of keys), where modulo
+    routing reshuffles nearly everything. The crawl-tier primitive for
+    host→worker pinning that survives cluster resizes.
+
+    Hash is bit-compatible with DuckDB's ``md5_number_lower`` (the
+    little-endian read of the LAST 8 digest bytes — verified against
+    DuckDB; the first-8 read is a different number), so every
+    assignment is SQL-checkable.
+
+    Scale shape: per-batch distinct + one key-functional exchange
+    collapse the key universe (dimension-scaled), then a pure map
+    computes n_shards hashes per key. Returns a Dataset
+    (key, shard[, shard_alt, moved])."""
+    import hashlib
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.select([key_col]).group_by([key_col]).aggregate([])
+
+    def key_fold(t: pa.Table) -> np.ndarray:
+        enc = t[key_col].to_pandas().fillna("").astype(str)
+        return pd.util.hash_array(enc.to_numpy(dtype=object),
+                                  categorize=True).view(np.int64)
+
+    distinct = salted_partition_apply(
+        ds.map_batches(batch_distinct, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates(key_col),
+        key_fold, n_parts=n_parts)
+
+    hi = max(n_shards, alt_shards or 0)
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        hv = np.empty((len(keys), hi), dtype=np.uint64)
+        for r, k in enumerate(keys):
+            for s in range(hi):
+                d = hashlib.md5(f"{k}#{s}".encode()).digest()
+                # md5_number_lower = little-endian of the LAST 8 bytes
+                hv[r, s] = int.from_bytes(d[8:], "little")
+        shard = np.argmax(hv[:, :n_shards], axis=1).astype(np.int64)
+        out = {key_col: t[key_col], "shard": pa.array(shard, pa.int64())}
+        if alt_shards is not None:
+            alt = np.argmax(hv[:, :alt_shards], axis=1).astype(np.int64)
+            out["shard_alt"] = pa.array(alt, pa.int64())
+            out["moved"] = pa.array(alt != shard, pa.bool_())
+        return pa.table(out)
+
+    return distinct.map_batches(assign, batch_format="pyarrow")

@@ -3216,3 +3216,61 @@ def test_kcenter_picks_directions_and_layouts(ray_session):
     assert buckets == [0, 1, 2]                    # one per direction
     d = one["dist_at_pick"].to_numpy()
     assert d[0] == 0.0 and d[1] >= d[2] > 0.5      # far then nearer
+
+
+def test_hrw_assignment_churn_and_balance(ray_session):
+    """Rendezvous assignment over 10k synthetic keys: resizing 8→9
+    shards must move ≈1/9 of keys (HRW's minimal-churn property; modulo
+    routing moves ~8/9), movers must land on the NEW shard only, and
+    the 8-shard load must be roughly balanced."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.shuffle import hrw_assign
+
+    keys = pd.DataFrame({"k": [f"host{i}.example.com" for i in range(10_000)]})
+    out = hrw_assign(rd.from_pandas(keys).repartition(8), "k",
+                     n_shards=8, alt_shards=9).to_pandas()
+    assert len(out) == 10_000                      # distinct preserved
+    frac = out["moved"].mean()
+    assert 0.07 < frac < 0.16, frac                # ≈ 1/9 ± noise
+    moved = out[out["moved"]]
+    assert (moved["shard_alt"] == 8).all()         # only to the new one
+    load = out["shard"].value_counts()
+    assert load.min() > 0.7 * load.max()           # balanced-ish
+    # the 8-shard assignment of surviving keys is untouched by resize
+    assert (out[~out["moved"]]["shard"]
+            == out[~out["moved"]]["shard_alt"]).all()
+
+
+def test_interval_join_window_boundaries(ray_session, tmp_path):
+    """Planted events: pairs at delta 0 and exactly 30 min are kept
+    (inclusive bounds), a click 1 µs past the window and any click
+    BEFORE the error are dropped, cross-user pairs never match."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        interval_join_events,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, 1, "error"),
+        (2, t0, 1, "click"),                               # delta 0
+        (3, t0 + pd.Timedelta(minutes=30), 1, "click"),    # boundary
+        (4, t0 + pd.Timedelta(minutes=30, microseconds=1), 1, "click"),
+        (5, t0 - pd.Timedelta(seconds=1), 1, "click"),     # before
+        (6, t0 + pd.Timedelta(minutes=5), 2, "click"),     # other user
+        (7, t0 + pd.Timedelta(minutes=1), 1, "view"),      # other type
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = interval_join_events(str(tmp_path)).to_pandas() \
+        .sort_values("click_id")
+    assert list(out["click_id"]) == [2, 3]
+    assert list(out["delta_us"]) == [0, 30 * 60 * 1_000_000]
