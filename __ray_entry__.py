@@ -3225,6 +3225,55 @@ def _q_interval_join_events(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_zorder_range_query(sf_dir: str):
+    """Z-order clustered layout + pruned box query (layout.zorder_write
+    / zorder_box_query): events clustered on morton(ts, value) into 16
+    Morton-key-range buckets of partitioned parquet, then a 2-day ×
+    value-band box query reads ONLY the buckets whose key range can
+    intersect the box and re-filters exactly on raw values — the
+    Delta/Iceberg Z-ORDER data-skipping idea as a Ray pipeline.
+    Pruning (buckets_read < buckets_total) is pinned in pytest; the
+    oracle checks the returned rows against a plain SQL box filter."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.layout import (
+        zorder_box_query,
+        zorder_write,
+    )
+
+    ds = read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_us": pa.array(ts.astype(np.float64), pa.float64()),
+            "value": t["value"]})
+
+    def us(s: str) -> float:
+        return float(np.datetime64(s, "us").astype(np.int64))
+
+    out_dir = tempfile.mkdtemp(prefix="swsr_zorder_")
+    try:
+        zorder_write(ds.map_batches(prep, batch_format="pyarrow"),
+                     out_dir, "ts_us", "value",
+                     x_lo=us("2024-01-01"), x_hi=us("2024-01-31"),
+                     y_lo=0.0, y_hi=600.0, bits=8, n_buckets=16)
+        df, _stats = zorder_box_query(
+            out_dir, (us("2024-01-10"), us("2024-01-12")),
+            (50.0, 120.0), columns=["event_id", "ts_us", "value"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = df[["event_id", "value"]].copy()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_customer_order_full_outer(sf_dir: str):
     """FULL OUTER hash_join surface: high-balance customers (acctbal >
     7000) ⟗ per-customer F-order rollups — unmatched rows survive on
@@ -3384,6 +3433,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "copurchase_similarity": _q_copurchase_similarity,
         "host_shard_assignment": _q_host_shard_assignment,
         "interval_join_events": _q_interval_join_events,
+        "zorder_range_query": _q_zorder_range_query,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -6325,6 +6375,15 @@ def oracle_sql_all() -> dict[str, str]:
                max_by(shard, hv) FILTER (shard < 8)
                    <> max_by(shard, hv) AS moved
         FROM h GROUP BY source ORDER BY source
+    """
+    # Z-order box query: the layout prunes, the query re-filters on raw
+    # values, so a plain box filter is the complete truth
+    sql["zorder_range_query"] = """
+        SELECT event_id, value FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-12 00:00:00'
+          AND value BETWEEN 50.0 AND 120.0
+        ORDER BY event_id
     """
     # Interval join: all same-user (error, click) pairs with the click
     # in [error.ts, error.ts + 30 min]; exact integer-us deltas

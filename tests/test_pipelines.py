@@ -3274,3 +3274,45 @@ def test_interval_join_window_boundaries(ray_session, tmp_path):
         .sort_values("click_id")
     assert list(out["click_id"]) == [2, 3]
     assert list(out["delta_us"]) == [0, 30 * 60 * 1_000_000]
+
+
+def test_zorder_layout_prunes_and_is_exact(ray_session, tmp_path):
+    """Z-order layout: a small box must read a strict subset of the
+    buckets (data skipping is real, not assumed), every box query must
+    return exactly the pandas box filter (pruning never loses rows —
+    including values outside the stamped quantization bounds, which
+    clip into edge cells but still post-filter exactly), and the full
+    box returns the whole table."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.layout import (
+        zorder_box_query,
+        zorder_write,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "rid": np.arange(4000, dtype=np.int64),
+        "x": rng.uniform(0, 100, 4000),
+        "y": rng.uniform(0, 100, 4000)})
+    # a few out-of-bounds stragglers (appends past the stamped range)
+    df.loc[:5, "x"] = [150.0, -10.0, 120.0, 101.0, -1.0, 100.5]
+    out_dir = str(tmp_path / "z")
+    zorder_write(rd.from_pandas(df).repartition(4), out_dir, "x", "y",
+                 x_lo=0.0, x_hi=100.0, y_lo=0.0, y_hi=100.0,
+                 bits=8, n_buckets=16)
+
+    for box_x, box_y in [((10.0, 20.0), (60.0, 70.0)),
+                         ((0.0, 100.0), (0.0, 100.0)),
+                         ((95.0, 150.0), (0.0, 5.0)),
+                         ((42.0, 42.5), (13.0, 13.5))]:
+        got, stats = zorder_box_query(out_dir, box_x, box_y)
+        exp = df[(df.x >= box_x[0]) & (df.x <= box_x[1])
+                 & (df.y >= box_y[0]) & (df.y <= box_y[1])]
+        assert sorted(got["rid"]) == sorted(exp["rid"]), (box_x, box_y)
+        assert stats["buckets_total"] == 16
+    small, stats = zorder_box_query(out_dir, (10.0, 20.0), (60.0, 70.0))
+    assert stats["buckets_read"] < stats["buckets_total"]
+    assert stats["buckets_read"] >= 1
