@@ -3595,7 +3595,10 @@ _WINDOW: list[str] = [
     "doc_redact_pii",
     "url_parts",
     "decontaminate",
-    "doc_unigram_nll",
+    # (doc_unigram_nll demoted to registry late round 4 — the LM-score
+    # family stays covered by doc_classifier_score in-window and
+    # doc_bigram_nll/dsir_weights in the registry)
+    "embedding_coreset",
     "doc_classifier_score",
     "doc_tfidf_topk",
     "token_quantiles",
@@ -3618,7 +3621,9 @@ _WINDOW: list[str] = [
     "index_incremental_merge",
     # relational / TPC-H-ish
     "pricing_summary",
-    "top_revenue_orders",
+    # (top_revenue_orders demoted — shipping_priority carries the
+    # Q3 join+agg+top-k shape in-window)
+    "zorder_range_query",
     "customer_nation_rollup",
     "shipping_priority",
     "local_supplier_volume",
@@ -3627,7 +3632,9 @@ _WINDOW: list[str] = [
     "range_join_value_bands",
     "brand_volume_skewjoin",
     # events / streaming
-    "events_tumbling_1h",
+    # (events_tumbling_1h demoted — watermark_late_counts subsumes the
+    # tumbling aggregate and adds the lateness accounting)
+    "watermark_late_counts",
     "sessionize_events",
     "event_type_stats",
     "asof_clicks",

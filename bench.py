@@ -162,7 +162,9 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
              "supplier_cnt_by_part", "order_price_quartiles",
              # late round-4 families
              "kll_group_medians", "watermark_late_counts",
-             "label_communities"]
+             "label_communities", "copurchase_similarity",
+             "trade_shortest_paths", "embedding_coreset",
+             "interval_join_events", "zorder_range_query"]
     qs = entry_mod.queries_all()
     # warmup: the first Dataset execution pays Ray worker-pool spin-up
     # and module imports (~3 s measured on pricing_summary cold vs warm);
