@@ -3274,6 +3274,64 @@ def _q_zorder_range_query(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_orders_merge_upsert(sf_dir: str):
+    """MERGE INTO / CDC apply (join.merge_changelog): a deterministic
+    changelog derived from the orders keys — every key%3==0 gets an
+    update (status 'X', price+100, seq 1), every key%7==0 a delete
+    (seq 2, so on key%21==0 the delete outranks the update), every
+    key%11==0 an insert under key+10⁸ — resolved last-writer-wins per
+    key on ONE key exchange. Oracle = the same changelog derived in
+    SQL + row_number() OVER (ORDER BY seq DESC) QUALIFY."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.join import merge_changelog
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def as_base(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "o_totalprice": pc.round(t["o_totalprice"], 2),
+            "seq": pa.array(np.zeros(n, np.int64)),
+            "op": pa.array(["U"] * n)})
+
+    def as_delta(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        st = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        upd, del_, ins = k % 3 == 0, k % 7 == 0, k % 11 == 0
+        keys = np.concatenate([k[upd], k[del_], k[ins] + 100_000_000])
+        status = np.concatenate([np.full(upd.sum(), "X", object),
+                                 st[del_],
+                                 np.full(ins.sum(), "N", object)])
+        price = np.round(np.concatenate(
+            [p[upd] + 100.0, p[del_], p[ins]]), 2)
+        seq = np.concatenate([np.full(upd.sum(), 1, np.int64),
+                              np.full(del_.sum(), 2, np.int64),
+                              np.full(ins.sum(), 1, np.int64)])
+        op = np.concatenate([np.full(upd.sum(), "U", object),
+                             np.full(del_.sum(), "D", object),
+                             np.full(ins.sum(), "U", object)])
+        return pa.table({"o_orderkey": pa.array(keys, pa.int64()),
+                         "o_orderstatus": pa.array(status.tolist()),
+                         "o_totalprice": pa.array(price, pa.float64()),
+                         "seq": pa.array(seq, pa.int64()),
+                         "op": pa.array(op.tolist())})
+
+    base = orders.map_batches(as_base, batch_format="pyarrow")
+    delta = orders.map_batches(as_delta, batch_format="pyarrow")
+    out = merge_changelog(base, delta, key="o_orderkey").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _q_customer_order_full_outer(sf_dir: str):
     """FULL OUTER hash_join surface: high-balance customers (acctbal >
     7000) ⟗ per-customer F-order rollups — unmatched rows survive on
@@ -3434,6 +3492,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "host_shard_assignment": _q_host_shard_assignment,
         "interval_join_events": _q_interval_join_events,
         "zorder_range_query": _q_zorder_range_query,
+        "orders_merge_upsert": _q_orders_merge_upsert,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -6382,6 +6441,34 @@ def oracle_sql_all() -> dict[str, str]:
                max_by(shard, hv) FILTER (shard < 8)
                    <> max_by(shard, hv) AS moved
         FROM h GROUP BY source ORDER BY source
+    """
+    # MERGE / CDC apply: same arithmetic changelog, last-writer-wins by
+    # seq via QUALIFY, delete survivors dropped
+    sql["orders_merge_upsert"] = """
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS status,
+                   ROUND(o_totalprice, 2) AS price,
+                   0 AS seq, 'U' AS op FROM orders
+        ), upd AS (
+            SELECT o_orderkey, 'X', ROUND(o_totalprice + 100.0, 2),
+                   1, 'U' FROM orders WHERE o_orderkey % 3 = 0
+        ), del AS (
+            SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2),
+                   2, 'D' FROM orders WHERE o_orderkey % 7 = 0
+        ), ins AS (
+            SELECT o_orderkey + 100000000, 'N', ROUND(o_totalprice, 2),
+                   1, 'U' FROM orders WHERE o_orderkey % 11 = 0
+        ), allr AS (
+            SELECT * FROM base UNION ALL SELECT * FROM upd
+            UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM allr
+        )
+        SELECT CAST(k AS BIGINT) AS o_orderkey,
+               status AS o_orderstatus, price AS o_totalprice
+        FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey
     """
     # Z-order box query: the layout prunes, the query re-filters on raw
     # values, so a plain box filter is the complete truth

@@ -444,3 +444,41 @@ def bloom_filter_join(big, small, on: str, *, right_on: str | None = None,
     big_f = big.map_batches(prefilter, batch_format="pyarrow")
     return hash_join(big_f, small, on=on, right_on=right_on, how=how,
                      n_parts=n_parts)
+
+
+def merge_changelog(base, delta, key: str, seq_col: str = "seq",
+                    op_col: str = "op", n_parts: int = 64):
+    """MERGE INTO / CDC-apply semantics: resolve a changelog against a
+    base table by last-writer-wins per key — the surviving row for each
+    key is the one with the highest ``seq_col``; a survivor whose
+    ``op_col`` is ``'D'`` deletes the key. The lakehouse upsert
+    primitive (Delta MERGE / Hudi upsert / Iceberg row-delta apply)
+    over plain Datasets.
+
+    Contract: (key, seq) pairs must be unique across base ∪ delta —
+    seq ties have no defined winner (same as any CDC stream without a
+    total order). Both inputs must share the schema plus seq/op.
+
+    Scale shape: ONE key-functional exchange over base ∪ delta; each
+    key resolves wholly inside its part with a vectorized stable sort +
+    drop_duplicates (no per-key dispatch). At 100 TB the delta is
+    normally ≪ base, so the exchange is dominated by one pass over the
+    base — the same cost as rewriting it, which is what an upsert IS
+    without key-partitioned storage; over a layout like
+    ``zorder_write``'s bucketed sink the same resolve runs per bucket
+    touched by the delta."""
+    from .shuffle import salted_partition_apply
+
+    both = base.union(delta)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, seq_col], ascending=[True, False],
+                            kind="mergesort")
+        top = df.drop_duplicates(key)
+        top = top[top[op_col] != "D"]
+        return top.drop(columns=[seq_col, op_col])
+
+    return salted_partition_apply(
+        both, resolve,
+        combine_key=lambda t: _key_to_int64(t, key),
+        n_parts=n_parts)

@@ -3316,3 +3316,36 @@ def test_zorder_layout_prunes_and_is_exact(ray_session, tmp_path):
     small, stats = zorder_box_query(out_dir, (10.0, 20.0), (60.0, 70.0))
     assert stats["buckets_read"] < stats["buckets_total"]
     assert stats["buckets_read"] >= 1
+
+
+def test_merge_changelog_semantics(ray_session):
+    """CDC apply on a planted changelog: update wins over base, delete
+    removes, delete-then-reinsert at higher seq survives, untouched keys
+    pass through, inserts appear — layout-invariant across block
+    splits."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.join import merge_changelog
+
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"],
+        "seq": [0, 0, 0, 0], "op": ["U"] * 4})
+    delta = pd.DataFrame({
+        "k": [2, 3, 3, 5], "v": ["B", "dead", "C2", "e"],
+        "seq": [1, 1, 2, 1], "op": ["U", "D", "U", "U"]})
+    # k=3: delete at seq1 then re-upsert at seq2 -> survives as C2
+    for n_blocks in (1, 3):
+        out = merge_changelog(
+            rd.from_pandas(base).repartition(n_blocks),
+            rd.from_pandas(delta).repartition(n_blocks),
+            key="k", n_parts=3).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert dict(zip(out["k"], out["v"])) == \
+            {1: "a", 2: "B", 3: "C2", 4: "d", 5: "e"}, n_blocks
+
+    delta2 = delta.copy()
+    delta2.loc[delta2["seq"] == 2, "op"] = "D"   # now the delete wins
+    out = merge_changelog(rd.from_pandas(base), rd.from_pandas(delta2),
+                          key="k", n_parts=3).to_pandas()
+    assert 3 not in set(out["k"])
