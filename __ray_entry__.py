@@ -3274,6 +3274,26 @@ def _q_zorder_range_query(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_part_tree_rollup(sf_dir: str):
+    """Recursive-depth subtree rollup (analytics.tree_rollup): the part
+    keys form a fanout-4 tree (parent = k // 4, root 0), weight =
+    p_size; every node reports its subtree's total weight and node
+    count via the bounded-depth ancestor closure + ONE exchange. The
+    oracle is a WITH RECURSIVE ancestor walk — the hierarchy shape
+    (BOM / org chart) the 2-level ROLLUP lattice can't express."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        read,
+        tree_rollup,
+    )
+
+    ds = read(sf_dir, "part", ["p_partkey", "p_size"])
+    out = tree_rollup(ds, "p_partkey", "p_size",
+                      parent_of=lambda k: k // 4).to_pandas()
+    out = out.astype({"p_partkey": "int64", "subtree_sum": "int64",
+                      "n_desc": "int64"})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def _q_orders_merge_upsert(sf_dir: str):
     """MERGE INTO / CDC apply (join.merge_changelog): a deterministic
     changelog derived from the orders keys — every key%3==0 gets an
@@ -3493,6 +3513,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": _q_interval_join_events,
         "zorder_range_query": _q_zorder_range_query,
         "orders_merge_upsert": _q_orders_merge_upsert,
+        "part_tree_rollup": _q_part_tree_rollup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -6441,6 +6462,20 @@ def oracle_sql_all() -> dict[str, str]:
                max_by(shard, hv) FILTER (shard < 8)
                    <> max_by(shard, hv) AS moved
         FROM h GROUP BY source ORDER BY source
+    """
+    # Subtree rollup: recursive ancestor walk, then sum each node's
+    # descendants (self included) — parent = k // 4, root 0
+    sql["part_tree_rollup"] = """
+        WITH RECURSIVE anc(node, a) AS (
+            SELECT p_partkey, p_partkey FROM part
+            UNION ALL
+            SELECT node, a // 4 FROM anc WHERE a > 0
+        )
+        SELECT CAST(anc.a AS BIGINT) AS p_partkey,
+               CAST(SUM(p.p_size) AS BIGINT) AS subtree_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_desc
+        FROM anc JOIN part p ON p.p_partkey = anc.node
+        GROUP BY anc.a ORDER BY p_partkey
     """
     # MERGE / CDC apply: same arithmetic changelog, last-writer-wins by
     # seq via QUALIFY, delete survivors dropped

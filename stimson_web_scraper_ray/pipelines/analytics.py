@@ -2503,3 +2503,61 @@ def interval_join_events(sf_dir: str, left_type: str = "error",
         combine_key=lambda t: t["user_id"]
         .to_numpy(zero_copy_only=False).astype(np.int64),
         n_parts=n_parts)
+
+
+def tree_rollup(ds, key_col: str, weight_col: str, parent_of,
+                root: int = 0, max_depth: int = 64, n_parts: int = 64):
+    """Subtree aggregation over a bounded-depth tree with an
+    ARITHMETIC/vectorized parent function (BOM explosions, org charts,
+    URL path trees, the `parent = k // fanout` style of synthetic
+    hierarchies): for every node, the total weight and node count of
+    its subtree, self included.
+
+    Scale shape — bounded-depth ancestor closure: each row emits its
+    full ancestor chain (≤ depth rows, a small constant for real
+    hierarchies) inside the batch map, and ONE exchange keyed on the
+    ancestor sums everything where the ancestor lives. depth × |nodes|
+    rows through one exchange beats depth sequential exchanges of a
+    level-synchronous sweep whenever depth is a constant; a
+    pointer-jumping log-depth form is the swap-in for unbounded depth.
+    Raises if a chain exceeds ``max_depth`` (cycle guard). Returns a
+    Dataset (key_col, subtree_sum, n_desc)."""
+    from .shuffle import salted_partition_apply
+
+    def explode(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cur = k.copy()
+        alive = np.ones(k.size, dtype=bool)
+        anc_parts, w_parts = [], []
+        for _ in range(max_depth):
+            if not alive.any():
+                break
+            anc_parts.append(cur[alive].copy())
+            w_parts.append(w[alive])
+            alive = alive & (cur != root)
+            if alive.any():
+                cur[alive] = parent_of(cur[alive])
+        else:
+            if alive.any():
+                raise ValueError("tree_rollup: max_depth exceeded "
+                                 "(cycle or unbounded chain)")
+        if not anc_parts:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({
+            key_col: pa.array(np.concatenate(anc_parts), pa.int64()),
+            "w": pa.array(np.concatenate(w_parts), pa.int64())})
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, as_index=False) \
+            .agg(subtree_sum=("w", "sum"), n_desc=("w", "size"))
+        g["n_desc"] = g["n_desc"].astype("int64")
+        return g
+
+    return salted_partition_apply(
+        ds.map_batches(explode, batch_format="pyarrow"), reduce_part,
+        combine_key=lambda t: t[key_col].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=n_parts)

@@ -3349,3 +3349,34 @@ def test_merge_changelog_semantics(ray_session):
     out = merge_changelog(rd.from_pandas(base), rd.from_pandas(delta2),
                           key="k", n_parts=3).to_pandas()
     assert 3 not in set(out["k"])
+
+
+def test_tree_rollup_chain_and_cycle_guard(ray_session):
+    """Hand-checked subtree sums on a tiny fanout-2 tree, layout
+    invariance, and the max_depth cycle guard fires on a self-loop
+    parent function."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.analytics import tree_rollup
+
+    # parent = k // 2: 0 <- 1 <- {2,3}, 2 <- {4,5}, 3 <- {6,7}
+    df = pd.DataFrame({"k": np.arange(8, dtype=np.int64),
+                       "w": np.arange(8, dtype=np.int64) + 1})
+    for n_blocks in (1, 4):
+        out = tree_rollup(rd.from_pandas(df).repartition(n_blocks),
+                          "k", "w", parent_of=lambda k: k // 2,
+                          n_parts=3).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        got = dict(zip(out["k"], out["subtree_sum"]))
+        assert got == {0: 36, 1: 35, 2: 14, 3: 19, 4: 5, 5: 6,
+                       6: 7, 7: 8}, n_blocks
+        nd = dict(zip(out["k"], out["n_desc"]))
+        assert nd == {0: 8, 1: 7, 2: 3, 3: 3, 4: 1, 5: 1, 6: 1, 7: 1}
+
+    bad = tree_rollup(rd.from_pandas(df), "k", "w",
+                      parent_of=lambda k: k, max_depth=5)
+    with pytest.raises(Exception, match="max_depth"):
+        bad.to_pandas()
