@@ -29,7 +29,6 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 _META = "zorder_meta.json"
 
@@ -108,19 +107,40 @@ def zorder_box_query(out_dir: str, x_range: tuple, y_range: tuple,
     shift = np.uint64(2 * bits - int(np.log2(n_buckets)))
     want = np.unique((z >> shift).astype(np.int64))
 
-    frames = []
-    for b in want:
-        for fpath in glob.glob(os.path.join(out_dir, f"bucket={b}",
-                                            "*.parquet")):
-            t = pq.read_table(fpath, columns=columns)
-            frames.append(t.to_pandas())
+    # explicit file list: read_parquet resolves a LIST of directory
+    # paths inconsistently across Ray versions (single-dir lists error
+    # with 'is a directory'); files are unambiguous everywhere
+    files = [f for b in want
+             for f in sorted(glob.glob(os.path.join(
+                 out_dir, f"bucket={b}", "*.parquet")))]
     stats = {"buckets_read": int(want.size),
              "buckets_total": int(n_buckets),
              "cells_probed": int(z.size)}
-    if not frames:
+    if not files:
         return pd.DataFrame(), stats
-    df = pd.concat(frames, ignore_index=True)
+    # the surviving buckets read DISTRIBUTED (one Dataset over just the
+    # candidate directories) and re-filter exactly in the map — the
+    # driver only ever sees the final matching rows, so a 100-TB layout
+    # costs O(buckets intersecting the box), not O(table)
+    import ray.data as rd
+
     x, y = meta["x_col"], meta["y_col"]
-    keep = (df[x] >= x_range[0]) & (df[x] <= x_range[1]) \
-        & (df[y] >= y_range[0]) & (df[y] <= y_range[1])
-    return df[keep].reset_index(drop=True), stats
+    ds = rd.read_parquet(files, columns=columns)
+
+    def exact(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t[x], pa.scalar(x_range[0])),
+                    pc.less_equal(t[x], pa.scalar(x_range[1]))),
+            pc.and_(pc.greater_equal(t[y], pa.scalar(y_range[0])),
+                    pc.less_equal(t[y], pa.scalar(y_range[1]))))
+        return t.filter(keep)
+
+    df = ds.map_batches(exact, batch_format="pyarrow").to_pandas()
+    if df.shape[1] == 0:
+        # an all-filtered Dataset drops its schema through to_pandas;
+        # rebuild the typed empty frame from the first candidate file
+        import pyarrow.parquet as pq
+        df = pq.read_table(files[0], columns=columns) \
+            .slice(0, 0).to_pandas()
+    return df.reset_index(drop=True), stats
