@@ -2332,7 +2332,9 @@ def nucleus_doc_select(sf_dir: str, frac: float = 0.6) -> pd.DataFrame:
 
 
 def copurchase_topk(sf_dir: str, k: int = 100,
-                    n_parts: int = 64) -> pd.DataFrame:
+                    n_parts: int = 64,
+                    freq_broadcast_rows: int = 5_000_000
+                    ) -> pd.DataFrame:
     """Item-item co-occurrence similarity (market-basket / co-purchase):
     the top-``k`` part pairs by the number of orders that contain BOTH
     parts, annotated with the Jaccard of their order sets — the
@@ -2349,10 +2351,14 @@ def copurchase_topk(sf_dir: str, k: int = 100,
          second order-keyed exchange;
       3. ONE pair-keyed salted exchange sums partial counts — each pair
          finishes wholly in one part;
-      4. Jaccard via a broadcast of the part-frequency table
-         (dimension-scaled: one row per distinct part, the small side
-         by construction) and per-block top-k + driver merge of
-         ≤ k·n_blocks rows — no global sort of the pair table.
+      4. Jaccard via the part-frequency table (one row per distinct
+         part): broadcast when it fits ``freq_broadcast_rows``, else
+         two hash_join shipments (n1 on p1, n2 on p2) — the byte-probed
+         broadcast-vs-join switch the dedup family uses, so a 10⁸-part
+         catalog never has to fit one worker; then per-block top-k +
+         driver merge of ≤ k·n_blocks rows — no global sort of the
+         pair table. Path parity is pinned in pytest with a forced-zero
+         broadcast limit.
 
     Returns pandas (p1, p2, co_cnt, union_cnt, jaccard_ppm) ordered by
     (co_cnt desc, p1, p2), k rows. The similarity is emitted as exact
@@ -2409,39 +2415,76 @@ def copurchase_topk(sf_dir: str, k: int = 100,
     def freq_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["p2"], pa.scalar(-1, pa.int64())))
 
-    freq_df = counts.map_batches(freq_only, batch_format="pyarrow") \
-        .to_pandas()
-    order_n = dict(zip(freq_df["p1"].to_numpy(np.int64),
-                       freq_df["cnt"].to_numpy(np.int64)))
-    nref = ray.put(order_n)
+    def pairs_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["p2"],
+                                         pa.scalar(0, pa.int64())))
 
-    def topk_block(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["p2"] >= 0]
+    _EMPTY = pa.table({"p1": pa.array([], pa.int64()),
+                       "p2": pa.array([], pa.int64()),
+                       "co_cnt": pa.array([], pa.int64()),
+                       "union_cnt": pa.array([], pa.int64()),
+                       "jaccard_ppm": pa.array([], pa.int64())})
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        """(p1, p2, cnt, n1, n2) block → annotated local top-k."""
         if df.empty:
-            return pa.table({"p1": pa.array([], pa.int64()),
-                             "p2": pa.array([], pa.int64()),
-                             "co_cnt": pa.array([], pa.int64()),
-                             "union_cnt": pa.array([], pa.int64()),
-                             "jaccard_ppm": pa.array([], pa.int64())})
-        n = ray.get(nref)
-        n1 = df["p1"].map(n).to_numpy(np.int64)
-        n2 = df["p2"].map(n).to_numpy(np.int64)
+            return _EMPTY
         co = df["cnt"].to_numpy(np.int64)
-        union = n1 + n2 - co
-        df = pd.DataFrame({"p1": df["p1"].to_numpy(np.int64),
-                           "p2": df["p2"].to_numpy(np.int64),
-                           "co_cnt": co,
-                           "union_cnt": union,
-                           "jaccard_ppm": co * np.int64(1_000_000)
-                           // union})
-        df = df.sort_values(["co_cnt", "p1", "p2"],
-                            ascending=[False, True, True],
-                            kind="mergesort")
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+        union = (df["n1"].to_numpy(np.int64)
+                 + df["n2"].to_numpy(np.int64) - co)
+        out = pd.DataFrame({"p1": df["p1"].to_numpy(np.int64),
+                            "p2": df["p2"].to_numpy(np.int64),
+                            "co_cnt": co,
+                            "union_cnt": union,
+                            "jaccard_ppm": co * np.int64(1_000_000)
+                            // union})
+        out = out.sort_values(["co_cnt", "p1", "p2"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+        return pa.Table.from_pandas(out.head(k), preserve_index=False)
 
-    top = counts.map_batches(topk_block, batch_format="pyarrow") \
-        .to_pandas()
+    freq_ds = counts.map_batches(freq_only, batch_format="pyarrow") \
+        .materialize()
+
+    if freq_ds.count() <= freq_broadcast_rows:
+        freq_df = freq_ds.to_pandas()
+        keys = freq_df["p1"].to_numpy(np.int64)
+        order = np.argsort(keys)
+        nref = ray.put((keys[order],
+                        freq_df["cnt"].to_numpy(np.int64)[order]))
+
+        def topk_block(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["p2"] >= 0]
+            if df.empty:
+                return _EMPTY
+            fk, fv = ray.get(nref)
+            df = df.assign(
+                n1=fv[np.searchsorted(fk, df["p1"].to_numpy(np.int64))],
+                n2=fv[np.searchsorted(fk, df["p2"].to_numpy(np.int64))])
+            return finish(df)
+
+        top = counts.map_batches(topk_block, batch_format="pyarrow") \
+            .to_pandas()
+    else:
+        # dimension table too big for one worker: ship the two
+        # frequency lookups through hash_join exchanges instead
+        from .join import hash_join
+
+        pairs_ds = counts.map_batches(pairs_only,
+                                      batch_format="pyarrow")
+        f1 = freq_ds.map_batches(
+            lambda t: pa.table({"p1": t["p1"], "n1": t["cnt"]}),
+            batch_format="pyarrow")
+        f2 = freq_ds.map_batches(
+            lambda t: pa.table({"p2": t["p1"], "n2": t["cnt"]}),
+            batch_format="pyarrow")
+        j = hash_join(hash_join(pairs_ds, f1, on="p1",
+                                n_parts=n_parts),
+                      f2, on="p2", n_parts=n_parts)
+        top = j.map_batches(
+            lambda t: finish(t.to_pandas()),
+            batch_format="pyarrow").to_pandas()
     top = top.sort_values(["co_cnt", "p1", "p2"],
                           ascending=[False, True, True],
                           kind="mergesort").head(k)

@@ -3380,3 +3380,28 @@ def test_tree_rollup_chain_and_cycle_guard(ray_session):
                       parent_of=lambda k: k, max_depth=5)
     with pytest.raises(Exception, match="max_depth"):
         bad.to_pandas()
+
+
+def test_copurchase_join_path_parity(ray_session, tmp_path):
+    """Forcing freq_broadcast_rows=0 routes the frequency lookups
+    through the hash_join exchanges — output must match the broadcast
+    path exactly (the dedup-family two-path pin)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stimson_web_scraper_ray.pipelines.analytics import copurchase_topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "l_orderkey": rng.integers(0, 300, 2000),
+        "l_partkey": rng.integers(0, 40, 2000)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   d / "lineitem.parquet")
+    a = copurchase_topk(str(d), k=50)
+    b = copurchase_topk(str(d), k=50, freq_broadcast_rows=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 50 and (a["co_cnt"].to_numpy() >= 1).all()
