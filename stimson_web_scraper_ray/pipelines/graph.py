@@ -1478,8 +1478,74 @@ def label_propagation(edges_ds, iters: int = 4,
     return labels
 
 
+def _sssp_broadcast(edges_ds, src_ids: np.ndarray,
+                    max_hops: int) -> pd.DataFrame:
+    """Small-graph fast path for ``shortest_paths`` — same relaxation
+    algebra, zero exchanges (the pagerank/HITS/LPA two-path pattern):
+    the distance vector broadcasts via ``ray.put`` each round, every
+    edge block emits a pre-minimized (node, cand_dist) partial, and the
+    driver folds the min. Per-round driver volume is bounded by
+    nodes × blocks after the per-block min — what the node-count switch
+    guards."""
+    import ray
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [t["src"].to_numpy(zero_copy_only=False),
+             t["dst"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes = np.unique(np.concatenate([
+        edges_ds.map_batches(node_partial, batch_format="pyarrow")
+        .to_pandas()["node"].to_numpy(np.int64),
+        src_ids]))  # an edge-less source still gets its dist-0 row
+    INF = np.int64(np.iinfo(np.int64).max // 4)
+    dist = np.full(nodes.size, INF, np.int64)
+    dist[np.searchsorted(nodes, src_ids)] = 0
+
+    for _ in range(max_hops):
+        dref = ray.put(dist)
+
+        def relax_partial(t: pa.Table, _dref=dref) -> pa.Table:
+            d = ray.get(_dref)
+            s = t["src"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dd = t["dst"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ds_ = d[np.searchsorted(nodes, s)]
+            ok = ds_ < INF
+            if not ok.any():
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "cand": pa.array([], pa.int64())})
+            di = np.searchsorted(nodes, dd[ok])
+            cand = ds_[ok] + w[ok]
+            # per-block min per destination before anything ships
+            order = np.argsort(di, kind="stable")
+            di, cand = di[order], cand[order]
+            first = np.ones(di.size, bool)
+            first[1:] = di[1:] != di[:-1]
+            mins = np.minimum.reduceat(cand, np.nonzero(first)[0])
+            return pa.table({
+                "node": pa.array(nodes[di[first]], pa.int64()),
+                "cand": pa.array(mins, pa.int64())})
+
+        parts = edges_ds.map_batches(relax_partial,
+                                     batch_format="pyarrow") \
+            .to_pandas()
+        if len(parts):
+            idx = np.searchsorted(nodes, parts["node"].to_numpy(np.int64))
+            np.minimum.at(dist, idx, parts["cand"].to_numpy(np.int64))
+
+    keep = dist < INF
+    return pd.DataFrame({"node_id": nodes[keep],
+                         "dist": dist[keep]}) \
+        .sort_values("node_id").reset_index(drop=True)
+
+
 def shortest_paths(edges_ds, sources: list[int], max_hops: int = 3,
-                   n_parts: int = 32) -> pd.DataFrame:
+                   n_parts: int = 32,
+                   node_broadcast_limit: int = 500_000) -> pd.DataFrame:
     """Bounded-hop weighted shortest paths (Bellman–Ford relaxation
     rounds) over a weighted edge Dataset (src:int64, dst:int64,
     w:int64): dist(v) = MIN total weight over paths of ≤ ``max_hops``
@@ -1493,7 +1559,11 @@ def shortest_paths(edges_ds, sources: list[int], max_hops: int = 3,
     node — the edge set never concentrates anywhere, and with integer
     weights the min-fold is exact (no float summation-order noise).
     Materialized once per round so round r's lineage doesn't re-run
-    rounds 0..r-1 twice (dist feeds both the join and the union)."""
+    rounds 0..r-1 twice (dist feeds both the join and the union).
+    Below ``node_broadcast_limit`` nodes the same algebra runs as
+    ``_sssp_broadcast`` (distance vector via ray.put, per-block
+    pre-minimized partials, zero exchanges) — the pagerank/HITS/LPA
+    two-path switch, parity-pinned in the unit test."""
     import ray.data as rd
 
     from .join import hash_join
@@ -1502,6 +1572,17 @@ def shortest_paths(edges_ds, sources: list[int], max_hops: int = 3,
     src_ids = np.unique(np.asarray(sources, dtype=np.int64))
     if src_ids.size == 0:
         raise ValueError("shortest_paths needs at least one source")
+    edges_ds = edges_ds.materialize()
+
+    def count_nodes(t: pa.Table) -> pa.Table:
+        u = np.unique(t["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([u.size], pa.int64())})
+
+    approx_nodes = int(edges_ds.map_batches(
+        count_nodes, batch_format="pyarrow").to_pandas()["n"].sum())
+    if approx_nodes <= node_broadcast_limit:
+        return _sssp_broadcast(edges_ds, src_ids, max_hops)
+
     dist = rd.from_pandas(pd.DataFrame(
         {"node_id": src_ids,
          "dist": np.zeros(src_ids.size, np.int64)})).materialize()

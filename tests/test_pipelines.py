@@ -3142,13 +3142,17 @@ def test_shortest_paths_cost_vs_hops(ray_session):
         "dst": [3, 1, 3, 4],
         "w":   [10, 1, 2, 1]})
     ds = rd.from_pandas(edges)
-    got = shortest_paths(ds, [0], max_hops=3, n_parts=2)
-    dist = dict(zip(got["node_id"], got["dist"]))
-    assert dist == {0: 0, 1: 1, 3: 3, 4: 4}
-    # with only 1 hop allowed the heavy direct edge wins
-    got1 = shortest_paths(ds, [0], max_hops=1, n_parts=2)
-    dist1 = dict(zip(got1["node_id"], got1["dist"]))
-    assert dist1 == {0: 0, 1: 1, 3: 10}
+    # limit 500k = broadcast fast path; limit 0 = forced exchange path
+    for limit in (500_000, 0):
+        got = shortest_paths(ds, [0], max_hops=3, n_parts=2,
+                             node_broadcast_limit=limit)
+        dist = dict(zip(got["node_id"], got["dist"]))
+        assert dist == {0: 0, 1: 1, 3: 3, 4: 4}, limit
+        # with only 1 hop allowed the heavy direct edge wins
+        got1 = shortest_paths(ds, [0], max_hops=1, n_parts=2,
+                              node_broadcast_limit=limit)
+        dist1 = dict(zip(got1["node_id"], got1["dist"]))
+        assert dist1 == {0: 0, 1: 1, 3: 10}, limit
 
 
 def test_copurchase_planted_and_layout_invariant(ray_session, tmp_path):
