@@ -1375,10 +1375,17 @@ def _lpa_broadcast(edges_ds, labels_ds, iters: int):
             lab = ray.get(_ref)
             src = t["src"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            voted = lab[np.searchsorted(nodes, src)]
+            idx = np.searchsorted(nodes, src)
+            np.clip(idx, 0, nodes.size - 1, out=idx)
+            # drop votes from nodes outside the label universe (a
+            # symmetric-contract violation) instead of silently
+            # counting a neighbor's label — matches the exchange
+            # path, whose hash_join just drops them (review finding)
+            valid = nodes[idx] == src
+            voted = lab[idx[valid]]
             df = pd.DataFrame({
                 "node": t["dst"].to_numpy(zero_copy_only=False)
-                .astype(np.int64), "label": voted})
+                .astype(np.int64)[valid], "label": voted})
             g = df.groupby(["node", "label"], sort=False) \
                 .size().reset_index(name="n")
             return pa.Table.from_pandas(g, preserve_index=False)
@@ -1575,7 +1582,14 @@ def shortest_paths(edges_ds, sources: list[int], max_hops: int = 3,
     edges_ds = edges_ds.materialize()
 
     def count_nodes(t: pa.Table) -> pa.Table:
-        u = np.unique(t["dst"].to_numpy(zero_copy_only=False))
+        # BOTH endpoints: dst alone undercounts src-only nodes on
+        # directed graphs (10M-src fan-in would wrongly take the
+        # driver-resident broadcast path — review finding); the
+        # per-block-unique sum is an overestimate, which errs toward
+        # the exchange path, the safe side
+        u = np.unique(np.concatenate(
+            [t["src"].to_numpy(zero_copy_only=False),
+             t["dst"].to_numpy(zero_copy_only=False)]))
         return pa.table({"n": pa.array([u.size], pa.int64())})
 
     approx_nodes = int(edges_ds.map_batches(

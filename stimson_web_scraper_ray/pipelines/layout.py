@@ -100,11 +100,20 @@ def zorder_box_query(out_dir: str, x_range: tuple, y_range: tuple,
                    meta["x_lo"], meta["x_hi"], bits)
     qy = _quantize(np.asarray(y_range, np.float64),
                    meta["y_lo"], meta["y_hi"], bits)
-    gx = np.arange(qx[0], qx[1] + 1, dtype=np.uint64)
-    gy = np.arange(qy[0], qy[1] + 1, dtype=np.uint64)
-    z = morton2(np.repeat(gx, gy.size),
-                np.tile(gy, gx.size))
-    shift = np.uint64(2 * bits - int(np.log2(n_buckets)))
+    # enumerate at BUCKET-PREFIX granularity, not per fine cell: the
+    # bucket is the top B Morton bits, which depend only on the top
+    # hx = B//2 bits of qx and hy = B-hx bits of qy — so one
+    # representative fine cell per coarse (qx_hi, qy_hi) cell covers
+    # the box in O(n_buckets) work where per-cell enumeration is
+    # O(4^bits) (≈2^32 temporaries at bits=16 — review finding)
+    B = int(np.log2(n_buckets))
+    hx, hy = B // 2, B - B // 2
+    sx, sy = np.uint64(bits - hx), np.uint64(bits - hy)
+    gx_hi = np.arange(qx[0] >> sx, (qx[1] >> sx) + 1, dtype=np.uint64)
+    gy_hi = np.arange(qy[0] >> sy, (qy[1] >> sy) + 1, dtype=np.uint64)
+    z = morton2(np.repeat(gx_hi << sx, gy_hi.size),
+                np.tile(gy_hi << sy, gx_hi.size))
+    shift = np.uint64(2 * bits - B)
     want = np.unique((z >> shift).astype(np.int64))
 
     # explicit file list: read_parquet resolves a LIST of directory
@@ -117,7 +126,16 @@ def zorder_box_query(out_dir: str, x_range: tuple, y_range: tuple,
              "buckets_total": int(n_buckets),
              "cells_probed": int(z.size)}
     if not files:
-        return pd.DataFrame(), stats
+        # typed-empty contract even when no CANDIDATE bucket has files
+        # (clustered data + box over an empty region — review finding):
+        # borrow the schema from any bucket of the layout
+        any_file = sorted(glob.glob(os.path.join(
+            out_dir, "bucket=*", "*.parquet")))
+        if not any_file:
+            return pd.DataFrame(), stats
+        import pyarrow.parquet as pq
+        return (pq.read_table(any_file[0], columns=columns)
+                .slice(0, 0).to_pandas(), stats)
     # the surviving buckets read DISTRIBUTED (one Dataset over just the
     # candidate directories) and re-filter exactly in the map — the
     # driver only ever sees the final matching rows, so a 100-TB layout
@@ -129,6 +147,12 @@ def zorder_box_query(out_dir: str, x_range: tuple, y_range: tuple,
 
     def exact(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        if "bucket" in t.column_names and (columns is None
+                                           or "bucket" not in columns):
+            # hive-inferred partition col — layout metadata, not data;
+            # dropping it keeps the schema identical to the
+            # typed-empty path (plain pq.read_table never sees it)
+            t = t.drop_columns(["bucket"])
         keep = pc.and_(
             pc.and_(pc.greater_equal(t[x], pa.scalar(x_range[0])),
                     pc.less_equal(t[x], pa.scalar(x_range[1]))),

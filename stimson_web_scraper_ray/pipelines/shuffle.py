@@ -107,9 +107,11 @@ def hrw_assign(ds, key_col: str, n_shards: int,
         return t.select([key_col]).group_by([key_col]).aggregate([])
 
     def key_fold(t: pa.Table) -> np.ndarray:
-        enc = t[key_col].to_pandas().fillna("").astype(str)
-        return pd.util.hash_array(enc.to_numpy(dtype=object),
-                                  categorize=True).view(np.int64)
+        # reuse the join module's canonical string-key fold (one
+        # null/cast policy, not two — review finding); imported here
+        # to keep shuffle -> join from becoming an import cycle
+        from .join import _key_to_int64
+        return _key_to_int64(t, key_col)
 
     distinct = salted_partition_apply(
         ds.map_batches(batch_distinct, batch_format="pyarrow"),

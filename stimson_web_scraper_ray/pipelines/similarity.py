@@ -737,9 +737,9 @@ def kcenter_select(ds, k: int = 6, id_col: str = "vec_id",
         if ids.size == 0:
             return t.slice(0, 0).select([id_col, vec_col])
         i = int(np.argmin(ids))
-        return pa.table({
-            id_col: pa.array([ids[i]], pa.int64()),
-            vec_col: pa.array([t[vec_col].to_pylist()[i]])})
+        # take() the one row — to_pylist() would materialize every
+        # vector in the block as Python floats (review finding)
+        return t.select([id_col, vec_col]).take([i])
 
     seeds = ds.map_batches(seed_partial, batch_format="pyarrow") \
         .to_pandas().sort_values(id_col)

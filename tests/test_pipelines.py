@@ -3409,3 +3409,34 @@ def test_copurchase_join_path_parity(ray_session, tmp_path):
     b = copurchase_topk(str(d), k=50, freq_broadcast_rows=0)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 50 and (a["co_cnt"].to_numpy() >= 1).all()
+
+
+def test_zorder_empty_region_keeps_schema(ray_session, tmp_path):
+    """Clustered data (one corner only → most buckets have no files):
+    a box over the empty region returns a TYPED empty frame with the
+    same columns as a hit query — and the bucket-prefix enumeration
+    still prunes to a strict bucket subset."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.layout import (
+        zorder_box_query,
+        zorder_write,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "rid": np.arange(500, dtype=np.int64),
+        "x": rng.uniform(0, 10, 500),     # bottom-left corner only
+        "y": rng.uniform(0, 10, 500)})
+    out_dir = str(tmp_path / "z")
+    zorder_write(rd.from_pandas(df), out_dir, "x", "y",
+                 0.0, 100.0, 0.0, 100.0, bits=8, n_buckets=16)
+    empty, stats = zorder_box_query(out_dir, (90.0, 99.0), (90.0, 99.0))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["rid", "x", "y"]
+    assert stats["buckets_read"] < stats["buckets_total"]
+    hit, _ = zorder_box_query(out_dir, (0.0, 10.0), (0.0, 10.0))
+    assert list(hit.columns) == list(empty.columns)
+    assert len(hit) == 500
