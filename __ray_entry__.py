@@ -3294,6 +3294,17 @@ def _q_part_tree_rollup(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def _q_trade_walk_corpus(sf_dir: str):
+    """Deterministic random-walk corpus (graph.walk_corpus): 3-step
+    walks from every 10th customer node, each step a hash-rank choice
+    (argmax md5(walk#step#neighbor)) — RNG-free node2vec/DeepWalk input
+    that resumes and SQL-checks exactly. Oracle = three chained max_by
+    CTEs over the same md5 (little-endian last-8-bytes convention)."""
+    from stimson_web_scraper_ray.pipelines.graph import trade_walk_corpus
+
+    return trade_walk_corpus(sf_dir, walk_len=3)
+
+
 def _q_orders_merge_upsert(sf_dir: str):
     """MERGE INTO / CDC apply (join.merge_changelog): a deterministic
     changelog derived from the orders keys — every key%3==0 gets an
@@ -3547,6 +3558,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "label_communities": _q_label_communities,
         "trade_bfs": _q_trade_bfs,
         "trade_shortest_paths": _q_trade_shortest_paths,
+        "trade_walk_corpus": _q_trade_walk_corpus,
         "kcore_decomposition": _q_kcore_decomposition,
         "label_centroids": _q_label_centroids,
         "embedding_coreset": _q_embedding_coreset,
@@ -6362,6 +6374,46 @@ def oracle_sql_all() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node_id,
                CAST(MIN(dist) AS BIGINT) AS dist
         FROM walk GROUP BY node ORDER BY node_id
+    """
+    # Walk corpus: three chained hash-rank steps — max_by over the
+    # SAME md5(walk#step#dst) the engine computes (last-8-bytes LE)
+    sql["trade_walk_corpus"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS c,
+                            l.l_suppkey * 2 + 1 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ), w0 AS (
+            SELECT DISTINCT c AS walk FROM pairs
+            WHERE (c // 2) % 10 = 0
+        ), w1 AS (
+            SELECT w0.walk, max_by(e.dst, md5_number_lower(
+                CAST(w0.walk AS VARCHAR) || '#1#' ||
+                CAST(e.dst AS VARCHAR))) AS node
+            FROM w0 JOIN edges e ON e.src = w0.walk GROUP BY w0.walk
+        ), w2 AS (
+            SELECT w1.walk, max_by(e.dst, md5_number_lower(
+                CAST(w1.walk AS VARCHAR) || '#2#' ||
+                CAST(e.dst AS VARCHAR))) AS node
+            FROM w1 JOIN edges e ON e.src = w1.node GROUP BY w1.walk
+        ), w3 AS (
+            SELECT w2.walk, max_by(e.dst, md5_number_lower(
+                CAST(w2.walk AS VARCHAR) || '#3#' ||
+                CAST(e.dst AS VARCHAR))) AS node
+            FROM w2 JOIN edges e ON e.src = w2.node GROUP BY w2.walk
+        )
+        SELECT CAST(walk AS BIGINT) AS walk_id,
+               CAST(step AS BIGINT) AS step,
+               CAST(node AS BIGINT) AS node
+        FROM (
+            SELECT walk, 0 AS step, walk AS node FROM w0
+            UNION ALL SELECT walk, 1, node FROM w1
+            UNION ALL SELECT walk, 2, node FROM w2
+            UNION ALL SELECT walk, 3, node FROM w3
+        ) ORDER BY walk_id, step
     """
     # Weighted shortest paths: three chained min-relaxation rounds
     # (Bellman-Ford) over the SAME arithmetic edge weights the engine

@@ -1666,3 +1666,154 @@ def trade_shortest_paths(sf_dir: str, max_hops: int = 3) -> pd.DataFrame:
         .to_pandas()["node_id"].to_numpy()
     seeds = np.unique(partials)[:2].tolist()
     return shortest_paths(edges, seeds, max_hops=max_hops)
+
+
+def _walks_csr(edges_ds):
+    """Collect a deduped edge Dataset into CSR arrays (sorted unique
+    src, neighbor offsets, dst) — the broadcast form of a graph.
+    Edge-scaled on the driver; callers guard with an edge-count
+    switch."""
+    df = edges_ds.to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    nodes, starts_idx = np.unique(src, return_index=True)
+    offsets = np.append(starts_idx, src.size)
+    return nodes, offsets, dst
+
+
+def _walk_hash(walk_id: int, step: int, dst: np.ndarray) -> np.ndarray:
+    """md5_number_lower(walk#step#dst) per candidate — bit-compatible
+    with DuckDB (little-endian LAST 8 digest bytes), so the oracle's
+    max_by re-derives every step."""
+    import hashlib
+
+    out = np.empty(dst.size, np.uint64)
+    prefix = f"{walk_id}#{step}#".encode()
+    for j in range(dst.size):
+        d = hashlib.md5(prefix + str(dst[j]).encode()).digest()
+        out[j] = int.from_bytes(d[8:], "little")
+    return out
+
+
+def walk_corpus(edges_ds, starts_ds, walk_len: int = 3,
+                edge_broadcast_limit: int = 5_000_000,
+                n_parts: int = 32) -> pd.DataFrame:
+    """Deterministic 'random'-walk corpus over a deduped edge Dataset —
+    the node2vec/DeepWalk input generator, RNG-free so it is resumable
+    and SQL-checkable: from each start node one walk of ``walk_len``
+    steps, where step s of walk w moves to the out-neighbor d
+    maximizing md5(w#s#d) — a hash-rank choice that is uniform over
+    neighbors yet reproducible anywhere (the same
+    Efraimidis-Spirakis-style trick as `weighted_sample_topk`). A walk
+    ends early at a dead-end node. Returns (walk_id, step, node) rows,
+    step 0 = the start.
+
+    Two physical paths (the pagerank/LPA switch): under
+    ``edge_broadcast_limit`` edges the graph broadcasts once as CSR
+    arrays and each WALK block advances all its walks locally per step
+    (walks are the data-parallel axis; zero exchanges). Above it, each
+    step ships the frontier through one hash_join on src and one
+    walk-keyed salted argmax exchange — nothing edge-scaled on the
+    driver. Path parity is pinned in pytest with a forced-zero limit."""
+    import ray
+
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= edge_broadcast_limit:
+        csr = ray.put(_walks_csr(edges_ds))
+
+        def advance(t: pa.Table) -> pa.Table:
+            nodes, offsets, dst = ray.get(csr)
+            walks = t["walk_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            out_w, out_s, out_n = [], [], []
+            for w in walks:
+                cur = w
+                out_w.append(w); out_s.append(0); out_n.append(cur)
+                for s in range(1, walk_len + 1):
+                    i = int(np.searchsorted(nodes, cur))
+                    if i >= nodes.size or nodes[i] != cur:
+                        break               # dead end
+                    nb = dst[offsets[i]:offsets[i + 1]]
+                    hv = _walk_hash(int(w), s, nb)
+                    cur = int(nb[int(np.argmax(hv))])
+                    out_w.append(w); out_s.append(s); out_n.append(cur)
+            return pa.table({
+                "walk_id": pa.array(np.asarray(out_w, np.int64)),
+                "step": pa.array(np.asarray(out_s, np.int64)),
+                "node": pa.array(np.asarray(out_n, np.int64))})
+
+        out = starts_ds.map_batches(advance, batch_format="pyarrow") \
+            .to_pandas()
+        return out.sort_values(["walk_id", "step"]) \
+            .reset_index(drop=True)
+
+    # exchange path: frontier through hash_join + walk-keyed argmax
+    def as_frontier(t: pa.Table) -> pa.Table:
+        return pa.table({"walk_id": t["walk_id"],
+                         "src": t["walk_id"]})
+
+    frontier = starts_ds.map_batches(as_frontier,
+                                     batch_format="pyarrow")
+    rows = [starts_ds.map_batches(
+        lambda t: pa.table({
+            "walk_id": t["walk_id"],
+            "step": pa.array(np.zeros(len(t), np.int64)),
+            "node": t["walk_id"]}),
+        batch_format="pyarrow").to_pandas()]
+
+    for s in range(1, walk_len + 1):
+        cand = hash_join(edges_ds, frontier, on="src",
+                         n_parts=n_parts)
+
+        def pick(df: pd.DataFrame, _s=s) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"walk_id": [], "src": []}) \
+                    .astype({"walk_id": "int64", "src": "int64"})
+            parts = []
+            for w, g in df.groupby("walk_id", sort=False):
+                nb = g["dst"].to_numpy(np.int64)
+                hv = _walk_hash(int(w), _s, nb)
+                parts.append((w, int(nb[int(np.argmax(hv))])))
+            return pd.DataFrame(parts, columns=["walk_id", "src"])
+
+        frontier = salted_partition_apply(
+            cand, pick,
+            combine_key=lambda t: t["walk_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            n_parts=n_parts).materialize()
+        step_df = frontier.to_pandas()
+        if step_df.empty:
+            break
+        rows.append(pd.DataFrame({
+            "walk_id": step_df["walk_id"].astype("int64"),
+            "step": np.int64(s),
+            "node": step_df["src"].astype("int64")}))
+
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def trade_walk_corpus(sf_dir: str, walk_len: int = 3,
+                      **kw) -> pd.DataFrame:
+    """Walks from every 10th customer node over the bidirectional trade
+    graph (walk_id = the start node id — unique by construction)."""
+    import ray.data as rd
+
+    edges = trade_edges(sf_dir).materialize()   # starts + walks share it
+
+    def starts_of(t: pa.Table) -> pa.Table:
+        s = np.unique(t["src"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        s = s[(s % 2 == 0) & ((s // 2) % 10 == 0)]   # every 10th cust
+        return pa.table({"walk_id": pa.array(s, pa.int64())})
+
+    starts = np.unique(
+        edges.map_batches(starts_of, batch_format="pyarrow")
+        .to_pandas()["walk_id"].to_numpy(np.int64))
+    starts_ds = rd.from_pandas(pd.DataFrame({"walk_id": starts}))
+    return walk_corpus(edges, starts_ds, walk_len=walk_len, **kw)

@@ -3440,3 +3440,33 @@ def test_zorder_empty_region_keeps_schema(ray_session, tmp_path):
     hit, _ = zorder_box_query(out_dir, (0.0, 10.0), (0.0, 10.0))
     assert list(hit.columns) == list(empty.columns)
     assert len(hit) == 500
+
+
+def test_walk_corpus_paths_and_dead_ends(ray_session):
+    """CSR-broadcast vs exchange path parity on the same graph (forced
+    zero edge limit), dead-end walks stop early, and every step follows
+    an actual edge."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import walk_corpus
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 1, 1, 2, 3],
+        "dst": [1, 2, 0, 3, 0, 1]})   # node 4 isolated; 3 -> 1 only
+    starts = pd.DataFrame({"walk_id": np.array([0, 3, 4], np.int64)})
+    e_ds, s_ds = rd.from_pandas(edges), rd.from_pandas(starts)
+    a = walk_corpus(e_ds, s_ds, walk_len=3)
+    b = walk_corpus(e_ds, s_ds, walk_len=3, edge_broadcast_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    # isolated start emits only its step-0 row
+    assert len(a[a["walk_id"] == 4]) == 1
+    # full-length walks emit walk_len+1 rows
+    assert len(a[a["walk_id"] == 0]) == 4
+    edge_set = set(zip(edges["src"], edges["dst"]))
+    for wid, g in a.groupby("walk_id"):
+        seq = g.sort_values("step")["node"].tolist()
+        assert seq[0] == wid
+        for u, v in zip(seq, seq[1:]):
+            assert (u, v) in edge_set, (wid, u, v)
