@@ -3305,6 +3305,21 @@ def _q_trade_walk_corpus(sf_dir: str):
     return trade_walk_corpus(sf_dir, walk_len=3)
 
 
+def _q_coverage_doc_select(sf_dir: str):
+    """Greedy maximum-coverage corpus selection
+    (sampling.coverage_select, k=5): each pick maximizes the count of
+    vocabulary words not yet covered — the (1−1/e) set-cover greedy,
+    the coverage-objective complement to the k-center coreset. The
+    oracle replays the same greedy with chained LIMIT-1 CTEs and
+    list_intersect; tokenization is byte-shared (lowercase, non-
+    alnum runs to spaces)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.sampling import coverage_select
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return coverage_select(ds, k=5)
+
+
 def _q_orders_merge_upsert(sf_dir: str):
     """MERGE INTO / CDC apply (join.merge_changelog): a deterministic
     changelog derived from the orders keys — every key%3==0 gets an
@@ -3525,6 +3540,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "zorder_range_query": _q_zorder_range_query,
         "orders_merge_upsert": _q_orders_merge_upsert,
         "part_tree_rollup": _q_part_tree_rollup,
+        "coverage_doc_select": _q_coverage_doc_select,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
         "embedding_neardup": _q_embedding_neardup,
@@ -6515,6 +6531,39 @@ def oracle_sql_all() -> dict[str, str]:
                    <> max_by(shard, hv) AS moved
         FROM h GROUP BY source ORDER BY source
     """
+    # Greedy max-coverage selection: chained LIMIT-1 CTEs replay the
+    # same greedy (gain = |ws \ covered| via list_intersect, tie ->
+    # lower doc_id); tokenizer shared byte-for-byte with the engine
+    _cov = ["""d AS (
+            SELECT doc_id, list_distinct(list_filter(string_split(
+                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                ' '), w -> w <> '')) AS ws
+            FROM documents)""",
+            """p1 AS (SELECT doc_id, ws, len(ws) AS gain FROM d
+                      ORDER BY gain DESC, doc_id LIMIT 1)""",
+            "c1 AS (SELECT ws AS cov FROM p1)"]
+    for i in range(2, 6):
+        _cov.append(
+            f"""p{i} AS (
+                SELECT d.doc_id, d.ws,
+                       len(d.ws) - len(list_intersect(d.ws,
+                           c{i - 1}.cov)) AS gain
+                FROM d, c{i - 1}
+                ORDER BY gain DESC, doc_id LIMIT 1)""")
+        _cov.append(
+            f"""c{i} AS (
+                SELECT list_distinct(list_concat(c{i - 1}.cov,
+                    p{i}.ws)) AS cov
+                FROM c{i - 1}, p{i})""")
+    _cov_rows = " UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS sel_rank,"
+        f" CAST(p{i}.doc_id AS BIGINT) AS doc_id,"
+        f" CAST(p{i}.gain AS BIGINT) AS new_words,"
+        f" CAST(len(c{i}.cov) AS BIGINT) AS covered_words"
+        f" FROM p{i}, c{i}" for i in range(1, 6))
+    sql["coverage_doc_select"] = (
+        "WITH " + ", ".join(_cov)
+        + f" SELECT * FROM ({_cov_rows}) ORDER BY sel_rank")
     # Subtree rollup: recursive ancestor walk, then sum each node's
     # descendants (self included) — parent = k // 4, root 0
     sql["part_tree_rollup"] = """

@@ -180,3 +180,73 @@ def temperature_sample(ds, temperature: float = 2.0, frac: float = 0.5,
         return batch.filter(pa.array(h < t))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def coverage_select(ds, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> "pd.DataFrame":
+    """Greedy maximum-coverage corpus selection (the classic
+    (1-1/e)-approximation): pick ``k`` documents one at a time, each
+    maximizing the number of vocabulary words NOT yet covered by the
+    picks so far (tie → lower id). The data-selection objective
+    complementary to the k-center coreset: coverage of the token space
+    rather than spread in embedding space.
+
+    Deterministic and oracle-shared tokenization: lowercase → non
+    [a-z0-9] runs to spaces → split (byte-identical to the SQL side's
+    regexp_replace + string_split recipe).
+
+    Scale shape: per round the covered vocabulary broadcasts via
+    ``ray.put`` (vocabulary-scaled — bounded by corpus vocab, hashable
+    to fixed width if that ever outgrew a worker) and ONE streamed pass
+    emits a per-block argmax partial (best doc + its uncovered words,
+    so the winner's contribution reaches the driver without a second
+    pass); k passes, zero exchanges."""
+    import re
+
+    import pandas as pd
+    import ray
+
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    covered: set = set()
+    picks = []
+    for rank in range(k):
+        cref = ray.put(covered)
+
+        def best_partial(t: pa.Table, _cref=cref) -> pa.Table:
+            cov = ray.get(_cref)
+            best = None
+            for did, txt in zip(t[id_col].to_pylist(),
+                                t[text_col].to_pylist()):
+                if not isinstance(txt, str):
+                    continue
+                ws = set(token_re.sub(" ", txt.lower()).split())
+                new = ws - cov
+                key = (-len(new), did)
+                if best is None or key < best[0]:
+                    best = (key, did, sorted(new))
+            if best is None:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "gain": pa.array([], pa.int64()),
+                                 "new_words": pa.array(
+                                     [], pa.list_(pa.string()))})
+            return pa.table({
+                id_col: pa.array([best[1]], pa.int64()),
+                "gain": pa.array([-best[0][0]], pa.int64()),
+                "new_words": pa.array([best[2]],
+                                      pa.list_(pa.string()))})
+
+        parts = ds.map_batches(best_partial, batch_format="pyarrow") \
+            .to_pandas()
+        if parts.empty:
+            break
+        parts = parts.sort_values(["gain", id_col],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        top = parts.iloc[0]
+        covered |= set(top["new_words"])
+        picks.append((rank, int(top[id_col]), int(top["gain"]),
+                      len(covered)))
+
+    return pd.DataFrame(picks, columns=["sel_rank", id_col,
+                                        "new_words", "covered_words"])

@@ -3470,3 +3470,27 @@ def test_walk_corpus_paths_and_dead_ends(ray_session):
         assert seq[0] == wid
         for u, v in zip(seq, seq[1:]):
             assert (u, v) in edge_set, (wid, u, v)
+
+
+def test_coverage_select_greedy_properties(ray_session):
+    """Planted vocabulary: the greedy must pick the doc with most words
+    first, then the doc adding most NEW words (not the globally second-
+    largest), ties break to lower id, covered_words is the running
+    union size — layout-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.sampling import coverage_select
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c d e",          # 5 words — first pick
+                 "a b c d",            # 4 words but only subset -> 0 new
+                 "f g h",              # 3 new words — second pick
+                 "a f x"]})            # then adds only 'x'
+    for n_blocks in (1, 3):
+        out = coverage_select(
+            rd.from_pandas(docs).repartition(n_blocks), k=3)
+        assert list(out["doc_id"]) == [0, 2, 3], n_blocks
+        assert list(out["new_words"]) == [5, 3, 1]
+        assert list(out["covered_words"]) == [5, 8, 9]
