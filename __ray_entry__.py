@@ -6563,7 +6563,8 @@ def oracle_sql_all() -> dict[str, str]:
         f" FROM p{i}, c{i}" for i in range(1, 6))
     sql["coverage_doc_select"] = (
         "WITH " + ", ".join(_cov)
-        + f" SELECT * FROM ({_cov_rows}) ORDER BY sel_rank")
+        + f" SELECT * FROM ({_cov_rows}) WHERE new_words > 0"
+        + " ORDER BY sel_rank")
     # Subtree rollup: recursive ancestor walk, then sum each node's
     # descendants (self included) — parent = k // 4, root 0
     sql["part_tree_rollup"] = """

@@ -1719,8 +1719,23 @@ def walk_corpus(edges_ds, starts_ds, walk_len: int = 3,
     driver. Path parity is pinned in pytest with a forced-zero limit."""
     import ray
 
-    from .join import hash_join
+    from .join import adaptive_join
     from .shuffle import salted_partition_apply
+
+    # global distinct on walk ids FIRST: duplicate starts would make
+    # the two physical paths diverge (CSR loops per row, the exchange
+    # argmax collapses per walk_id — review finding)
+    def start_ids(t: pa.Table) -> pa.Table:
+        u = np.unique(t["walk_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"walk_id": pa.array(u, pa.int64())})
+
+    starts_ds = salted_partition_apply(
+        starts_ds.map_batches(start_ids, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates("walk_id"),
+        combine_key=lambda t: t["walk_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=min(n_parts, 16))
 
     edges_ds = edges_ds.materialize()
     if edges_ds.count() <= edge_broadcast_limit:
@@ -1767,8 +1782,11 @@ def walk_corpus(edges_ds, starts_ds, walk_len: int = 3,
         batch_format="pyarrow").to_pandas()]
 
     for s in range(1, walk_len + 1):
-        cand = hash_join(edges_ds, frontier, on="src",
-                         n_parts=n_parts)
+        # frontier is walk-scaled (≪ edges): adaptive_join broadcasts
+        # it and STREAMS the edge side — reshuffling all |E| rows
+        # through a hash_join exchange per step was the review finding
+        cand = adaptive_join(edges_ds, frontier, on="src",
+                             n_parts=n_parts)
 
         def pick(df: pd.DataFrame, _s=s) -> pd.DataFrame:
             if df.empty:

@@ -207,6 +207,7 @@ def coverage_select(ds, k: int = 5, id_col: str = "doc_id",
     import ray
 
     token_re = re.compile(r"[^a-z0-9]+")
+    id_type = ds.schema().types[ds.schema().names.index(id_col)]
 
     covered: set = set()
     picks = []
@@ -226,12 +227,12 @@ def coverage_select(ds, k: int = 5, id_col: str = "doc_id",
                 if best is None or key < best[0]:
                     best = (key, did, sorted(new))
             if best is None:
-                return pa.table({id_col: pa.array([], pa.int64()),
+                return pa.table({id_col: pa.array([], id_type),
                                  "gain": pa.array([], pa.int64()),
                                  "new_words": pa.array(
                                      [], pa.list_(pa.string()))})
             return pa.table({
-                id_col: pa.array([best[1]], pa.int64()),
+                id_col: pa.array([best[1]], id_type),
                 "gain": pa.array([-best[0][0]], pa.int64()),
                 "new_words": pa.array([best[2]],
                                       pa.list_(pa.string()))})
@@ -244,8 +245,15 @@ def coverage_select(ds, k: int = 5, id_col: str = "doc_id",
                                   ascending=[False, True],
                                   kind="mergesort")
         top = parts.iloc[0]
+        if int(top["gain"]) == 0:
+            # vocabulary exhausted — every further greedy pick would
+            # re-select an already-covered doc at zero marginal gain
+            # (review finding); the oracle mirrors this with its
+            # new_words > 0 filter (gains are non-increasing, so the
+            # cut is a clean prefix on both sides)
+            break
         covered |= set(top["new_words"])
-        picks.append((rank, int(top[id_col]), int(top["gain"]),
+        picks.append((rank, top[id_col], int(top["gain"]),
                       len(covered)))
 
     return pd.DataFrame(picks, columns=["sel_rank", id_col,

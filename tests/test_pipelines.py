@@ -3494,3 +3494,38 @@ def test_coverage_select_greedy_properties(ray_session):
         assert list(out["doc_id"]) == [0, 2, 3], n_blocks
         assert list(out["new_words"]) == [5, 3, 1]
         assert list(out["covered_words"]) == [5, 8, 9]
+
+
+def test_coverage_select_stops_when_exhausted(ray_session):
+    """Once every word is covered the greedy STOPS instead of
+    re-picking a zero-gain doc (review finding): k=4 over a 2-doc
+    vocabulary yields 2 rows, no duplicate doc_ids."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.sampling import coverage_select
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a c"]})
+    out = coverage_select(rd.from_pandas(docs), k=4)
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["new_words"]) == [2, 1]
+    assert out["doc_id"].is_unique
+
+
+def test_walk_corpus_duplicate_starts_parity(ray_session):
+    """Duplicate walk_id rows in starts_ds must NOT diverge the two
+    physical paths (review finding): both dedupe to one walk per id."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import walk_corpus
+
+    edges = pd.DataFrame({"src": [0, 0, 1], "dst": [1, 2, 0]})
+    starts = pd.DataFrame({"walk_id": np.array([0, 0, 0], np.int64)})
+    a = walk_corpus(rd.from_pandas(edges), rd.from_pandas(starts),
+                    walk_len=2)
+    b = walk_corpus(rd.from_pandas(edges), rd.from_pandas(starts),
+                    walk_len=2, edge_broadcast_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 3 and list(a["step"]) == [0, 1, 2]
