@@ -2881,8 +2881,15 @@ def _q_label_communities(sf_dir: str):
 
         k = t["p_partkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if k.size == 0:                   # empty block (review finding)
+            e = pa.array([], pa.int64())
+            return pa.table({"src": e, "dst": e})
+        # clamp intra-clique partners to existing nodes so a part
+        # count not divisible by m can't fabricate phantom nodes
+        # (review finding) — the last community is simply smaller
         base = k // m * m
-        reps = base + m - 1 - k           # intra partners j > k
+        top = np.minimum(base + m - 1, n_nodes - 1)
+        reps = top - k                    # intra partners j > k
         src = np.repeat(k, reps)
         starts = np.concatenate([[0], reps.cumsum()[:-1]])
         off = np.arange(int(reps.sum())) - np.repeat(starts, reps)

@@ -284,8 +284,9 @@ def watermark_late_events(sf_dir: str, window_minutes: int = 60,
                          "arrival": pa.array(ts_us + jit, pa.int64())})
 
     slim_ds = ds.map_batches(slim, batch_format="pyarrow").materialize()
-    amin = int(slim_ds.min(on="arrival"))
-    amax = int(slim_ds.max(on="arrival"))
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    bounds = slim_ds.aggregate(_Min("arrival"), _Max("arrival"))
+    amin, amax = int(bounds["min(arrival)"]), int(bounds["max(arrival)"])
     span = max(1, (amax - amin) // n_parts + 1)
 
     def add_part(t: pa.Table) -> pa.Table:

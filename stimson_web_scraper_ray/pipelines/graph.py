@@ -1349,6 +1349,17 @@ def host_rank_for_docs(pages_ds, damping: float = 0.85, iters: int = 3):
         lambda t: annotate(t.select(["url"])), batch_format="pyarrow")
 
 
+def _arrow_rename(ds, mapping: dict):
+    """Rename Dataset columns via an arrow map — the shared workaround
+    for Dataset.rename_columns' Project stage rejecting the pandas
+    blocks exchanges emit (Ray 2.49); previously re-implemented inline
+    at each site (review finding)."""
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [mapping.get(c, c) for c in t.column_names])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _lpa_broadcast(edges_ds, labels_ds, iters: int):
     """Small-graph fast path for ``label_propagation`` — same vote
     algebra, different physical plan (the pagerank/HITS two-path
@@ -1408,7 +1419,7 @@ def _lpa_broadcast(edges_ds, labels_ds, iters: int):
 
 def label_propagation(edges_ds, iters: int = 4,
                       n_parts: int = 64,
-                      node_broadcast_limit: int = 500_000) -> pd.DataFrame:
+                      node_broadcast_limit: int = 500_000):
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made deterministic: every node votes its CURRENT
     label for itself and for each neighbor, and each node adopts the
@@ -1463,13 +1474,7 @@ def label_propagation(edges_ds, iters: int = 4,
                                   kind="mergesort")
         return votes.drop_duplicates("node")[["node", "label"]]
 
-    def _ren(ds, mapping):
-        # arrow-map rename: Dataset.rename_columns chokes on the pandas
-        # blocks map_groups emits (same workaround as pagerank)
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [mapping.get(c, c) for c in t.column_names])
-        return ds.map_batches(fn, batch_format="pyarrow")
+    _ren = _arrow_rename
 
     for _ in range(iters):
         shipped = _ren(

@@ -695,7 +695,10 @@ def kll_group_quantiles(ds, group_col: str, value_col: str,
             out_l.append(lv)
             out_v.append(vv)
         return pa.table({
-            group_col: pa.array(np.concatenate(out_g) if out_g else []),
+            # typed empty: bare pa.array([]) infers null and the block
+            # schema then disagrees with non-empty blocks (review)
+            group_col: (pa.array(np.concatenate(out_g)) if out_g
+                        else pa.array([], type=t[group_col].type)),
             "level": pa.array(
                 np.concatenate(out_l) if out_l else
                 np.empty(0, np.int32), pa.int32()),

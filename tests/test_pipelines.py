@@ -2869,7 +2869,7 @@ def test_kll_sketch_bounds_and_exact_small(ray_session):
             assert abs(rank - q) <= 0.02, (parts, q, rank)
 
 
-def test_watermark_scan_part_invariance(ray_session):
+def test_watermark_scan_part_invariance(ray_session, sf_dir):
     """The distributed watermark scan's two-phase prefix max must be
     invariant in n_parts: n_parts=1 is the trivially-correct single
     scan (one range holds the whole stream), so equality across part
@@ -2880,7 +2880,7 @@ def test_watermark_scan_part_invariance(ray_session):
     from stimson_web_scraper_ray.pipelines.analytics import \
         watermark_late_events
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     ref = watermark_late_events(sf, n_parts=1)
     assert ref["n_late"].sum() > 0 and ref["n_on_time"].sum() > 0
     for parts in (4, 13, 64):
