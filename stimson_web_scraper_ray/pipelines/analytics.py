@@ -2149,28 +2149,31 @@ def event_rate_spikes(sf_dir: str, factor: float = 2.0):
         .reset_index(drop=True)
 
 
-def weighted_median_by_group(ds, group_col: str, value_col: str,
-                             weight_col: str, tie_col: str,
-                             n_parts: int = 32) -> pd.DataFrame:
-    """Exact WEIGHTED median per group — the value at which half the
-    total WEIGHT sits at-or-below (e.g. the doc length below which
-    half the corpus CHARS live: a curation statistic the unweighted
-    median misstates badly on heavy-tailed lengths). Same two-phase
-    value-range scan as percent_rank/ntile: equal values never
-    straddle parts, so phase 1 ships one (part, group) weight-sum
-    table to the driver, the crossing part per group is located
-    there, and phase 2 touches ONLY the crossing (part, group) cells
-    (a per-group sort of one part's rows). Nothing row-scaled reaches
-    the driver."""
-    import ray
+def _mass_crossing(ds, group_col: str, value_col: str,
+                   weight_col: str, frac: float, n_parts: int):
+    """Shared phase 0/1 of the weighted-mass two-phase scans
+    (weighted median = frac 0.5; nucleus select = arbitrary frac):
+    value-range partition the rows (equal values never straddle
+    parts), ship ONE (part, group) weight-sum table to the driver, and
+    locate each group's crossing part there. Returns (parted Dataset
+    with a __part column, crossing {(part, group): (base_mass,
+    target)}), or (None, None) on empty/all-null input. Groups whose
+    target is <= 0 (zero total weight, or frac 0) get NO crossing —
+    callers treat them as empty, matching SQL's `cum - w < frac*tot`.
+    Previously duplicated ~35 lines in both consumers (review
+    finding)."""
     from ray.data.aggregate import Sum
 
-    vmin = float(ds.min(on=value_col))
+    vmin0 = ds.min(on=value_col)
+    if vmin0 is None:
+        return None, None
+    vmin = float(vmin0)
     vmax = float(ds.max(on=value_col))
     span = max(1.0, (vmax - vmin + 1.0) / n_parts)
 
     def add_part(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
         part = np.minimum(((v - vmin) / span), n_parts - 1) \
             .astype(np.int64)
         return t.append_column("__part", pa.array(part, pa.int64()))
@@ -2184,13 +2187,40 @@ def weighted_median_by_group(ds, group_col: str, value_col: str,
     for g, sub in wsum.groupby(group_col, sort=False):
         sub = sub.sort_values("__part")
         tot = float(sub["w"].sum())
-        target = tot / 2.0
+        target = frac * tot
+        if target <= 0:
+            continue
         cum = 0.0
         for p, w in zip(sub["__part"], sub["w"]):
             if cum + float(w) >= target:
                 crossing[(int(p), g)] = (cum, target)
                 break
             cum += float(w)
+    return parted, crossing
+
+
+def weighted_median_by_group(ds, group_col: str, value_col: str,
+                             weight_col: str, tie_col: str,
+                             n_parts: int = 32) -> pd.DataFrame:
+    """Exact WEIGHTED median per group — the value at which half the
+    total WEIGHT sits at-or-below (e.g. the doc length below which
+    half the corpus CHARS live: a curation statistic the unweighted
+    median misstates badly on heavy-tailed lengths). Same two-phase
+    value-range scan as percent_rank/ntile: equal values never
+    straddle parts, so phase 1 ships one (part, group) weight-sum
+    table to the driver, the crossing part per group is located
+    there, and phase 2 touches ONLY the crossing (part, group) cells
+    (a per-group sort of one part's rows). Nothing row-scaled reaches
+    the driver. Contract: ``value_col`` must be integer-valued (the
+    median is emitted int64); zero-total-weight groups are OMITTED
+    (their weighted median is undefined)."""
+    import ray
+
+    parted, crossing = _mass_crossing(ds, group_col, value_col,
+                                      weight_col, 0.5, n_parts)
+    if parted is None:       # empty / all-null input (review finding)
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "wmedian": pd.Series(dtype="int64")})
     ref = ray.put(crossing)
 
     def find_median(df: pd.DataFrame) -> pd.DataFrame:
@@ -2238,40 +2268,15 @@ def mass_fraction_select(ds, group_col: str, order_col: str,
     where SQL's running cumsum splits them), and one streamed filter
     keeps rows lexicographically ≤ the broadcast cutoff. Keep rule ≡
     SQL ``cum − w < frac·tot`` (a row is kept iff its mass BEGINS
-    before the target)."""
+    before the target) — including the degenerate cases: ``frac=0`` or
+    a zero-total-weight group keeps NOTHING on both sides. Contract:
+    ``tie_col`` must be integer-valued."""
     import ray
 
-    vmin = float(ds.min(on=order_col))
-    vmax = float(ds.max(on=order_col))
-    span = max(1.0, (vmax - vmin + 1.0) / n_parts)
-
-    def add_part(t: pa.Table) -> pa.Table:
-        v = t[order_col].to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        part = np.minimum(((v - vmin) / span), n_parts - 1) \
-            .astype(np.int64)
-        return t.append_column("__part", pa.array(part, pa.int64()))
-
-    from ray.data.aggregate import Sum
-
-    parted = ds.map_batches(add_part, batch_format="pyarrow") \
-        .materialize()
-    wsum = parted.groupby(["__part", group_col]) \
-        .aggregate(Sum(weight_col, alias_name="w")).to_pandas()
-
-    # phase 1.5: find each group's crossing PART on the driver, then
-    # resolve the exact crossing ROW by scanning only those cells
-    crossing_part: dict = {}
-    for g, sub in wsum.groupby(group_col, sort=False):
-        sub = sub.sort_values("__part")
-        tot = float(sub["w"].sum())
-        target = frac * tot
-        cum = 0.0
-        for p, w in zip(sub["__part"], sub["w"]):
-            if cum + float(w) >= target:
-                crossing_part[(int(p), g)] = (cum, target)
-                break
-            cum += float(w)
+    parted, crossing_part = _mass_crossing(ds, group_col, order_col,
+                                           weight_col, frac, n_parts)
+    if parted is None:       # empty / all-null input (review finding)
+        return ds.limit(0)
     cref = ray.put(crossing_part)
 
     def find_cutoff(df: pd.DataFrame) -> pd.DataFrame:
@@ -2301,13 +2306,18 @@ def mass_fraction_select(ds, group_col: str, order_col: str,
 
     def keep(t: pa.Table) -> pa.Table:
         co = ray.get(kref)
-        gs = t[group_col].to_pylist()
+        # per-UNIQUE-group lookup, then broadcast via codes — the
+        # per-row dict.get comprehension was O(rows) Python (review);
+        # a group with NO cutoff (zero-weight / frac=0) keeps nothing
+        codes, uniq = pd.factorize(
+            pd.Series(t[group_col].to_pandas()), use_na_sentinel=False)
+        cvu = np.array([co.get(g, (-np.inf, -1))[0] for g in uniq])
+        ctu = np.array([co.get(g, (-np.inf, -1))[1] for g in uniq],
+                       dtype=np.int64)
         v = t[order_col].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         ti = t[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cv = np.array([co.get(g, (np.inf, 0))[0] for g in gs])
-        ct = np.array([co.get(g, (np.inf, 0))[1] for g in gs],
-                      dtype=np.int64)
+        cv, ct = cvu[codes], ctu[codes]
         mask = (v < cv) | ((v == cv) & (ti <= ct))
         return t.drop_columns(["__part"]).filter(pa.array(mask))
 

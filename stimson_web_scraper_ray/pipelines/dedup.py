@@ -1728,8 +1728,6 @@ def build_gram_bloom(ds, n: int = 8, text_col: str = "text",
     memory the same algebra shards the filter by hash prefix and routes
     probes by the same prefix (a keyed exchange instead of a broadcast);
     the test scales exercise the broadcast form."""
-    import ray
-
     nbytes = m_bits // 8
 
     def to_bitmap(batch: pa.Table) -> pa.Table:
@@ -1742,23 +1740,11 @@ def build_gram_bloom(ds, n: int = 8, text_col: str = "text",
                                  (1 << (idx & 7)).astype(np.uint8))
         return pa.table({"bm": pa.array([bits.tobytes()], pa.binary())})
 
-    @ray.remote
-    def or_tables(*tbls: pa.Table) -> pa.Table:
-        acc = np.zeros(nbytes, dtype=np.uint8)
-        for t in tbls:
-            for buf in t["bm"].to_pylist():
-                np.bitwise_or(acc, np.frombuffer(buf, np.uint8), out=acc)
-        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+    from .shuffle import tree_or_bitmaps
 
-    refs = list(ds.map_batches(to_bitmap, batch_format="pyarrow")
-                .to_arrow_refs())
-    if not refs:
-        return np.zeros(nbytes, dtype=np.uint8)
-    while len(refs) > 1:
-        refs = [or_tables.remote(*refs[i:i + fanin])
-                for i in range(0, len(refs), fanin)]
-    final = ray.get(refs[0])
-    return np.frombuffer(final["bm"].to_pylist()[0], np.uint8).copy()
+    return tree_or_bitmaps(
+        ds.map_batches(to_bitmap, batch_format="pyarrow"),
+        nbytes, fanin=fanin)
 
 
 def bloom_decontaminate(history_ds, new_ds, n: int = 8,

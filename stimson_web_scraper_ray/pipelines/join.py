@@ -355,11 +355,11 @@ def build_key_bloom(ds, key_col: str, m_bits: int = 1 << 20,
                     k_hashes: int = 7, fanin: int = 8) -> np.ndarray:
     """Distributed Bloom filter over an int64 KEY column (splitmix64 →
     Kirsch–Mitzenmacher double hashing, same bit algebra as the gram
-    bloom): per-batch bitmap folds tree-OR via remote tasks, so the
-    driver touches O(1) bitmaps regardless of key count."""
-    import ray
-
+    bloom): per-batch bitmaps fold through the shared
+    ``shuffle.tree_or_bitmaps`` remote tree, so the driver touches O(1)
+    bitmaps regardless of key count."""
     from .dedup import _bloom_bit_idx
+    from .shuffle import tree_or_bitmaps
     from .sketch import splitmix64
 
     nbytes = m_bits // 8
@@ -376,23 +376,9 @@ def build_key_bloom(ds, key_col: str, m_bits: int = 1 << 20,
                              (1 << (idx & 7)).astype(np.uint8))
         return pa.table({"bm": pa.array([bits.tobytes()], pa.binary())})
 
-    @ray.remote
-    def or_tables(*tbls: pa.Table) -> pa.Table:
-        acc = np.zeros(nbytes, dtype=np.uint8)
-        for t in tbls:
-            for buf in t["bm"].to_pylist():
-                np.bitwise_or(acc, np.frombuffer(buf, np.uint8), out=acc)
-        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
-
-    refs = list(ds.map_batches(to_bitmap, batch_format="pyarrow")
-                .to_arrow_refs())
-    if not refs:
-        return np.zeros(nbytes, dtype=np.uint8)
-    while len(refs) > 1:
-        refs = [or_tables.remote(*refs[i:i + fanin])
-                for i in range(0, len(refs), fanin)]
-    final = ray.get(refs[0])
-    return np.frombuffer(final["bm"].to_pylist()[0], np.uint8).copy()
+    return tree_or_bitmaps(
+        ds.map_batches(to_bitmap, batch_format="pyarrow"),
+        nbytes, fanin=fanin)
 
 
 def bloom_key_mask(keys: np.ndarray, bits: np.ndarray, m_bits: int,
@@ -428,6 +414,9 @@ def bloom_filter_join(big, small, on: str, *, right_on: str | None = None,
         raise ValueError("bloom prefilter preserves inner/semi joins "
                          f"only (got how={how!r})")
     key_small = right_on or on
+    # materialize: the small pipeline otherwise executes twice — once
+    # for the bitmap, once inside the join exchange (review finding)
+    small = small.materialize()
     bits = build_key_bloom(small, key_small, m_bits=m_bits,
                            k_hashes=k_hashes)
     bref = ray.put(bits)

@@ -137,3 +137,43 @@ def hrw_assign(ds, key_col: str, n_shards: int,
         return pa.table(out)
 
     return distinct.map_batches(assign, batch_format="pyarrow")
+
+
+def tree_or_bitmaps(bitmap_ds, nbytes: int, fanin: int = 8) -> np.ndarray:
+    """Fold a Dataset of single-row ``{'bm': binary}`` bitmap blocks
+    into ONE OR-combined byte array with remote tree fan-in — the
+    driver touches O(1) bitmaps regardless of block count. Shared by
+    the gram bloom (dedup.bloom_decontaminate) and the key bloom
+    (join.bloom_filter_join); previously copy-pasted in both (review
+    finding)."""
+    import ray
+
+    refs = list(bitmap_ds.to_arrow_refs())
+    if not refs:
+        return np.zeros(nbytes, dtype=np.uint8)
+    while len(refs) > 1:
+        refs = [_or_bitmap_tables.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    final = ray.get(refs[0])
+    return np.frombuffer(final["bm"].to_pylist()[0], np.uint8).copy()
+
+
+def _make_or_remote():
+    import ray
+
+    @ray.remote
+    def or_bitmap_tables(*tbls: pa.Table) -> pa.Table:
+        acc = None
+        for t in tbls:
+            for buf in t["bm"].to_pylist():
+                b = np.frombuffer(buf, np.uint8)
+                if acc is None:
+                    acc = b.copy()
+                else:
+                    np.bitwise_or(acc, b, out=acc)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    return or_bitmap_tables
+
+
+_or_bitmap_tables = _make_or_remote()

@@ -3026,10 +3026,11 @@ def test_temperature_sample_flattens_and_is_layout_invariant(ray_session):
 
 
 def test_late_round4_ops_block_layout_invariant(ray_session):
-    """session_paths-style trigram partials, ngram containment, NTILE
-    and the KLL gate's rank recount are identical (or in-bound)
-    regardless of input block layout — retried blocks and different
-    read parallelism must not change outputs."""
+    """ngram_containment_pairs output is identical regardless of input
+    block layout — retried blocks and different read parallelism must
+    not change the directed pair set. (Only containment is exercised
+    here; grouped-KLL layout invariance is pinned separately in
+    test_kll_group_quantiles_bounds_and_layouts.)"""
     import pandas as pd
     import ray.data as rd
 
