@@ -2064,37 +2064,55 @@ def session_paths(sf_dir: str, gap_minutes: int = 30,
 def event_value_zscores(sf_dir: str):
     """Per-type standardization (anomaly calibration): every event's
     value as a z-score against its event_type's sample mean/stddev.
-    Two streamed passes, nothing fact-scaled on the driver: pass 1
-    reduces (n, Σx, Σx²) combiner partials to a type-scaled table
-    whose derived (mean, std) broadcast into pass 2's row-local
+    Three streamed passes, nothing fact-scaled on the driver: pass 1
+    reduces (n, Σx) partials to per-type MEANS, pass 2 sums the
+    SHIFTED squares Σ(x−mean)² against the broadcast means (the
+    textbook s2 − n·mean² form cancels catastrophically when
+    |mean| ≫ std — review finding; the shifted sum is what DuckDB's
+    stddev_samp effectively computes), and pass 3 is the row-local
     annotate. z is rounded to 4 dp on both engine and oracle sides so
     the partial-sum order can't flip a digit; a zero/singleton-std
     type yields z = 0 by convention."""
     import ray
 
     ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = ds.materialize()   # three passes share one execution
 
-    def moments(t: pa.Table) -> pa.Table:
+    def sums(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
                            "v": t["value"].to_numpy(zero_copy_only=False)
                            .astype(np.float64)})
-        g = df.groupby("event_type", sort=False)["v"]
-        agg = g.agg(n="size", s="sum")
-        agg["s2"] = g.apply(lambda x: float((x.to_numpy() ** 2).sum()))
+        agg = df.groupby("event_type", sort=False)["v"] \
+            .agg(n="size", s="sum")
         return pa.Table.from_pandas(agg.reset_index(),
                                     preserve_index=False)
 
-    mom = ds.map_batches(moments, batch_format="pyarrow").to_pandas() \
+    mom = ds.map_batches(sums, batch_format="pyarrow").to_pandas() \
         .groupby("event_type", as_index=False).sum()
     n = mom["n"].to_numpy().astype(np.float64)
-    s = mom["s"].to_numpy()
-    s2 = mom["s2"].to_numpy()
-    mean = s / n
-    var = np.where(n > 1, (s2 - n * mean * mean) / np.maximum(n - 1, 1),
+    mean = mom["s"].to_numpy() / n
+    means = {t: float(m) for t, m in zip(mom["event_type"], mean)}
+    mref = ray.put(means)
+
+    def shifted_sq(t: pa.Table) -> pa.Table:
+        mn = ray.get(mref)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "v": t["value"].to_numpy(zero_copy_only=False)
+                           .astype(np.float64)})
+        df["v"] = (df["v"] - df["event_type"].map(mn)) ** 2
+        agg = df.groupby("event_type", sort=False)["v"] \
+            .agg(ss="sum")
+        return pa.Table.from_pandas(agg.reset_index(),
+                                    preserve_index=False)
+
+    ssq = ds.map_batches(shifted_sq, batch_format="pyarrow") \
+        .to_pandas().groupby("event_type", as_index=False).sum()
+    ssq = mom[["event_type"]].merge(ssq, on="event_type")
+    var = np.where(n > 1, ssq["ss"].to_numpy() / np.maximum(n - 1, 1),
                    0.0)
     std = np.sqrt(np.maximum(var, 0.0))
-    stats = {t: (float(m), float(sd)) for t, m, sd in
-             zip(mom["event_type"], mean, std)}
+    stats = {t: (means[t], float(sd)) for t, sd in
+             zip(mom["event_type"], std)}
     ref = ray.put(stats)
 
     def annotate(t: pa.Table) -> pa.Table:
@@ -2115,8 +2133,13 @@ def event_value_zscores(sf_dir: str):
 def event_rate_spikes(sf_dir: str, factor: float = 2.0):
     """Windowed-rate anomaly report: per (event_type, 1h tumbling
     window), flag windows whose count exceeds ``factor`` × the trailing
-    mean of the previous THREE windows (only windows with a full
-    3-window history qualify). The corpus-scaled work is one streamed
+    mean of the previous three ACTIVE windows — the ROWS-frame
+    semantics both engine and oracle compute: hour buckets with zero
+    events do not appear in the window spine, so after a quiet gap the
+    baseline is the last three busy hours, not the empty ones (a dense
+    spine / RANGE frame would be the calendar-time variant — review
+    note). Only windows with a full 3-active-window history qualify.
+    The corpus-scaled work is one streamed
     count pass into a partition-scaled (type, window) aggregate; the
     lag/mean window math runs on that tiny table. Ratios are rounded
     to 4 dp on both sides."""

@@ -1298,7 +1298,13 @@ def host_link_edges(pages_ds, url_col: str = "url",
                     dst.append(dh)
         df = pd.DataFrame({"src_host": src, "dst_host": dst}) \
             .drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit string schema: an anchor-free batch would otherwise
+        # emit an empty frame Arrow infers as DOUBLE columns, and the
+        # downstream exchange dies unifying double vs string blocks
+        # (review finding)
+        return pa.table({
+            "src_host": pa.array(df["src_host"].tolist(), pa.string()),
+            "dst_host": pa.array(df["dst_host"].tolist(), pa.string())})
 
     def pair_key(t: pa.Table) -> np.ndarray:
         a = pd.util.hash_array(
@@ -1345,8 +1351,11 @@ def host_rank_for_docs(pages_ds, damping: float = 0.85, iters: int = 3):
                          "host": pa.array(hs, pa.string()),
                          "host_rank": pa.array(rk, pa.float64())})
 
-    return pages_ds.map_batches(
-        lambda t: annotate(t.select(["url"])), batch_format="pyarrow")
+    # project BEFORE the annotate stage so html never crosses the
+    # map boundary a second time (review finding: the in-lambda
+    # select still paid the blob deserialization)
+    return pages_ds.select_columns(["url"]) \
+        .map_batches(annotate, batch_format="pyarrow")
 
 
 def _arrow_rename(ds, mapping: dict):

@@ -175,7 +175,11 @@ def temperature_sample(ds, temperature: float = 2.0, frac: float = 0.5,
         ids = batch[id_col].to_pylist()
         strata = batch[strat_col].to_pylist()
         h = _keep_hash(ids)
-        t = np.fromiter((th.get(s, _MOD) for s in strata),
+        # default 0 = DROP rows of strata missing from the counts
+        # table (e.g. nulls the groupby dropped) — the oracle's inner
+        # JOIN drops them too; the old default _MOD kept them all
+        # (review finding)
+        t = np.fromiter((th.get(s, 0) for s in strata),
                         dtype=np.int64, count=len(strata))
         return batch.filter(pa.array(h < t))
 

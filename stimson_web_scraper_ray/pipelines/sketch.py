@@ -622,6 +622,10 @@ class KLLSketch:
             if len(b):
                 vals.append(b)
                 ws.append(np.full(len(b), 1 << i, np.int64))
+        if not vals:
+            # empty sketch: defined result instead of a concatenate
+            # crash (review finding)
+            return float("nan")
         v = np.concatenate(vals)
         w = np.concatenate(ws)
         order = np.argsort(v, kind="mergesort")
