@@ -1848,7 +1848,10 @@ def supplier_cnt_by_part(sf_dir: str) -> pd.DataFrame:
         return m.assign(ckey=ck.view(np.int64))
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["ckey"])
+        # dedup on the REAL triple, not the 64-bit fold: ckey is the
+        # partition key only, and a colliding distinct triple would
+        # co-locate here and silently undercount (review finding)
+        d = df.drop_duplicates(["p_brand", "p_size", "l_suppkey"])
         out = d.groupby(["p_brand", "p_size"], sort=False,
                         as_index=False).size()
         return out.rename(columns={"size": "supplier_cnt"})
@@ -1924,6 +1927,10 @@ def ntile_by_group(ds, group_col: str, value_col: str, tie_col: str,
     from ray.data.aggregate import Count
 
     vmin = ds.min(on=value_col)
+    if vmin is None:
+        # empty / all-null input — same guard as percent_rank_by_group
+        # (review finding: float(None) raised here)
+        return ds.limit(0)
     vmax = ds.max(on=value_col)
     span = max(1.0, (float(vmax) - float(vmin) + 1.0) / n_parts)
 
@@ -1961,9 +1968,13 @@ def ntile_by_group(ds, group_col: str, value_col: str, tie_col: str,
         grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
         off = np.array([bases.get((p, gv), 0) for gv in g[new_grp]],
                        dtype=np.int64)
-        rn0 = (idx - grp_start) + np.repeat(off, np.diff(
-            np.append(np.nonzero(new_grp)[0], len(df))))
-        N = np.array([tot[gv] for gv in g], dtype=np.int64)
+        run_lengths = np.diff(np.append(np.nonzero(new_grp)[0],
+                                        len(df)))
+        rn0 = (idx - grp_start) + np.repeat(off, run_lengths)
+        # per-GROUP-RUN Python lookups repeated over runs — the
+        # per-row comprehension was the phase-2 hot-path (review)
+        N = np.repeat(np.array([tot[gv] for gv in g[new_grp]],
+                               dtype=np.int64), run_lengths)
         q, r = N // n, N % n
         big = r * (q + 1)
         tile0 = np.where(rn0 < big, rn0 // np.maximum(q + 1, 1),

@@ -529,13 +529,22 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def hamming_near_dup_pairs(hashed, hash_col: str, *,
                            id_col: str = "doc_id", max_hamming: int = 3,
-                           n_chunks: int = 4):
+                           n_chunks: int = 4,
+                           bucket_cap: int | None = None):
     """Near-dup pairs over ANY 64-bit hash column by hamming distance,
     bucketed by (64/n_chunks)-bit chunks: a pair within distance
     d ≤ n_chunks−1 shares at least one intact chunk (pigeonhole), so
     the shuffle key is (chunk_idx, chunk_value) and only real buckets
     ever meet. Generic core shared by simhash (text, 4×16-bit chunks)
-    and image aHash (8×8-bit chunks for d ≤ 7)."""
+    and image aHash (8×8-bit chunks for d ≤ 7).
+
+    ``bucket_cap`` defaults to None — EXACT: the pigeonhole recall
+    guarantee holds only if no bucket is truncated (the inherited
+    default cap of 50 silently broke it once an 8-bit chunk value held
+    >50 docs, ~N/256 — review finding). Pass a cap only as an explicit
+    quadratic-blowup guard, accepting recall loss; the lossless
+    alternative at that scale is salting hot buckets by a further hash
+    chunk and verifying across salts."""
     import pandas as pd
     import ray.data as rd
 
@@ -569,7 +578,8 @@ def hamming_near_dup_pairs(hashed, hash_col: str, *,
         # doc_id and hash64 stay SEPARATE uint64/int64 arrays end to end —
         # a mixed-dtype .values would promote hashes to float64 and
         # corrupt high bits (wrong hamming distances)
-        m = _self_merge_pairs(df, ["chunk_idx", "chunk_val"])
+        m = _self_merge_pairs(df, ["chunk_idx", "chunk_val"],
+                              cap=bucket_cap)
         ham = _popcount64(m["hash64_x"].to_numpy(np.uint64)
                           ^ m["hash64_y"].to_numpy(np.uint64))
         keep = ham <= max_hamming
@@ -1928,6 +1938,11 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
         return k.view(np.int64)
 
     pref_ds = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    if stats is not None:
+        # materialize so the prune-evidence count and the exchange
+        # share one execution (review finding: the bare count re-ran
+        # the prefix stage incl. the broadcast df lookup)
+        pref_ds = pref_ds.materialize()
     raw_cands = _salted_partition_apply(pref_ds, cand_pairs, gram_key)
     cands = _salted_partition_apply(
         raw_cands, lambda df: df.drop_duplicates(), pair_key).to_pandas()

@@ -1139,7 +1139,11 @@ def strongly_connected_components(edges_ds, max_rounds: int = 50,
             scc[kill] = nodes[kill]
             active &= ~kill
         else:
-            raise RuntimeError("SCC trim did not converge")
+            # a kill on the final allowed wave may have finished the
+            # job — only raise if work genuinely remains (review
+            # finding: exact-boundary convergence raised spuriously)
+            if active.any():
+                raise RuntimeError("SCC trim did not converge")
         if not active.any():
             break
 
@@ -1203,7 +1207,11 @@ def strongly_connected_components(edges_ds, max_rounds: int = 50,
         scc[mark] = color[mark]
         active &= ~mark
     else:
-        raise RuntimeError("SCC peel did not converge in max_rounds")
+        # exact-boundary convergence: emptying `active` in round
+        # max_rounds-1 exhausts the for without re-entering the top
+        # break — a correct result, not a failure (review finding)
+        if active.any():
+            raise RuntimeError("SCC peel did not converge in max_rounds")
 
     return pd.DataFrame({"node_id": pd.Series(nodes, dtype="int64"),
                          "scc_id": pd.Series(scc, dtype="int64")}) \

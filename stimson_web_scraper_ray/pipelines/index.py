@@ -578,23 +578,45 @@ def near_search(pos_index_ds, term_a: str, term_b: str, window: int,
         n_parts=n_parts).sort("doc_id")
 
 
+def _term_parts(words: list, n_partitions: int) -> np.ndarray:
+    """The ONE term→partition routing rule (word_hash64 mod n) shared
+    by the sink, the merge and the pruned lookups — previously
+    re-implemented at each site (review finding)."""
+    from .textstats import word_hash64
+
+    return np.fromiter(
+        (word_hash64(w) % np.uint64(n_partitions) for w in words),
+        dtype=np.uint64, count=len(words)).astype(np.int64)
+
+
+def _layout_n_partitions(out_dir: str) -> int | None:
+    import json
+    import os
+
+    meta = os.path.join(out_dir, "index_meta.json")
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        return int(json.load(f)["n_partitions"])
+
+
 def write_inverted_index(index_ds, out_dir: str, n_partitions: int = 64):
     """Persist the index as term-hash-partitioned parquet
     (``part=NN/*.parquet``): the resumable-sink shape — a failed build
     re-runs only missing partitions, and lookups read only the partition
-    a term hashes to instead of scanning the whole index."""
+    a term hashes to instead of scanning the whole index. The partition
+    count is stamped into ``index_meta.json`` so maintenance ops can
+    validate their routing against the layout they read."""
+    import json
     import os
 
-    from .textstats import word_hash64
-
     def add_part(t: pa.Table) -> pa.Table:
-        words = t["term"].to_pylist()
-        part = np.fromiter(
-            (word_hash64(w) % np.uint64(n_partitions) for w in words),
-            dtype=np.uint64, count=len(words)).astype(np.int64)
+        part = _term_parts(t["term"].to_pylist(), n_partitions)
         return t.append_column("part", pa.array(part))
 
     os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+        json.dump({"n_partitions": n_partitions}, f)
     index_ds.map_batches(add_part, batch_format="pyarrow") \
         .write_parquet(out_dir, partition_cols=["part"])
     return out_dir
@@ -740,14 +762,22 @@ def merge_inverted_index(old_dir: str, delta_ds, out_dir: str,
     partitions only, so maintenance cost tracks the delta, not the
     corpus.
 
-    ``removed_doc_ids`` (recrawl deletions / tombstones): postings drop
-    those ids everywhere. Removals can hide in partitions the delta
-    does not touch, so when given, every partition is processed (zero-
-    row marker rows force the fan-out); terms whose postings empty out
-    are dropped.
+    ``removed_doc_ids`` (recrawl tombstones): those ids drop from the
+    BASE index's postings only — delta postings always survive. A
+    RE-FETCHED page is therefore delta + its own id in
+    ``removed_doc_ids`` (stale base postings for terms the new version
+    lost are purged; fresh postings land), a pure deletion is a
+    tombstone with no delta row, and a brand-new page is delta alone.
+    (Filtering the base only is load-bearing: filtering the unioned
+    lists stripped a re-fetched doc's NEW postings too — review
+    finding.) Removals can hide in partitions the delta does not
+    touch, so when given, every partition is processed (zero-row
+    marker rows force the fan-out); terms whose postings empty out are
+    dropped.
 
     Returns ``out_dir``. Gate (tests + registry): merged artifact ≡ the
-    index built fresh over the union corpus."""
+    index built fresh over the union corpus (re-fetch case pinned in
+    test_merge_inverted_index_refetch)."""
     import glob
     import os
     import shutil
@@ -759,6 +789,13 @@ def merge_inverted_index(old_dir: str, delta_ds, out_dir: str,
 
     if os.path.abspath(old_dir) == os.path.abspath(out_dir):
         raise ValueError("out_dir must differ from old_dir")
+    old_n = _layout_n_partitions(old_dir)
+    if old_n is not None and old_n != n_partitions:
+        # a 32-part base merged with %64 routing silently splits terms
+        # across partitions and lookups then miss them (review finding)
+        raise ValueError(
+            f"old_dir was written with n_partitions={old_n}, "
+            f"merge called with {n_partitions}")
     os.makedirs(out_dir, exist_ok=True)
     removed = (np.unique(np.asarray(list(removed_doc_ids), np.int64))
                if removed_doc_ids is not None else None)
@@ -768,10 +805,7 @@ def merge_inverted_index(old_dir: str, delta_ds, out_dir: str,
                                      text_col=text_col)
 
     def add_part(t: pa.Table) -> pa.Table:
-        words = t["term"].to_pylist()
-        part = np.fromiter(
-            (word_hash64(w) % np.uint64(n_partitions) for w in words),
-            dtype=np.uint64, count=len(words)).astype(np.int64)
+        part = _term_parts(t["term"].to_pylist(), n_partitions)
         return t.append_column("part", pa.array(part))
 
     parted = delta_idx.map_batches(add_part, batch_format="pyarrow")
@@ -796,15 +830,20 @@ def merge_inverted_index(old_dir: str, delta_ds, out_dir: str,
         frames = [pq.read_table(f).to_pandas()
                   for f in sorted(glob.glob(
                       os.path.join(old_dir, f"part={p}", "*.parquet")))]
+        rm = ray.get(rref)
+        if rm is not None and frames:
+            # tombstones purge the BASE side only (see docstring)
+            for f in frames:
+                f["postings"] = f["postings"].map(
+                    lambda a: np.asarray(a, np.int64)[
+                        ~np.isin(np.asarray(a, np.int64), rm)].tolist())
         both = pd.concat([*frames, df.drop(columns=["part"])],
                          ignore_index=True) if frames else \
             df.drop(columns=["part"])
-        rm = ray.get(rref)
 
         def combine(lists) -> np.ndarray:
-            u = np.unique(np.concatenate(
+            return np.unique(np.concatenate(
                 [np.asarray(x, np.int64) for x in lists]))
-            return u if rm is None else u[~np.isin(u, rm)]
 
         g = both.groupby("term", sort=True)["postings"].agg(combine)
         out = pd.DataFrame({
@@ -823,7 +862,10 @@ def merge_inverted_index(old_dir: str, delta_ds, out_dir: str,
 
     receipts = parted.groupby("part").map_groups(
         merge_part, batch_format="pandas").to_pandas()
-    touched = set(receipts["part"].tolist())
+    # empty delta + no tombstones → zero-column frame (review finding):
+    # nothing touched, every partition is a straight copy
+    touched = (set(receipts["part"].tolist())
+               if "part" in receipts.columns else set())
     copied = 0
     for d in sorted(glob.glob(os.path.join(old_dir, "part=*"))):
         p = int(os.path.basename(d).split("=")[1])

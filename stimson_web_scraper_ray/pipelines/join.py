@@ -334,6 +334,10 @@ def skew_join(left, right, on: str, *, how: str = "inner",
     rref = ray.put(rdf)
     left_hot = left.map_batches(split(True), batch_format="pyarrow")
     if stats is not None:
+        # materialize so the instrumentation count and the join share
+        # ONE execution of the split scan (review finding: the bare
+        # count re-ran the full left pipeline)
+        left_hot = left_hot.materialize()
         stats["hot_left_rows"] = left_hot.count()
 
     def hot_merge(df: pd.DataFrame) -> pa.Table:

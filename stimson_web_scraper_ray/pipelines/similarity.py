@@ -682,8 +682,12 @@ def pq_adc_topk(codes_ds, codebooks: np.ndarray,
         out_q, out_id, out_d = [], [], []
         for qi in range(tab.shape[0]):
             # gather: dist[i] = Σ_b tab[qi, b, codes[i, b]]
-            d = tab[qi][np.arange(codes.shape[1])[None, :],
-                        codes].sum(axis=1)
+            d = np.round(tab[qi][np.arange(codes.shape[1])[None, :],
+                                 codes].sum(axis=1), 6)
+            # per-batch selection on the SAME rounded values + id
+            # tiebreak the driver merge re-sorts on — selecting on raw
+            # distances could keep a different row of a rounded tie,
+            # making results block-layout-dependent (review finding)
             top = np.lexsort((ids, d))[: min(k, len(ids))]
             out_q.extend([qi] * len(top))
             out_id.extend(ids[top].tolist())

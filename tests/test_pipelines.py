@@ -2635,13 +2635,16 @@ def test_merge_inverted_index_exact_and_incremental(ray_session, sf_dir):
     write_inverted_index(build_inverted_index(full), dirs["full"])
     assert read_idx(dirs["out"]).equals(read_idx(dirs["full"]))
 
-    # tombstones: drop every doc_id % 7 == 0 everywhere
+    # tombstones purge the BASE only (delete-then-add contract: a doc
+    # in BOTH removed_doc_ids and the delta is a re-fetch and its
+    # delta postings survive) — expected corpus = delta ∪ (base \ rm)
     rm = full.to_pandas()
     rm_ids = rm.loc[rm["doc_id"] % 7 == 0, "doc_id"].tolist()
     merge_inverted_index(dirs["base"], delta, dirs["rm"],
                          removed_doc_ids=rm_ids)
     shutil.rmtree(dirs["full"], ignore_errors=True)
-    keep = rm[rm["doc_id"] % 7 != 0].reset_index(drop=True)
+    keep = rm[(rm["doc_id"] % 3 == 0)
+              | (rm["doc_id"] % 7 != 0)].reset_index(drop=True)
     write_inverted_index(build_inverted_index(rd.from_pandas(keep)),
                          dirs["full"])
     assert read_idx(dirs["rm"]).equals(read_idx(dirs["full"]))
@@ -3530,3 +3533,62 @@ def test_walk_corpus_duplicate_starts_parity(ray_session):
                     walk_len=2, edge_broadcast_limit=0)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 3 and list(a["step"]) == [0, 1, 2]
+
+
+def test_merge_inverted_index_refetch(ray_session, tmp_path):
+    """Re-fetched page: delta carries the NEW text and the doc id rides
+    removed_doc_ids — stale base postings purge, fresh delta postings
+    survive (filtering the unioned lists stripped them — review
+    finding), and the merged artifact equals a fresh build over the
+    updated corpus. Empty delta + no tombstones = pure copy."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.index import (
+        build_inverted_index,
+        merge_inverted_index,
+        write_inverted_index,
+    )
+
+    base = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["apple banana", "cherry apple"]})
+    old_dir = str(tmp_path / "old")
+    write_inverted_index(build_inverted_index(rd.from_pandas(base)),
+                         old_dir, n_partitions=8)
+
+    # doc 1 re-fetched: 'apple banana' -> 'banana date'
+    delta = pd.DataFrame({"doc_id": [1], "text": ["banana date"]})
+    out_dir = str(tmp_path / "merged")
+    merge_inverted_index(old_dir, rd.from_pandas(delta), out_dir,
+                         n_partitions=8, removed_doc_ids=[1])
+
+    updated = pd.DataFrame({"doc_id": [1, 2],
+                            "text": ["banana date", "cherry apple"]})
+    fresh = build_inverted_index(rd.from_pandas(updated)).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    import glob
+    import pyarrow.parquet as pq
+    got = pd.concat([pq.read_table(f).to_pandas() for f in
+                     glob.glob(out_dir + "/part=*/*.parquet")],
+                    ignore_index=True) \
+        .sort_values("term").reset_index(drop=True)
+    got["postings"] = got["postings"].map(list)
+    fresh["postings"] = fresh["postings"].map(list)
+    pd.testing.assert_frame_equal(got, fresh)
+
+    # empty delta, no tombstones: straight copy, no KeyError
+    import ray.data as rd2
+    empty = rd2.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                          "text": pd.Series(dtype=object)}))
+    out2 = str(tmp_path / "copied")
+    merge_inverted_index(old_dir, empty, out2, n_partitions=8)
+    got2 = pd.concat([pq.read_table(f).to_pandas() for f in
+                      glob.glob(out2 + "/part=*/*.parquet")],
+                     ignore_index=True)
+    assert sorted(got2["term"]) == ["apple", "banana", "cherry"]
+
+    # partition-count mismatch is refused loudly
+    import pytest
+    with pytest.raises(ValueError, match="n_partitions"):
+        merge_inverted_index(old_dir, rd.from_pandas(delta),
+                             str(tmp_path / "bad"), n_partitions=16)
