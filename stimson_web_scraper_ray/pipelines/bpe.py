@@ -111,7 +111,11 @@ def _select_merge_batch(parts: pd.DataFrame, n_max: int,
       the merged site, so its count is bounded by the snapshot count of
       (x, a) (resp. (b, y)) — pairs that share a symbol with the batch,
       hence excluded, hence counted ≤ c_Q; the strict trim puts every
-      remaining batch element above that bound (ties included).
+      remaining batch element above that bound (ties included). The
+      ONE exception is a self-adjacent pair (a == b), whose created
+      pair is bounded by the batch pair ITSELF — so a self-adjacent
+      pair always TERMINATES its batch (taken, then stop), keeping the
+      bound argument intact for everything that runs in one round.
     Therefore at each intermediate step the canonical argmax over
     {remaining batch, other existing, created} is the next batch
     element — the sequential trainer would pick exactly this sequence.
@@ -139,6 +143,17 @@ def _select_merge_batch(parts: pd.DataFrame, n_max: int,
         taken.append((a, b, cnt))
         used.update((a, b))
         outs.add(ab)
+        if a == b:
+            # the disjointness proof's one hole (review-confirmed
+            # counterexample): merging a SELF-adjacent pair creates
+            # (ab, a)/(a, ab) whose count is bounded by THIS pair's
+            # count, not by c_Q — e.g. words {bbb:9, …}: created
+            # (bb, b)=9 outranks a later batch member (c, c)=5 in the
+            # sequential order. Ending the batch here restores exact
+            # parity: earlier members are applied before the created
+            # pair exists, later candidates compete against it in the
+            # NEXT distributed round at its true count.
+            break
     kept = [t for t in taken if t[2] > c_q]
     if kept:
         return kept

@@ -1008,8 +1008,14 @@ def _dispatch_sticky_tail(pool, per_actor, frac: float, round_dir: str,
     # depth-2 initial fill (the _dispatch_units pattern): one unit
     # executing + one queued per actor, so an actor starts its next
     # chunk while the driver pulls the finished result — without it,
-    # chunked heads would pay a driver round-trip of idle per chunk
-    for _ in range(2):
+    # chunked heads would pay a driver round-trip of idle per chunk.
+    # Depth 2 ONLY when heads are chunked: with a monolithic head the
+    # second fill pass would bind one TAIL unit behind every head at
+    # t=0, where a submitted unit can never be stolen — re-creating
+    # the straggler round barrier the late-binding tail exists to
+    # remove (review finding)
+    fill_depth = 2 if int(os.environ.get("GRAFT_HEAD_UNIT", "0")) else 1
+    for _ in range(fill_depth):
         for aid in range(len(pool)):
             df = take_unit(aid)
             if df is not None:

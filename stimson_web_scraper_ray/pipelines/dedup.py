@@ -1738,6 +1738,11 @@ def build_gram_bloom(ds, n: int = 8, text_col: str = "text",
     memory the same algebra shards the filter by hash prefix and routes
     probes by the same prefix (a keyed exchange instead of a broadcast);
     the test scales exercise the broadcast form."""
+    if m_bits % 8:
+        # bit indices run to m_bits-1 but the bitmap has m_bits//8
+        # bytes — a non-multiple silently out-of-bounds the OR
+        # (review finding); fail fast instead
+        raise ValueError(f"m_bits must be a multiple of 8 (got {m_bits})")
     nbytes = m_bits // 8
 
     def to_bitmap(batch: pa.Table) -> pa.Table:

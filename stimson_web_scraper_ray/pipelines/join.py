@@ -366,6 +366,11 @@ def build_key_bloom(ds, key_col: str, m_bits: int = 1 << 20,
     from .shuffle import tree_or_bitmaps
     from .sketch import splitmix64
 
+    if m_bits % 8:
+        # bit indices run to m_bits-1 but the bitmap has m_bits//8
+        # bytes — a non-multiple silently out-of-bounds the OR
+        # (review finding); fail fast instead
+        raise ValueError(f"m_bits must be a multiple of 8 (got {m_bits})")
     nbytes = m_bits // 8
 
     def to_bitmap(batch: pa.Table) -> pa.Table:

@@ -441,12 +441,21 @@ def kmv_bottomk(ds, k: int = 64, id_col: str = "doc_id"):
         take = min(k, len(ids))
         idx = np.argsort(h, kind="stable")[:take]
         return pa.table({
-            id_col: pa.array([ids[i] for i in idx]),
+            # typed id column: bare pa.array([...]) on an EMPTY batch
+            # infers null and breaks the sort's schema unification
+            # (review finding)
+            id_col: pa.array([ids[i] for i in idx],
+                             type=batch[id_col].type),
             "hv": pa.array(h[idx], pa.uint64()),
         })
 
     top = ds.map_batches(partial, batch_format="pyarrow") \
         .sort(["hv", id_col]).limit(k).to_pandas()
+    if top.empty:           # empty dataset (review finding: iloc crash)
+        return pd.DataFrame({
+            "rank": pd.Series(dtype="int64"),
+            id_col: pd.Series(dtype=object),
+            "kmv_estimate": pd.Series(dtype="float64")})
     hk = float(top["hv"].iloc[-1]) / float(1 << 64)
     est = round((len(top) - 1) / hk, 4) if hk > 0 else float("inf")
     return pd.DataFrame({

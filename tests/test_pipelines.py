@@ -3592,3 +3592,22 @@ def test_merge_inverted_index_refetch(ray_session, tmp_path):
     with pytest.raises(ValueError, match="n_partitions"):
         merge_inverted_index(old_dir, rd.from_pandas(delta),
                              str(tmp_path / "bad"), n_partitions=16)
+
+
+def test_bpe_batched_self_adjacent_counterexample(ray_session):
+    """The review-confirmed a==b hole: a corpus where merging (b,b)
+    creates (bb,b) whose count outranks a lower batch member — batched
+    training must still equal the cap=1 sequential sequence (the
+    self-adjacent pair now terminates its batch)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines import bpe
+
+    # word freqs {bbb:9, ddcc:2, ccddaddd:3} via repeated docs
+    docs = (["bbb"] * 9) + (["ddcc"] * 2) + (["ccddaddd"] * 3)
+    ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+    seq, _ = bpe.bpe_train(ds, n_merges=6, max_round_merges=1)
+    for cap in (2, 3, 64):
+        got, _ = bpe.bpe_train(ds, n_merges=6, max_round_merges=cap)
+        assert got == seq, f"cap={cap}: {got} != {seq}"
