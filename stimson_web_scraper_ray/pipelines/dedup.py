@@ -1427,12 +1427,9 @@ def dup_substring_spans(ds, gram_len: int = 50, id_col: str = "doc_id",
     if stats is not None:
         stats["path"] = "broadcast"
 
-    blocks = [ray.get(r) for r in dup_gh.to_arrow_refs()]
-    ghs = np.sort(np.concatenate(
-        [b["gh"].to_numpy(zero_copy_only=False) for b in blocks
-         if "gh" in b.schema.names]
-        or [np.empty(0, dtype=np.int64)]).astype(np.int64).view(np.uint64))
-    ghs_ref = ray.put(ghs)
+    from .shuffle import collect_sorted_keys
+
+    ghs_ref = ray.put(collect_sorted_keys(dup_gh, "gh", np.uint64))
 
     def span_rows(t: pa.Table) -> pa.Table:
         dup_set = ray.get(ghs_ref)  # zero-copy shared-memory numpy read
@@ -1591,12 +1588,9 @@ def remove_dup_substrings(ds, gram_len: int = 50, id_col: str = "doc_id",
         return _remove_dup_substrings_wide(ds, dup_gh, gram_len, id_col,
                                            text_col, n_parts)
 
-    blocks = [ray.get(r) for r in dup_gh.to_arrow_refs()]
-    ghs = np.sort(np.concatenate(
-        [b["gh"].to_numpy(zero_copy_only=False) for b in blocks
-         if "gh" in b.schema.names]
-        or [np.empty(0, dtype=np.int64)]).astype(np.int64).view(np.uint64))
-    ghs_ref = ray.put(ghs)
+    from .shuffle import collect_sorted_keys
+
+    ghs_ref = ray.put(collect_sorted_keys(dup_gh, "gh", np.uint64))
 
     def clean_rows(t: pa.Table) -> pa.Table:
         dup_set = ray.get(ghs_ref)

@@ -190,22 +190,15 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
         if stats is not None:
             stats["n_candidates"] = n_cand
         if n_cand * 8 <= broadcast_limit_bytes:
-            blocks = [ray.get(r) for r in hits.to_arrow_refs()]
-            cand_ids = np.sort(np.concatenate(
-                [b["doc_id"].to_numpy(zero_copy_only=False)
-                 for b in blocks if "doc_id" in b.schema.names]
-                or [np.empty(0, dtype=np.int64)]).astype(np.int64))
-            ids_ref = ray.put(cand_ids)
+            from .shuffle import collect_sorted_keys, sorted_membership
+
+            ids_ref = ray.put(collect_sorted_keys(hits, "doc_id"))
 
             def keep_candidates(t: pa.Table) -> pa.Table:
                 cids = ray.get(ids_ref)
-                if cids.size == 0:
-                    return t.slice(0, 0)
                 rows = t[id_col].to_numpy(zero_copy_only=False) \
                     .astype(np.int64)
-                idx = np.searchsorted(cids, rows)
-                np.clip(idx, 0, cids.size - 1, out=idx)
-                return t.filter(pa.array(cids[idx] == rows))
+                return t.filter(pa.array(sorted_membership(cids, rows)))
 
             cand = ds.map_batches(keep_candidates, batch_format="pyarrow")
             if stats is not None:

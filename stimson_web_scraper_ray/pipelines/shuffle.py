@@ -177,3 +177,32 @@ def _make_or_remote():
 
 
 _or_bitmap_tables = _make_or_remote()
+
+
+def collect_sorted_keys(ds, col: str, dtype=np.int64) -> np.ndarray:
+    """Collect one integer column of a (small, duplicate-volume- or
+    candidate-scaled) Dataset into ONE sorted numpy array on the driver
+    — the broadcast side of the sorted-set membership probe. int64 →
+    uint64 conversion is modular (same bits as a view), so uint64
+    callers sort in unsigned order as required. Shared by the phrase-
+    search candidate filter and the ExactSubstr dup-hash sets
+    (previously copy-pasted at three sites — review finding)."""
+    import ray
+
+    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
+    arrs = [b[col].to_numpy(zero_copy_only=False)
+            for b in blocks if col in b.schema.names]
+    return np.sort(np.concatenate(
+        arrs or [np.empty(0, dtype)]).astype(dtype))
+
+
+def sorted_membership(sorted_keys: np.ndarray,
+                      probe: np.ndarray) -> np.ndarray:
+    """Vectorized membership mask of ``probe`` in ``sorted_keys`` —
+    the searchsorted + clip + equality idiom in one place (the clip
+    bound is the easy-to-fumble part)."""
+    if sorted_keys.size == 0:
+        return np.zeros(probe.size, dtype=bool)
+    idx = np.searchsorted(sorted_keys, probe)
+    np.clip(idx, 0, sorted_keys.size - 1, out=idx)
+    return sorted_keys[idx] == probe
