@@ -706,9 +706,202 @@ def trade_bfs(sf_dir: str, max_hops: int = 3) -> pd.DataFrame:
     return bfs_hops(edges, seeds, max_hops=max_hops)
 
 
+def _node_universe_switch(edges_ds, node_broadcast_limit: int,
+                          n_parts: int = 16):
+    """Scale-safe node discovery + |V| switch shared by the two-path
+    graph operators (the pagerank lines 84-101 idiom, now one copy):
+    ``edges_ds`` must be materialized. When even the 2|E| bound fits
+    the broadcast limit, per-batch uniques concatenate on the driver
+    directly (bounded by the same limit; skips one salted exchange).
+    Only when the BOUND overflows does the distinct run as a
+    distributed exchange — and then the driver sees nothing
+    node-scaled before the path is chosen. Returns
+    ``(nodes, nodes_ds, n)``: exactly one of nodes (sorted ndarray) /
+    nodes_ds (distinct-node Dataset) is non-None; nodes_ds non-None
+    means the caller must take its Dataset-resident path."""
+    from .shuffle import salted_partition_apply
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    n_edges = edges_ds.count()
+    if 2 * n_edges <= node_broadcast_limit:
+        parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
+            .to_pandas()
+        nodes = np.unique(parts["node"].to_numpy().astype(np.int64))
+        return nodes, None, len(nodes)
+    nodes_ds = salted_partition_apply(
+        edges_ds.map_batches(uniq, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates("node"),
+        combine_key=lambda t: t["node"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=n_parts).materialize()
+    n = nodes_ds.count()
+    if n <= node_broadcast_limit:    # discovered distributed, but fits
+        nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
+                        .astype(np.int64))
+        return nodes, None, n
+    return None, nodes_ds, n
+
+
+def _compact(ds, k: int = 8):
+    """Re-materialize loop-carried state with a BOUNDED block count.
+    Fixpoint loops (k-core peel, SCC trim/color/backward) otherwise
+    accumulate blocks wave over wave — union and hash_join outputs sum
+    their inputs' block counts, and per-execution scheduling cost grows
+    with block count, not bytes (measured: the 9-edge SCC hand graph
+    livelocked past 15 min before this, 3 min after). One repartition
+    per wave of node-scaled state is noise next to the exchanges the
+    wave already runs."""
+    return ds.repartition(k).materialize()
+
+
+def _drop_edges_touching(live_ds, dead_ds, n_dead: int,
+                         n_parts: int = 16,
+                         broadcast_limit_bytes: int = 256 << 20):
+    """Remove every edge with either endpoint in ``dead_ds`` (a
+    (node:int64) Dataset of ``n_dead`` rows) from a (src, dst) edge
+    Dataset — the per-wave subgraph shrink of the Dataset-resident
+    k-core / SCC paths. Byte-probed two-path form (the engine's
+    standard small-side switch): a wave's peel set is usually tiny, so
+    the sorted-membership broadcast filter wins; a degenerate wave
+    (star-graph leaf kill) can be node-scaled, so above the byte bound
+    the same semantics run as two anti hash-joins (src then dst) with
+    nothing node-scaled on the driver. Returns an unmaterialized
+    Dataset either way."""
+    import ray
+
+    from .join import hash_join
+    from .shuffle import collect_sorted_keys, sorted_membership
+
+    if n_dead * 8 <= broadcast_limit_bytes:
+        dead = collect_sorted_keys(dead_ds, "node")
+        ref = ray.put(dead)
+
+        def keep(t: pa.Table) -> pa.Table:
+            dd = ray.get(ref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = (~sorted_membership(dd, s)) & (~sorted_membership(dd, d))
+            return t.filter(pa.array(m))
+
+        return live_ds.map_batches(keep, batch_format="pyarrow")
+    half = hash_join(live_ds, dead_ds, on="src", right_on="node",
+                     how="anti", n_parts=n_parts)
+    # bound the block count: joins sum their inputs' blocks, and this
+    # output is loop-carried (next wave's live set)
+    return hash_join(half, dead_ds, on="dst", right_on="node",
+                     how="anti", n_parts=n_parts).repartition(n_parts)
+
+
+def _src_degrees_ds(live_ds, n_parts: int = 16):
+    """Per-src live degree as a Dataset (node, deg): per-batch unique
+    counts, one salted node-functional exchange. The Dataset-resident
+    replacement for the broadcast paths' bincount-into-|V|-vector."""
+    from .shuffle import salted_partition_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    return salted_partition_apply(
+        live_ds.map_batches(partial, batch_format="pyarrow"),
+        lambda df: df.groupby("node", as_index=False)["deg"].sum(),
+        combine_key=lambda t: t["node"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=n_parts)
+
+
+def _core_decomposition_distributed(edges_ds, nodes_ds, n_alive: int,
+                                    max_waves: int,
+                                    n_parts: int = 16,
+                                    broadcast_limit_bytes: int = 256 << 20
+                                    ) -> pd.DataFrame:
+    """Web-scale k-core path: the SAME Batagelj peel waves as the
+    broadcast path, with every piece of node-scaled state a DATASET —
+    the _pagerank_distributed hash-join algebra. Per wave: one salted
+    per-src degree exchange over the live edge Dataset, one node-scaled
+    left hash_join (alive ← deg, null→0), a scalar ``min`` for the
+    k-jump (raising k is a free re-check of the same degrees, so every
+    wave removes ≥1 node — identical to the broadcast path's inner
+    k-increment loop), a filter for the doomed set, one anti-join
+    shrinking alive, and a byte-probed edge shrink
+    (_drop_edges_touching). The driver sees only scalars per wave; the
+    peeled (node, coreness) rows accumulate as Datasets and are pulled
+    ONCE at the end — the result itself, the quantity the pandas
+    return contract holds by definition (callers at 10^9+ nodes would
+    consume the union as a Dataset / write_parquet instead)."""
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+
+    alive_ds = nodes_ds.materialize()
+    live_ds = edges_ds.materialize()
+    n_live = live_ds.count()
+    done = []                               # Datasets (node, coreness)
+    k = 1
+    waves = 0
+    while n_alive > 0:
+        waves += 1
+        if waves > max_waves:
+            raise RuntimeError(f"core_decomposition: no convergence "
+                               f"after {max_waves} waves")
+        if n_live == 0:
+            # all remaining alive nodes have live degree 0 — doomed at
+            # the current k, exactly the broadcast path's deg<k branch
+            doomed = alive_ds
+            n_doomed = n_alive
+        else:
+            deg_ds = _src_degrees_ds(live_ds, n_parts=n_parts)
+            degf = _compact(hash_join(
+                alive_ds, deg_ds, on="node", how="left",
+                n_parts=n_parts).map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "deg": pc.fill_null(t["deg"], 0)}),
+                batch_format="pyarrow"))
+            m = int(degf.min("deg"))
+            if m >= k:                      # the k-jump (see docstring)
+                k = m + 1
+            kk = k
+            doomed = _compact(degf.map_batches(
+                lambda t, _k=kk: t.filter(pc.less(t["deg"], _k))
+                .select(["node"]),
+                batch_format="pyarrow"))
+            n_doomed = doomed.count()
+        cns = np.int64(k - 1)
+        done.append(doomed.map_batches(
+            lambda t, _c=cns: pa.table({
+                "node": t["node"],
+                "coreness": pa.array(np.full(len(t), _c, np.int64))}),
+            batch_format="pyarrow").materialize())
+        n_alive -= n_doomed
+        if n_alive == 0:
+            break
+        alive_ds = _compact(hash_join(alive_ds, doomed, on="node",
+                                      how="anti", n_parts=n_parts))
+        live_ds = _drop_edges_touching(
+            live_ds, doomed, n_doomed, n_parts=n_parts,
+            broadcast_limit_bytes=broadcast_limit_bytes).materialize()
+        n_live = live_ds.count()
+
+    out = pd.concat([d.to_pandas() for d in done], ignore_index=True)
+    return pd.DataFrame({
+        "node_id": out["node"].astype("int64"),
+        "coreness": out["coreness"].astype("int64")}) \
+        .sort_values("node_id").reset_index(drop=True)
+
+
 def core_decomposition(edges_ds,
                        node_broadcast_limit: int = 50_000_000,
-                       max_waves: int = 100_000) -> pd.DataFrame:
+                       max_waves: int = 100_000,
+                       broadcast_limit_bytes: int = 256 << 20,
+                       n_parts: int = 16) -> pd.DataFrame:
     """Exact k-core decomposition — coreness(v) = the largest k such
     that v survives in a subgraph of minimum degree k — over an
     undirected graph given as a BIDIRECTIONAL edge Dataset (src, dst
@@ -724,9 +917,11 @@ def core_decomposition(edges_ds,
     ray.put — the edge set never visits the driver, only node-scaled
     vectors do (the pagerank broadcast-path convention; the number of
     waves is the graph's degeneracy ordering depth, typically
-    O(tens)). Above ``node_broadcast_limit`` nodes the same waves
-    would run with degrees as Datasets + hash semi-joins — that path
-    raises explicitly rather than silently materializing.
+    O(tens)). Above ``node_broadcast_limit`` nodes the same waves run
+    with degrees, the alive set, and the edge shrink all
+    Dataset-resident (``_core_decomposition_distributed``) — the
+    pagerank two-path convention, parity-pinned with a forced-zero
+    limit test.
 
     Returns pandas (node_id, coreness:int64) sorted by node_id, one
     row per node appearing in any edge."""
@@ -737,20 +932,12 @@ def core_decomposition(edges_ds,
         return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
                              "coreness": pd.Series(dtype="int64")})
 
-    def uniq(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
-            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
-        return pa.table({"node": pa.array(u, pa.int64())})
-
-    node_parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
-        .to_pandas()
-    nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
-    n = len(nodes)
-    if n > node_broadcast_limit:
-        raise NotImplementedError(
-            "core_decomposition above node_broadcast_limit needs the "
-            "Dataset-resident degree path (hash semi-join waves)")
+    nodes, nodes_ds, n = _node_universe_switch(edges_ds,
+                                               node_broadcast_limit)
+    if nodes_ds is not None:
+        return _core_decomposition_distributed(
+            edges_ds, nodes_ds, n, max_waves, n_parts=n_parts,
+            broadcast_limit_bytes=broadcast_limit_bytes)
 
     # index-encode ONCE so every wave streams int32 pairs, not raw ids
     nref = ray.put(nodes)
@@ -1042,8 +1229,249 @@ def trade_ppr(sf_dir: str, damping: float = 0.85, iters: int = 3,
     return df.sort_values("node_id").reset_index(drop=True)
 
 
+def _scc_distributed(edges_ds, nodes_ds, n_active: int,
+                     max_rounds: int, max_waves: int,
+                     n_parts: int = 16,
+                     broadcast_limit_bytes: int = 256 << 20
+                     ) -> pd.DataFrame:
+    """Web-scale SCC path: the SAME FW-BW-Trim rounds as the broadcast
+    path with every piece of node-scaled state a DATASET — active set,
+    colors, and backward marks live in the object store and move
+    through hash_join / salted exchanges (_pagerank_distributed
+    algebra); the driver sees only per-wave scalars.
+
+    Per trim wave: ONE combined (out-degree, in-degree) salted exchange
+    over the live edges, a node-scaled left join, a filter, an
+    anti-join, a byte-probed edge shrink. Per color wave: one
+    hash_join(edges, colors on src) + salted per-dst max + node-scaled
+    left join + change count. The backward pass is a reverse BFS from
+    the color roots over the SAME-COLOR edge subset (computed once per
+    round with two edge joins): per wave one semi-join against the
+    frontier, a salted distinct, an anti-join vs marks — the fixpoint
+    the broadcast path's repeated full scans reach, one frontier hop
+    at a time. Retired (node, scc) rows accumulate as Datasets, pulled
+    ONCE at the end (the result itself — the pandas return contract;
+    10^9-node callers would consume the union as a Dataset)."""
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    def node_fold(t: pa.Table) -> np.ndarray:
+        return t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    active_ds = nodes_ds.materialize()
+    live_ds = edges_ds.materialize()
+    n_live = live_ds.count()
+    done = []                                 # Datasets (node, scc)
+
+    def retire_as_singletons(kill_ds):
+        done.append(kill_ds.map_batches(
+            lambda t: pa.table({"node": t["node"], "scc": t["node"]}),
+            batch_format="pyarrow").materialize())
+
+    for _round in range(max_rounds):
+        if n_active == 0:
+            break
+
+        # --- 1. TRIM to fixpoint ---
+        for _wave in range(max_waves):
+            if n_live == 0:
+                # no live edges: every remaining active node has
+                # od = ind = 0 — all are singleton SCCs
+                retire_as_singletons(active_ds)
+                n_active = 0
+                break
+
+            def deg_partial(t: pa.Table) -> pa.Table:
+                s = t["src"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                d = t["dst"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                us, cs = np.unique(s, return_counts=True)
+                ud, cd = np.unique(d, return_counts=True)
+                return pa.table({
+                    "node": pa.array(np.concatenate([us, ud]),
+                                     pa.int64()),
+                    "od": pa.array(np.concatenate(
+                        [cs, np.zeros(ud.size, np.int64)])
+                        .astype(np.int64)),
+                    "ind": pa.array(np.concatenate(
+                        [np.zeros(us.size, np.int64), cd])
+                        .astype(np.int64))})
+
+            degs = salted_partition_apply(
+                live_ds.map_batches(deg_partial, batch_format="pyarrow"),
+                lambda df: df.groupby("node", as_index=False)[
+                    ["od", "ind"]].sum(),
+                combine_key=node_fold, n_parts=n_parts)
+            kill = _compact(hash_join(
+                active_ds, degs, on="node", how="left",
+                n_parts=n_parts).map_batches(
+                lambda t: t.filter(pc.or_(
+                    pc.equal(pc.fill_null(t["od"], 0), 0),
+                    pc.equal(pc.fill_null(t["ind"], 0), 0)))
+                .select(["node"]),
+                batch_format="pyarrow"))
+            nk = kill.count()
+            if nk == 0:
+                break
+            retire_as_singletons(kill)
+            n_active -= nk
+            if n_active == 0:
+                break
+            active_ds = _compact(hash_join(active_ds, kill, on="node",
+                                           how="anti", n_parts=n_parts))
+            live_ds = _drop_edges_touching(
+                live_ds, kill, nk, n_parts=n_parts,
+                broadcast_limit_bytes=broadcast_limit_bytes) \
+                .materialize()
+            n_live = live_ds.count()
+        else:
+            if n_active:
+                raise RuntimeError("SCC trim did not converge")
+        if n_active == 0:
+            break
+
+        # --- 2. COLOR: forward max-label propagation to fixpoint ---
+        color_ds = active_ds.map_batches(
+            lambda t: pa.table({"node": t["node"], "color": t["node"]}),
+            batch_format="pyarrow").materialize()
+        for _wave in range(max_waves):
+            col_src = color_ds.map_batches(
+                lambda t: pa.table({"src": t["node"], "col": t["color"]}),
+                batch_format="pyarrow")
+            ec = hash_join(live_ds, col_src, on="src", how="inner",
+                           n_parts=n_parts)
+
+            def max_partial(t: pa.Table) -> pa.Table:
+                d = t["dst"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                c = t["col"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                order = np.argsort(d, kind="stable")
+                ds_, cs_ = d[order], c[order]
+                grp = np.concatenate([[True], ds_[1:] != ds_[:-1]]) \
+                    if ds_.size else np.zeros(0, bool)
+                starts = np.nonzero(grp)[0]
+                mx = (np.maximum.reduceat(cs_, starts)
+                      if starts.size else np.zeros(0, np.int64))
+                return pa.table({
+                    "node": pa.array(ds_[starts] if starts.size
+                                     else np.zeros(0, np.int64),
+                                     pa.int64()),
+                    "m": pa.array(mx.astype(np.int64))})
+
+            maxin = salted_partition_apply(
+                ec.map_batches(max_partial, batch_format="pyarrow"),
+                lambda df: df.groupby("node", as_index=False)["m"].max(),
+                combine_key=node_fold, n_parts=n_parts)
+
+            def upd(t: pa.Table) -> pa.Table:
+                cur = t["color"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                # null m = no in-edge from the active subgraph: keep
+                # the current color (int64 min never wins a max)
+                m = pc.fill_null(t["m"], np.iinfo(np.int64).min) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                new = np.maximum(cur, m)
+                return pa.table({
+                    "node": t["node"],
+                    "color": pa.array(new, pa.int64()),
+                    "chg": pa.array((new != cur).astype(np.int64))})
+
+            upd_ds = _compact(hash_join(
+                color_ds, maxin, on="node", how="left",
+                n_parts=n_parts).map_batches(
+                upd, batch_format="pyarrow"))
+            changed = int(upd_ds.sum("chg") or 0)
+            color_ds = upd_ds.map_batches(
+                lambda t: t.select(["node", "color"]),
+                batch_format="pyarrow").materialize()
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("SCC coloring did not converge")
+
+        # --- 3. BACKWARD: reverse BFS from color roots along
+        # same-color edges (computed once per round) ---
+        e1 = hash_join(live_ds,
+                       color_ds.map_batches(
+                           lambda t: pa.table({"src": t["node"],
+                                               "cs": t["color"]}),
+                           batch_format="pyarrow"),
+                       on="src", how="inner", n_parts=n_parts)
+        bedges = hash_join(e1,
+                           color_ds.map_batches(
+                               lambda t: pa.table({"dst": t["node"],
+                                                   "cd": t["color"]}),
+                               batch_format="pyarrow"),
+                           on="dst", how="inner", n_parts=n_parts) \
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["cs"], t["cd"]))
+                .select(["src", "dst"]),
+                batch_format="pyarrow")
+        bedges = _compact(bedges, k=n_parts)
+        mark_ds = _compact(color_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["node"], t["color"]))
+            .select(["node"]),
+            batch_format="pyarrow"))
+        frontier = mark_ds
+        for _wave in range(max_waves):
+            cand = hash_join(
+                bedges,
+                frontier.map_batches(
+                    lambda t: pa.table({"dst": t["node"]}),
+                    batch_format="pyarrow"),
+                on="dst", how="semi", n_parts=n_parts)
+            srcs = _compact(salted_partition_apply(
+                cand.map_batches(
+                    lambda t: pa.table({"node": t["src"]}),
+                    batch_format="pyarrow"),
+                lambda df: df.drop_duplicates("node"),
+                combine_key=node_fold, n_parts=n_parts))
+            if srcs.count() == 0:
+                break
+            newly = _compact(hash_join(srcs, mark_ds, on="node",
+                                       how="anti", n_parts=n_parts))
+            if newly.count() == 0:
+                break
+            mark_ds = _compact(mark_ds.union(newly))
+            frontier = newly
+        else:
+            raise RuntimeError("SCC backward pass did not converge")
+
+        finished = hash_join(mark_ds, color_ds, on="node", how="inner",
+                             n_parts=n_parts)
+        done.append(finished.map_batches(
+            lambda t: pa.table({"node": t["node"], "scc": t["color"]}),
+            batch_format="pyarrow").materialize())
+        nm = mark_ds.count()
+        n_active -= nm
+        if n_active == 0:
+            break
+        active_ds = _compact(hash_join(active_ds, mark_ds, on="node",
+                                       how="anti", n_parts=n_parts))
+        live_ds = _drop_edges_touching(
+            live_ds, mark_ds, nm, n_parts=n_parts,
+            broadcast_limit_bytes=broadcast_limit_bytes).materialize()
+        n_live = live_ds.count()
+    else:
+        if n_active:
+            raise RuntimeError("SCC peel did not converge in max_rounds")
+
+    out = pd.concat([d.to_pandas() for d in done], ignore_index=True)
+    return pd.DataFrame({
+        "node_id": out["node"].astype("int64"),
+        "scc_id": out["scc"].astype("int64")}) \
+        .sort_values("node_id").reset_index(drop=True)
+
+
 def strongly_connected_components(edges_ds, max_rounds: int = 50,
-                                  max_waves: int = 200) -> pd.DataFrame:
+                                  max_waves: int = 200,
+                                  node_broadcast_limit: int = 50_000_000,
+                                  broadcast_limit_bytes: int = 256 << 20,
+                                  n_parts: int = 16) -> pd.DataFrame:
     """Exact SCC decomposition of a directed edge Dataset (src, dst) —
     the FW-BW-Trim / coloring family (Fleischer-Hendrickson-Pinar 2000,
     Orzan 2004; the standard distributed SCC since Tarjan's stack is
@@ -1069,25 +1497,25 @@ def strongly_connected_components(edges_ds, max_rounds: int = 50,
     color wave / backward wave is one streaming map_batches over it
     emitting per-batch partial reductions (bincounts, grouped maxima,
     marked-source indices) — edge-scaled data never lands on the
-    driver. Above driver-memory node counts the same waves run with
-    Dataset-resident state via the _pagerank_distributed hash_join
-    algebra (documented upgrade path, not needed below ~50M nodes)."""
+    driver. Above ``node_broadcast_limit`` nodes the SAME rounds run
+    with active set, colors, marks, and the edge shrink all
+    Dataset-resident (``_scc_distributed`` — the _pagerank_distributed
+    hash_join algebra), parity-pinned with a forced-zero limit test."""
     import ray
-    from ray.data.aggregate import Count
 
-    # --- node universe + index-mapped edges (once) ---
-    def uniq(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            t["src"].to_numpy(zero_copy_only=False),
-            t["dst"].to_numpy(zero_copy_only=False)]).astype(np.int64))
-        return pa.table({"node": pa.array(u, pa.int64())})
-
-    parts = edges_ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
-    nodes = np.unique(parts["node"].to_numpy().astype(np.int64))
-    n = len(nodes)
-    if n == 0:
+    # --- node universe + the |V| switch (scale-safe: the driver sees
+    # only a count before a path is chosen) ---
+    edges_ds = edges_ds.repartition(16).materialize()
+    if edges_ds.count() == 0:
         return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
                              "scc_id": pd.Series(dtype="int64")})
+    nodes, nodes_ds, n = _node_universe_switch(edges_ds,
+                                               node_broadcast_limit)
+    if nodes_ds is not None:
+        return _scc_distributed(
+            edges_ds, nodes_ds, n, max_rounds, max_waves,
+            n_parts=n_parts,
+            broadcast_limit_bytes=broadcast_limit_bytes)
     nref = ray.put(nodes)
 
     def to_idx(t: pa.Table) -> pa.Table:

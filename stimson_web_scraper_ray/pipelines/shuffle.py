@@ -190,8 +190,17 @@ def collect_sorted_keys(ds, col: str, dtype=np.int64) -> np.ndarray:
     import ray
 
     blocks = [ray.get(r) for r in ds.to_arrow_refs()]
-    arrs = [b[col].to_numpy(zero_copy_only=False)
-            for b in blocks if col in b.schema.names]
+    arrs = []
+    for b in blocks:
+        # to_arrow_refs can surface pandas blocks unconverted when the
+        # lineage ends in a map_groups (Ray 2.49) — accept both
+        if isinstance(b, pd.DataFrame):
+            if col in b.columns:
+                arrs.append(np.asarray(b[col].to_numpy()))
+        elif col in b.schema.names:
+            arrs.append(b[col].to_numpy(zero_copy_only=False))
+    # .astype on the CONCATENATED ndarray is modular for int64→uint64
+    # (future-numpy safe — the per-element Python-int path is not)
     return np.sort(np.concatenate(
         arrs or [np.empty(0, dtype)]).astype(dtype))
 

@@ -2054,6 +2054,31 @@ def test_core_decomposition_exact(ray_session):
     assert len(core_decomposition(empty)) == 0
 
 
+def test_core_decomposition_distributed_parity(ray_session):
+    """node_broadcast_limit=0 forces the Dataset-resident peel (alive
+    set / degrees / edge shrink all as Datasets, nothing node-scaled on
+    the driver) — it must reproduce the broadcast path exactly on the
+    hand graph, on BOTH edge-shrink paths (broadcast_limit_bytes=0
+    forces the anti-join fallback)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.graph import core_decomposition
+
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+           (3, 4), (4, 5), (0, 6)]
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": [a for a, b in und] + [b for a, b in und],
+        "dst": [b for a, b in und] + [a for a, b in und]}))
+    want = {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 1}
+    for blim in (256 << 20, 0):
+        out = core_decomposition(edges, node_broadcast_limit=0,
+                                 broadcast_limit_bytes=blim, n_parts=2)
+        got = dict(zip(out["node_id"].astype(int),
+                       out["coreness"].astype(int)))
+        assert got == want, (blim, got)
+
+
 def test_remove_dup_substrings_paths(ray_session):
     """ExactSubstr removal: hand-computed truth (merged overlapping
     gram islands excised, unchanged docs absent) AND broadcast-path ==
@@ -2549,6 +2574,29 @@ def test_scc_known_graph(ray_session):
     assert out[10] == out[11] == out[12] == 12
     assert out[20] == 20 and out[21] == 21
     assert out[3] != out[12]                 # one-way bridge ≠ merge
+
+
+def test_scc_distributed_path_matches_broadcast(ray_session):
+    """node_broadcast_limit=0 forces the Dataset-resident SCC path
+    (active/color/mark state as Datasets, hash_join + salted exchanges
+    per wave, nothing node-scaled on the driver) — it must reproduce
+    the broadcast path exactly on the known graph (both cycles, the
+    one-way bridge, and the trim tail all exercised)."""
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.graph import (
+        strongly_connected_components,
+    )
+
+    src = [1, 2, 3, 10, 11, 12, 3, 12, 20]
+    dst = [2, 3, 1, 11, 12, 10, 10, 20, 21]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    a = strongly_connected_components(edges)
+    b = strongly_connected_components(edges, node_broadcast_limit=0,
+                                      n_parts=2)
+    assert a.equals(b)
 
 
 def test_label_propagation_heals_bridges(ray_session):
