@@ -2546,39 +2546,55 @@ def interval_join_events(sf_dir: str, left_type: str = "error",
     as-of join (which keeps only the nearest). Returns a Dataset
     (user_id, error_id, click_id, delta_us).
 
-    Scale shape: both sides ride ONE user-keyed exchange with a side
-    flag (each user's pair expansion is part-local vectorized pandas —
-    a time-bucketed composite key would bound the per-key expansion for
-    users hot enough to matter); delta is exact integer microseconds so
-    the oracle compare is tie-free."""
+    Scale shape: both sides ride ONE exchange keyed on the COMPOSITE
+    (user_id, ts // window) — each left event emits into its own and
+    the next time bucket (a right match r.ts ∈ [l.ts, l.ts+W] can only
+    live in those two), rights emit once, so every true pair meets in
+    exactly one bucket and a hot user's expansion is bounded by two
+    windows of their events, not their whole history (advisor finding:
+    the plain user key was O(L·R) per hot user). Delta is exact integer
+    microseconds so the oracle compare is tie-free."""
     from .shuffle import salted_partition_apply
 
     ds = read(sf_dir, "events",
               ["event_id", "ts", "user_id", "event_type"])
+    w_us = np.int64(window_minutes) * np.int64(60_000_000)
 
     def mark(t: pa.Table) -> pa.Table:
         et = t["event_type"]
         keep = pc.or_(pc.equal(et, pa.scalar(left_type)),
                       pc.equal(et, pa.scalar(right_type)))
         t = t.filter(keep)
+        ts_us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        is_left = pc.equal(t["event_type"], pa.scalar(left_type)) \
+            .to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = ts_us // w_us
+        # everyone in their own bucket; lefts AGAIN in the next bucket
         return pa.table({
-            "event_id": t["event_id"], "ts": t["ts"],
-            "user_id": t["user_id"],
-            "is_left": pc.equal(t["event_type"], pa.scalar(left_type))})
+            "event_id": pa.array(np.concatenate([eid, eid[is_left]])),
+            "ts_us": pa.array(np.concatenate([ts_us, ts_us[is_left]])),
+            "user_id": pa.array(np.concatenate([uid, uid[is_left]])),
+            "bucket": pa.array(np.concatenate([b, b[is_left] + 1])),
+            "is_left": pa.array(np.concatenate(
+                [is_left, np.ones(int(is_left.sum()), bool)]))})
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["is_left"]][["user_id", "event_id", "ts"]]
-        r = df[~df["is_left"]][["user_id", "event_id", "ts"]]
-        m = l.merge(r, on="user_id", suffixes=("_e", "_c"))
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["is_left"]][["user_id", "bucket", "event_id", "ts_us"]]
+        r = df[~df["is_left"]][["user_id", "bucket", "event_id", "ts_us"]]
+        m = l.merge(r, on=["user_id", "bucket"], suffixes=("_e", "_c"))
         if m.empty:
             return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
                                  "error_id": pd.Series(dtype="int64"),
                                  "click_id": pd.Series(dtype="int64"),
                                  "delta_us": pd.Series(dtype="int64")})
-        delta = (m["ts_c"].to_numpy("datetime64[us]")
-                 - m["ts_e"].to_numpy("datetime64[us]")) \
-            .astype("timedelta64[us]").astype(np.int64)
-        keep = (delta >= 0) & (delta <= window_minutes * 60_000_000)
+        delta = (m["ts_us_c"].to_numpy(np.int64)
+                 - m["ts_us_e"].to_numpy(np.int64))
+        keep = (delta >= 0) & (delta <= w_us)
         m = m[keep]
         return pd.DataFrame({
             "user_id": m["user_id"].to_numpy(np.int64),
@@ -2586,11 +2602,16 @@ def interval_join_events(sf_dir: str, left_type: str = "error",
             "click_id": m["event_id_c"].to_numpy(np.int64),
             "delta_us": delta[keep]})
 
+    def key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (t["user_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64) * np.int64(0x100000001B3)
+                    + t["bucket"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+
     return salted_partition_apply(
-        ds.map_batches(mark, batch_format="pyarrow"), per_user,
-        combine_key=lambda t: t["user_id"]
-        .to_numpy(zero_copy_only=False).astype(np.int64),
-        n_parts=n_parts)
+        ds.map_batches(mark, batch_format="pyarrow"), per_bucket,
+        combine_key=key, n_parts=n_parts)
 
 
 def tree_rollup(ds, key_col: str, weight_col: str, parent_of,

@@ -530,7 +530,9 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def hamming_near_dup_pairs(hashed, hash_col: str, *,
                            id_col: str = "doc_id", max_hamming: int = 3,
                            n_chunks: int = 4,
-                           bucket_cap: int | None = None):
+                           bucket_cap: int | None = None,
+                           hot_bucket_rows: int = 4096,
+                           dedup_driver_rows: int = 2_000_000):
     """Near-dup pairs over ANY 64-bit hash column by hamming distance,
     bucketed by (64/n_chunks)-bit chunks: a pair within distance
     d ≤ n_chunks−1 shares at least one intact chunk (pigeonhole), so
@@ -542,9 +544,26 @@ def hamming_near_dup_pairs(hashed, hash_col: str, *,
     guarantee holds only if no bucket is truncated (the inherited
     default cap of 50 silently broke it once an 8-bit chunk value held
     >50 docs, ~N/256 — review finding). Pass a cap only as an explicit
-    quadratic-blowup guard, accepting recall loss; the lossless
-    alternative at that scale is salting hot buckets by a further hash
-    chunk and verifying across salts."""
+    quadratic-blowup guard, accepting recall loss.
+
+    Hot-bucket salting (LOSSLESS, on the exact path only): a bucket
+    over ``hot_bucket_rows`` members — the dup-heavy-corpus norm at
+    scale, where one (chunk_idx, chunk_val) would otherwise self-merge
+    quadratically — is re-bucketed by a RECURSIVE pigeonhole on the
+    remaining 64−width bits: those bits split into max_hamming+1
+    sub-chunks, and a true pair (≤ max_hamming flips outside the
+    shared intact chunk) must share at least one intact sub-chunk, so
+    pairing within (chunk, sub-chunk) buckets loses nothing. Each hot
+    member is exploded into max_hamming+1 sub-rows (bounded, data-
+    independent fan-out) and cross-sub-chunk pair copies dedupe before
+    the hamming verify. Sub-buckets can only stay hot when members
+    agree on chunk AND sub-chunk — i.e. the pair volume itself is the
+    quadratic quantity being returned.
+
+    Cross-chunk pair dedup: pair multiplicity collapses on the driver
+    only below ``dedup_driver_rows`` raw pairs; above it, one salted
+    pair-key exchange dedupes distributed first (the minhash pattern),
+    so the driver pull is result-scaled, never multiplicity-scaled."""
     import pandas as pd
     import ray.data as rd
 
@@ -557,6 +576,46 @@ def hamming_near_dup_pairs(hashed, hash_col: str, *,
     width = 64 // n_chunks
     mask = np.uint64((1 << width) - 1)
     shifts = (np.arange(n_chunks, dtype=np.uint64) * np.uint64(width))
+    n_sub = max_hamming + 1
+    rem_bits = 64 - width
+    sub_w = np.array([rem_bits // n_sub + (1 if b < rem_bits % n_sub
+                                           else 0)
+                      for b in range(n_sub)], dtype=np.uint64)
+    sub_off = np.concatenate(
+        [[0], np.cumsum(sub_w)[:-1]]).astype(np.uint64)
+
+    def explode_subchunks(hot: pd.DataFrame) -> pd.DataFrame:
+        """Hot-bucket members → one row per (member, sub-chunk), with
+        sub_val carved from the hash EXCLUDING the bucket's own chunk
+        (per distinct chunk_idx, vectorized)."""
+        hs_all = hot["hash64"].to_numpy(np.uint64)
+        ci_all = hot["chunk_idx"].to_numpy()
+        out = []
+        for i in np.unique(ci_all):
+            sel = ci_all == i
+            hs = hs_all[sel]
+            low_n = int(i) * width
+            low = hs & np.uint64((1 << low_n) - 1)
+            sh = low_n + width
+            # numpy >> by >=64 is undefined (C semantics) — top chunk
+            # leaves no high bits at all
+            high = (hs >> np.uint64(sh)) if sh < 64 \
+                else np.zeros_like(hs)
+            rem = low | (high << np.uint64(low_n))
+            part = hot[sel]
+            n = int(sel.sum())
+            for b in range(n_sub):
+                sv = ((rem >> sub_off[b])
+                      & np.uint64((1 << int(sub_w[b])) - 1)) \
+                    .astype(np.int64)
+                out.append(pd.DataFrame({
+                    "chunk_idx": part["chunk_idx"].to_numpy(),
+                    "chunk_val": part["chunk_val"].to_numpy(),
+                    "sub_idx": np.full(n, b, np.int32),
+                    "sub_val": sv,
+                    "doc_id": part["doc_id"].to_numpy(),
+                    "hash64": hs}))
+        return pd.concat(out, ignore_index=True)
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -578,8 +637,29 @@ def hamming_near_dup_pairs(hashed, hash_col: str, *,
         # doc_id and hash64 stay SEPARATE uint64/int64 arrays end to end —
         # a mixed-dtype .values would promote hashes to float64 and
         # corrupt high bits (wrong hamming distances)
-        m = _self_merge_pairs(df, ["chunk_idx", "chunk_val"],
-                              cap=bucket_cap)
+        if bucket_cap is not None:
+            # explicit lossy opt-in: legacy capped path, no salting
+            m = _self_merge_pairs(df, ["chunk_idx", "chunk_val"],
+                                  cap=bucket_cap)
+        else:
+            sizes = df.groupby(["chunk_idx", "chunk_val"], sort=False)[
+                "doc_id"].transform("size")
+            hot_mask = (sizes > hot_bucket_rows).to_numpy()
+            m = _self_merge_pairs(df[~hot_mask],
+                                  ["chunk_idx", "chunk_val"], cap=None)
+            hot = df[hot_mask]
+            if not hot.empty:
+                mh = _self_merge_pairs(
+                    explode_subchunks(hot),
+                    ["chunk_idx", "chunk_val", "sub_idx", "sub_val"],
+                    cap=None)
+                # a pair sharing several intact sub-chunks appears once
+                # per shared sub-chunk — collapse before the verify
+                mh = mh.drop_duplicates(["doc_id_x", "doc_id_y"])
+                m = pd.concat(
+                    [m, mh[["chunk_idx", "chunk_val", "doc_id_x",
+                            "doc_id_y", "hash64_x", "hash64_y"]]],
+                    ignore_index=True)
         ham = _popcount64(m["hash64_x"].to_numpy(np.uint64)
                           ^ m["hash64_y"].to_numpy(np.uint64))
         keep = ham <= max_hamming
@@ -600,10 +680,23 @@ def hamming_near_dup_pairs(hashed, hash_col: str, *,
                 + t["chunk_idx"].to_numpy().astype(np.int64))
 
     chunks = hashed.map_batches(chunk_rows, batch_format="pyarrow")
-    pairs = _salted_partition_apply(chunks, chunk_part_pairs, chunk_key)
-    # cross-chunk (a, b) dedup on the driver (hamming is identical for
-    # every copy of a pair); the pair table is duplicate-volume-sized —
-    # the quantity we return anyway — so pandas beats another shuffle
+    pairs = _salted_partition_apply(chunks, chunk_part_pairs, chunk_key) \
+        .materialize()
+    # cross-chunk (a, b) dedup: a pair appears once per shared intact
+    # chunk (hamming identical on every copy). Below dedup_driver_rows
+    # raw pairs the collapse runs on the driver (the pull is the return
+    # contract anyway); above it, ONE salted pair-key exchange dedupes
+    # first so the driver pull is result-scaled, not multiplicity-scaled
+    if pairs.count() > dedup_driver_rows:
+        def pair_key(t: pa.Table) -> np.ndarray:
+            with np.errstate(over="ignore"):
+                return (t["a"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64) * np.int64(0x100000001B3)
+                        + t["b"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        pairs = _salted_partition_apply(
+            pairs, lambda df: df.drop_duplicates(["a", "b"]),
+            pair_key).materialize()
     out = pairs.to_pandas()
     if out.empty:
         return rd.from_pandas(pd.DataFrame(
@@ -1422,8 +1515,9 @@ def dup_substring_spans(ds, gram_len: int = 50, id_col: str = "doc_id",
     if n_dup * 8 > broadcast_limit_bytes:
         if stats is not None:
             stats["path"] = "wide"
-        return _dup_substring_spans_wide(ds, gram_len, id_col, text_col,
-                                         n_parts)
+        return _dup_substring_spans_wide(
+            ds, dup_gh, n_dup, gram_len, id_col, text_col, n_parts,
+            broadcast_limit_bytes, stats=stats)
     if stats is not None:
         stats["path"] = "broadcast"
 
@@ -1459,26 +1553,56 @@ def dup_substring_spans(ds, gram_len: int = 50, id_col: str = "doc_id",
     return ds.map_batches(span_rows, batch_format="pyarrow").sort(id_col)
 
 
-def _dup_substring_spans_wide(ds, gram_len: int = 50,
-                              id_col: str = "doc_id",
-                              text_col: str = "text", n_parts: int = 64):
-    """Fallback when the distinct-duplicated-hash set exceeds the
-    broadcast budget: the fully-exchanged form. One row per character
-    position through the gh-keyed exchange (24 B/char), then a doc-keyed
-    exchange for the span merge; never holds the dup set in one place."""
-    from .shuffle import salted_partition_apply
+def _spans_bloom_ref(dup_gh, n_dup: int, broadcast_limit_bytes: int):
+    """Bloom pre-filter over the distributed dup-hash set for the wide
+    ExactSubstr paths: 12 bits/key, k=7 (FP ≈ 0.3%), built via the
+    shared tree-OR so the driver touches O(1) bitmaps. ~5% of the raw
+    8 B/key set, so the compressed-exact regime extends ~20× past the
+    raw-broadcast budget. Returns (object_ref | None, m_bits, k) —
+    None when even the bloom overflows the budget (the path then runs
+    unfiltered: position-scaled, the legacy form, never wrong)."""
+    import ray
+
+    from .join import build_key_bloom
+
+    k_hashes = 7
+    m_bits = max(1 << 10, ((12 * max(n_dup, 1) + 7) // 8) * 8)
+    if m_bits // 8 > broadcast_limit_bytes:
+        return None, m_bits, k_hashes
+    bloom = build_key_bloom(dup_gh, "gh", m_bits=m_bits,
+                            k_hashes=k_hashes)
+    return ray.put(bloom), m_bits, k_hashes
+
+
+def _candidate_gram_rows(ds, bref, m_bits: int, k_hashes: int,
+                         gram_len: int, id_col: str, text_col: str):
+    """(gh, doc_id, pos) rows for every position whose gram hash passes
+    the bloom (no false negatives: a superset of the true duplicated
+    positions, duplicate-volume + ε-scaled). With ``bref`` None, all
+    positions emit (the legacy wide volume)."""
+    import ray
+
+    from .join import bloom_key_mask
 
     def gram_rows(t: pa.Table) -> pa.Table:
+        bits = ray.get(bref) if bref is not None else None
         ids, ghs, poss = [], [], []
         for did, txt in zip(t[id_col].to_pylist(),
                             t[text_col].to_pylist()):
             if not isinstance(txt, str):
                 continue
             h = _char_gram_hashes(txt, gram_len)
-            if h.size:
-                ids.append(np.full(h.size, did, dtype=np.int64))
-                ghs.append(h.view(np.int64))
-                poss.append(np.arange(h.size, dtype=np.int64))
+            if not h.size:
+                continue
+            pos = np.arange(h.size, dtype=np.int64)
+            if bits is not None:
+                keep = bloom_key_mask(h, bits, m_bits, k_hashes)
+                h, pos = h[keep], pos[keep]
+                if not h.size:
+                    continue
+            ids.append(np.full(h.size, did, dtype=np.int64))
+            ghs.append(h.view(np.int64))
+            poss.append(pos)
         if not ids:
             return pa.table({"gh": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
@@ -1487,15 +1611,58 @@ def _dup_substring_spans_wide(ds, gram_len: int = 50,
                          id_col: pa.array(np.concatenate(ids)),
                          "pos": pa.array(np.concatenate(poss))})
 
-    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    return ds.map_batches(gram_rows, batch_format="pyarrow")
 
-    def keep_duplicated(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df.groupby("gh")["gh"].transform("size")
-        return df.loc[counts >= 2, [id_col, "pos"]]
 
-    dup_pos = salted_partition_apply(
-        grams, keep_duplicated,
-        lambda t: t["gh"].to_numpy(), n_parts=n_parts)
+def _exact_dup_positions(cand, dup_gh, id_col: str, n_parts: int):
+    """gh-keyed exchange of the candidate rows with dup_gh markers
+    riding along (doc_id = -1 rows): per part, the exact semi-join
+    removes bloom false positives. Returns (doc_id, pos) rows of the
+    TRUE duplicated positions."""
+    from .shuffle import salted_partition_apply
+
+    def markers(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gh": t["gh"],
+            id_col: pa.array(np.full(t.num_rows, -1, np.int64)),
+            "pos": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def tag_pos(df: pd.DataFrame) -> pd.DataFrame:
+        marks = set(df.loc[df[id_col] < 0, "gh"].to_numpy())
+        hit = df[(df[id_col] >= 0) & df["gh"].isin(marks)]
+        return hit[[id_col, "pos"]]
+
+    return salted_partition_apply(
+        cand.union(dup_gh.map_batches(markers, batch_format="pyarrow")),
+        tag_pos, lambda t: t["gh"].to_numpy(), n_parts=n_parts)
+
+
+def _dup_substring_spans_wide(ds, dup_gh, n_dup: int, gram_len: int,
+                              id_col: str, text_col: str, n_parts: int,
+                              broadcast_limit_bytes: int,
+                              stats: dict | None = None):
+    """Fallback when the distinct-duplicated-hash set exceeds the raw
+    broadcast budget, duplicate-volume-compressed: dup_gh (already
+    computed by the count scan — no re-derivation) stays distributed;
+    its BLOOM broadcasts instead of the raw set, each doc emits only
+    bloom-passing positions (true dups + ~0.3% false positives), the
+    gh-keyed exchange semi-joins them against dup_gh markers for
+    exactness, and one doc-keyed exchange merges spans. If even the
+    bloom overflows the budget the same path runs unfiltered —
+    layered byte-probed degradation, never a wrong answer.
+    ``stats`` gets ``candidate_rows`` (the post-bloom exchange volume)
+    and ``bloom_bytes`` (0 on the unfiltered layer)."""
+    from .shuffle import salted_partition_apply
+
+    bref, m_bits, k_hashes = _spans_bloom_ref(dup_gh, n_dup,
+                                              broadcast_limit_bytes)
+    cand = _candidate_gram_rows(ds, bref, m_bits, k_hashes, gram_len,
+                                id_col, text_col)
+    if stats is not None:
+        cand = cand.materialize()
+        stats["candidate_rows"] = cand.count()
+        stats["bloom_bytes"] = (m_bits // 8) if bref is not None else 0
+    dup_pos = _exact_dup_positions(cand, dup_gh, id_col, n_parts)
 
     def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1584,9 +1751,11 @@ def remove_dup_substrings(ds, gram_len: int = 50, id_col: str = "doc_id",
         dup_hashes, lambda t: t["gh"].to_numpy(),
         n_parts=n_parts).materialize()
 
-    if dup_gh.count() * 8 > broadcast_limit_bytes:
-        return _remove_dup_substrings_wide(ds, dup_gh, gram_len, id_col,
-                                           text_col, n_parts)
+    n_dup = dup_gh.count()
+    if n_dup * 8 > broadcast_limit_bytes:
+        return _remove_dup_substrings_wide(
+            ds, dup_gh, n_dup, gram_len, id_col, text_col, n_parts,
+            broadcast_limit_bytes)
 
     from .shuffle import collect_sorted_keys
 
@@ -1618,50 +1787,23 @@ def remove_dup_substrings(ds, gram_len: int = 50, id_col: str = "doc_id",
     return ds.map_batches(clean_rows, batch_format="pyarrow").sort(id_col)
 
 
-def _remove_dup_substrings_wide(ds, dup_gh, gram_len: int, id_col: str,
-                                text_col: str, n_parts: int):
-    """Over-budget fallback: duplicated positions are re-derived with
-    the dup-hash set STAYING distributed (a gh-keyed semi-join of each
-    doc's gram stream against dup_gh), then ONE doc-keyed exchange
-    carries (pos rows + texts-once) into the same partitions for the
-    in-place excision."""
+def _remove_dup_substrings_wide(ds, dup_gh, n_dup: int, gram_len: int,
+                                id_col: str, text_col: str,
+                                n_parts: int,
+                                broadcast_limit_bytes: int):
+    """Over-budget fallback, duplicate-volume-compressed like the
+    spans wide path (shared helpers): the dup-hash BLOOM broadcasts,
+    docs emit only bloom-passing positions, the gh-keyed marker
+    exchange removes false positives exactly, then ONE doc-keyed
+    exchange carries (pos rows + texts-once) into the same partitions
+    for the in-place excision."""
     from .shuffle import salted_partition_apply
 
-    def gram_rows(t: pa.Table) -> pa.Table:
-        ids, ghs, poss = [], [], []
-        for did, txt in zip(t[id_col].to_pylist(),
-                            t[text_col].to_pylist()):
-            if not isinstance(txt, str):
-                continue
-            h = _char_gram_hashes(txt, gram_len)
-            if h.size:
-                ids.append(np.full(h.size, did, dtype=np.int64))
-                ghs.append(h.view(np.int64))
-                poss.append(np.arange(h.size, dtype=np.int64))
-        if not ids:
-            return pa.table({"gh": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64())})
-        return pa.table({"gh": pa.array(np.concatenate(ghs)),
-                         id_col: pa.array(np.concatenate(ids)),
-                         "pos": pa.array(np.concatenate(poss))})
-
-    def tag_pos(df: pd.DataFrame) -> pd.DataFrame:
-        # semi-join against the dup-hash rows co-partitioned by gh:
-        # dup_gh rows ride the same exchange as (doc_id=-1) markers
-        marks = set(df.loc[df[id_col] < 0, "gh"].to_numpy())
-        hit = df[(df[id_col] >= 0) & df["gh"].isin(marks)]
-        return hit[[id_col, "pos"]]
-
-    markers = dup_gh.map_batches(
-        lambda t: pa.table({
-            "gh": t["gh"],
-            id_col: pa.array(np.full(t.num_rows, -1, np.int64)),
-            "pos": pa.array(np.zeros(t.num_rows, np.int64))}),
-        batch_format="pyarrow")
-    dup_pos = salted_partition_apply(
-        ds.map_batches(gram_rows, batch_format="pyarrow").union(markers),
-        tag_pos, lambda t: t["gh"].to_numpy(), n_parts=n_parts)
+    bref, m_bits, k_hashes = _spans_bloom_ref(dup_gh, n_dup,
+                                              broadcast_limit_bytes)
+    cand = _candidate_gram_rows(ds, bref, m_bits, k_hashes, gram_len,
+                                id_col, text_col)
+    dup_pos = _exact_dup_positions(cand, dup_gh, id_col, n_parts)
 
     def pos_side(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -64,7 +64,24 @@ def zorder_write(ds, out_dir: str, x_col: str, y_col: str,
     key range (top log2(n_buckets) bits of the code) — no global sort.
     Quantization bounds are explicit arguments (data-independent, so
     the layout is stable under appends) and stamped into a meta file
-    the query side reads back."""
+    the query side reads back.
+
+    ``n_buckets`` must be a power of two no wider than the Morton code:
+    the bucket is the top log2(n_buckets) bits, so e.g. 20 would
+    silently floor to 16 real buckets while the query's
+    buckets_read/buckets_total stats reported against 20 — returned
+    rows stayed correct (write and read floored consistently) but the
+    auditable pruning stats lied (advisor finding). Fail fast
+    instead."""
+    b_exp = n_buckets.bit_length() - 1
+    if n_buckets <= 0 or (1 << b_exp) != n_buckets:
+        raise ValueError(
+            f"n_buckets must be a power of two (got {n_buckets}: the "
+            f"bucket id is the top log2(n_buckets) Morton bits)")
+    if b_exp > 2 * bits:
+        raise ValueError(
+            f"n_buckets={n_buckets} needs {b_exp} bucket bits but the "
+            f"Morton code only has 2*bits={2 * bits}")
 
     def annotate(t: pa.Table) -> pa.Table:
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -143,7 +160,11 @@ def zorder_box_query(out_dir: str, x_range: tuple, y_range: tuple,
     import ray.data as rd
 
     x, y = meta["x_col"], meta["y_col"]
-    ds = rd.read_parquet(files, columns=columns)
+    # one read task per candidate file: letting Ray over-split a small
+    # file list creates zero-row splits whose schema-less RefBundles
+    # trip the executor's schema-mismatch warning downstream
+    ds = rd.read_parquet(files, columns=columns,
+                         override_num_blocks=len(files))
 
     def exact(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -199,10 +199,14 @@ def collect_sorted_keys(ds, col: str, dtype=np.int64) -> np.ndarray:
                 arrs.append(np.asarray(b[col].to_numpy()))
         elif col in b.schema.names:
             arrs.append(b[col].to_numpy(zero_copy_only=False))
-    # .astype on the CONCATENATED ndarray is modular for int64→uint64
-    # (future-numpy safe — the per-element Python-int path is not)
-    return np.sort(np.concatenate(
-        arrs or [np.empty(0, dtype)]).astype(dtype))
+    cat = np.concatenate(arrs or [np.empty(0, dtype)])
+    if cat.dtype == object:
+        # blocks can surface int64 columns as OBJECT arrays of Python
+        # ints; object->uint64 warns on negatives today and fails
+        # under future numpy — hop through int64 (exact), then the
+        # typed astype below is modular (same bits as a view)
+        cat = cat.astype(np.int64)
+    return np.sort(cat.astype(dtype))
 
 
 def sorted_membership(sorted_keys: np.ndarray,

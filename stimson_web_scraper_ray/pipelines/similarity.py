@@ -746,7 +746,15 @@ def kcenter_select(ds, k: int = 6, id_col: str = "vec_id",
         return t.select([id_col, vec_col]).take([i])
 
     seeds = ds.map_batches(seed_partial, batch_format="pyarrow") \
-        .to_pandas().sort_values(id_col)
+        .to_pandas()
+    if seeds.empty or id_col not in seeds.columns:
+        # typed empty, not an IndexError (advisor finding; an all-empty
+        # input can also lose the column schema entirely)
+        return pd.DataFrame({
+            "sel_rank": pd.Series(dtype="int64"),
+            id_col: pd.Series(dtype="int64"),
+            "dist_at_pick": pd.Series(dtype="float64")})
+    seeds = seeds.sort_values(id_col)
     sel_ids = [int(seeds[id_col].iloc[0])]
     sel_vecs = [np.asarray(seeds[vec_col].iloc[0], dtype=np.float64)]
     sel_dist = [0.0]
@@ -782,6 +790,12 @@ def kcenter_select(ds, k: int = 6, id_col: str = "vec_id",
         parts = parts.sort_values(["d", id_col],
                                   ascending=[False, True],
                                   kind="mergesort")
+        if parts.empty or float(parts["d"].iloc[0]) <= 0.0:
+            # every point is at (rounded) distance 0 from a selected
+            # center — k exceeds the distinct-point count; stop instead
+            # of re-picking already-covered points (advisor finding,
+            # mirroring coverage_select's zero-marginal-gain break)
+            break
         sel_ids.append(int(parts[id_col].iloc[0]))
         sel_vecs.append(np.asarray(parts[vec_col].iloc[0],
                                    dtype=np.float64))
