@@ -2583,6 +2583,30 @@ def _q_index_search_bm25(sf_dir: str):
     return out[["doc_id", "bm25"]].reset_index(drop=True)
 
 
+def _q_index_bm25_prox(sf_dir: str):
+    """Proximity-boosted BM25 top-20 resolved ENTIRELY from the
+    positional index (index.bm25_proximity_topk): BM25 over the top-3
+    df terms of the digit-dropped stream (top_terms_positional pick,
+    shared with the oracle) plus, per adjacent term pair co-occurring
+    within 5 tokens, min(idf)/(1+dmin). One postings-only pass — the
+    corpus text is never read at query time; ranking parity is pinned
+    on the 4-dp-rounded score (the index_search_bm25 contract)."""
+    from stimson_web_scraper_ray.pipelines.analytics import read
+    from stimson_web_scraper_ray.pipelines.index import (
+        bm25_proximity_topk,
+        build_positional_index,
+        top_terms_positional,
+    )
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    pos = build_positional_index(ds).materialize()
+    terms = top_terms_positional(pos, 3)
+    out = bm25_proximity_topk(pos, terms, k=20, window=5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
 def _q_index_search_phrase(sf_dir: str):
     """Exact phrase search for the corpus's top bigram (freq desc,
     bigram desc — the corpus_bigrams pick; the PICK shares the
@@ -3301,6 +3325,27 @@ def _q_part_tree_rollup(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def _q_part_tree_rollup_pj(sf_dir: str):
+    """The SAME subtree rollup resolved by POINTER JUMPING
+    (analytics.tree_rollup_pj — log-depth doubling rounds, the
+    unbounded-depth swap-in for the closure form): state
+    (2^i-ancestor pointer + partial subtree mass) lives as a Dataset,
+    each round one carrier exchange + one fold join + one pointer
+    self-join. Same fanout-4 part tree, same WITH RECURSIVE oracle —
+    and the engine result must equal the closure path bit-for-bit."""
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        read,
+        tree_rollup_pj,
+    )
+
+    ds = read(sf_dir, "part", ["p_partkey", "p_size"])
+    out = tree_rollup_pj(ds, "p_partkey", "p_size",
+                         parent_of=lambda k: k // 4).to_pandas()
+    out = out.astype({"p_partkey": "int64", "subtree_sum": "int64",
+                      "n_desc": "int64"})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def _q_trade_walk_corpus(sf_dir: str):
     """Deterministic random-walk corpus (graph.walk_corpus): 3-step
     walks from every 10th customer node, each step a hash-rank choice
@@ -3528,6 +3573,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "index_search_phrase_pos": _q_index_search_phrase_pos,
         "index_search_near": _q_index_search_near,
         "index_search_any_phrase": _q_index_search_any_phrase,
+        "index_bm25_prox": _q_index_bm25_prox,
         "dup_substring_spans": _q_dup_substring_spans,
         "remove_dup_substrings": _q_remove_dup_substrings,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -3547,6 +3593,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "zorder_range_query": _q_zorder_range_query,
         "orders_merge_upsert": _q_orders_merge_upsert,
         "part_tree_rollup": _q_part_tree_rollup,
+        "part_tree_rollup_pj": _q_part_tree_rollup_pj,
         "coverage_doc_select": _q_coverage_doc_select,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap,
@@ -6189,6 +6236,73 @@ def oracle_sql_all() -> dict[str, str]:
     # NEAR/5 proximity: positions over the SAME digit-dropped stream
     # (1-based here, 0-based in the engine — |pa-pb| is offset-free);
     # term pick = (df desc, term asc) on that stream, shared
+    # proximity-boosted BM25 over the SAME digit-dropped positional
+    # stream (dl/df/tf/positions all from it; n_docs = docs with >= 1
+    # surviving token, the engine's index universe). Adjacent pairs of
+    # the top-3 (df desc, term asc) pick: (rn1, rn2), (rn2, rn3);
+    # bonus = LEAST(idf)/1+min-token-distance when within 5
+    sql["index_bm25_prox"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                       x -> x <> ''
+                           AND NOT regexp_matches(x, '^[0-9]+$')) AS w
+            FROM documents),
+        postok AS (
+            SELECT doc_id, unnest(w) AS term,
+                   unnest(range(1, len(w) + 1)) AS pos
+            FROM toks),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM postok GROUP BY 1),
+        stats AS (SELECT (SELECT COUNT(*) FROM dl) AS n_docs,
+                         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+                         / (SELECT COUNT(*) FROM dl) AS avgdl),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM postok GROUP BY term),
+        topt AS (SELECT term, df,
+                        row_number() OVER (ORDER BY df DESC, term) AS rn
+                 FROM dft QUALIFY rn <= 3),
+        idf AS (SELECT term, rn,
+                       ln(1 + ((SELECT n_docs FROM stats) - df + 0.5)
+                              / (df + 0.5)) AS idf
+                FROM topt),
+        tf AS (SELECT p.doc_id, p.term, COUNT(*) AS tf
+               FROM postok p JOIN topt USING(term) GROUP BY 1, 2),
+        bm AS (SELECT tf.doc_id,
+                      SUM(idf.idf * tf.tf * (1.2 + 1)
+                          / (tf.tf + 1.2 * (1 - 0.75
+                             + 0.75 * dl.dl / s.avgdl))) AS bm25
+               FROM tf JOIN idf USING(term) JOIN dl USING(doc_id)
+               CROSS JOIN stats s GROUP BY 1),
+        p12 AS (SELECT a.doc_id, MIN(abs(a.pos - b.pos)) AS dmin
+                FROM postok a JOIN postok b USING(doc_id)
+                WHERE a.term = (SELECT term FROM topt WHERE rn = 1)
+                  AND b.term = (SELECT term FROM topt WHERE rn = 2)
+                GROUP BY 1),
+        p23 AS (SELECT a.doc_id, MIN(abs(a.pos - b.pos)) AS dmin
+                FROM postok a JOIN postok b USING(doc_id)
+                WHERE a.term = (SELECT term FROM topt WHERE rn = 2)
+                  AND b.term = (SELECT term FROM topt WHERE rn = 3)
+                GROUP BY 1),
+        prox AS (SELECT doc_id, SUM(bonus) AS prox FROM (
+                    SELECT doc_id,
+                           LEAST((SELECT idf FROM idf WHERE rn = 1),
+                                 (SELECT idf FROM idf WHERE rn = 2))
+                           / (1 + dmin) AS bonus
+                    FROM p12 WHERE dmin <= 5
+                    UNION ALL
+                    SELECT doc_id,
+                           LEAST((SELECT idf FROM idf WHERE rn = 2),
+                                 (SELECT idf FROM idf WHERE rn = 3))
+                           / (1 + dmin)
+                    FROM p23 WHERE dmin <= 5) GROUP BY 1),
+        scored AS (SELECT bm.doc_id,
+                          ROUND(bm.bm25 + COALESCE(prox.prox, 0),
+                                4) AS score
+                   FROM bm LEFT JOIN prox USING(doc_id))
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """
     sql["index_search_near"] = """
         WITH toks AS (
             SELECT doc_id,
@@ -6586,6 +6700,8 @@ def oracle_sql_all() -> dict[str, str]:
         FROM anc JOIN part p ON p.p_partkey = anc.node
         GROUP BY anc.a ORDER BY p_partkey
     """
+    # the pointer-jumping path answers the SAME question — same oracle
+    sql["part_tree_rollup_pj"] = sql["part_tree_rollup"]
     # MERGE / CDC apply: same arithmetic changelog, last-writer-wins by
     # seq via QUALIFY, delete survivors dropped
     sql["orders_merge_upsert"] = """

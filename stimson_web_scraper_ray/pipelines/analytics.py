@@ -2670,3 +2670,169 @@ def tree_rollup(ds, key_col: str, weight_col: str, parent_of,
         combine_key=lambda t: t[key_col].to_numpy(
             zero_copy_only=False).astype(np.int64),
         n_parts=n_parts)
+
+
+def tree_rollup_pj(ds, key_col: str, weight_col: str, parent_of,
+                   root: int = 0, n_parts: int = 16,
+                   max_rounds: int = 64):
+    """``tree_rollup`` for UNBOUNDED depth — pointer-jumping (the
+    transpose of Wyllie's list-ranking doubling, log-depth rounds):
+    per-node state (ptr = 2^i-th ancestor or null, dsum/dcnt = subtree
+    mass within distance < 2^i) lives as a Dataset; each round ONE
+    salted exchange groups carriers' mass by their pointer target,
+    one node-scaled join folds it in (D_{i+1}(v) = D_i(v) +
+    Σ_{p_i(u)=v} D_i(u) — every (descendant, ancestor) pair delivers
+    exactly once via the binary decomposition of its distance), and
+    one self-join doubles the pointers. ⌈log2 depth⌉+1 rounds where
+    the closure form ships depth × |nodes| rows — the swap-in when
+    depth is NOT a small constant (deep BOM chains, path hierarchies).
+
+    Contract: every non-root node's parent key must itself be a row of
+    ``ds`` (add weight-0 structural rows for pure interior nodes) —
+    verified, raises ValueError on the first missing parent; the root
+    row is synthesized with weight 0 when absent (the closure form
+    reaches it arithmetically). Duplicate keys aggregate at init, the
+    same semantics the closure's per-row emission yields. Cycles never
+    null their pointers → the max_rounds raise. Returns a Dataset
+    (key_col, subtree_sum, n_desc) — identical to ``tree_rollup``."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    def node_key(t: pa.Table) -> np.ndarray:
+        return t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def init_rows(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_root = k == root
+        p = np.where(is_root, np.int64(0), parent_of(k)) \
+            .astype(np.int64)
+        ptr = pc.if_else(pa.array(is_root),
+                         pa.scalar(None, pa.int64()),
+                         pa.array(p, pa.int64()))
+        return pa.table({
+            "node": pa.array(k),
+            "ptr": ptr,
+            "dsum": pa.array(w),
+            "dcnt": pa.array(np.ones(k.size, np.int64))})
+
+    def init_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False) \
+            .agg(ptr=("ptr", "first"), dsum=("dsum", "sum"),
+                 dcnt=("dcnt", "sum"))
+        return g
+
+    state = salted_partition_apply(
+        ds.map_batches(init_rows, batch_format="pyarrow"),
+        init_agg, node_key, n_parts=n_parts) \
+        .repartition(n_parts).materialize()
+    if state.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {key_col: pd.Series(dtype="int64"),
+             "subtree_sum": pd.Series(dtype="int64"),
+             "n_desc": pd.Series(dtype="int64")}))
+    has_root = state.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(pc.equal(t["node"], root),
+                                pa.int64())).as_py() or 0)])}),
+        batch_format="pyarrow").sum("n")
+    if not has_root:
+        state = state.union(rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series([root], dtype="int64"),
+             "ptr": pd.Series([pd.NA], dtype="Int64"),
+             "dsum": pd.Series([0], dtype="int64"),
+             "dcnt": pd.Series([0], dtype="int64")}))) \
+            .repartition(n_parts).materialize()
+
+    def live_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["ptr"]))
+
+    # parent-presence check, once: all round-0 pointers must be state
+    # nodes (higher rounds follow by induction — jumps resolve through
+    # state joins)
+    ptr_keys = state.map_batches(
+        lambda t: pa.table({"node": pc.cast(
+            live_only(t)["ptr"], pa.int64())}),
+        batch_format="pyarrow")
+    orphans = hash_join(ptr_keys,
+                        state.map_batches(
+                            lambda t: t.select(["node"]),
+                            batch_format="pyarrow"),
+                        on="node", how="anti",
+                        n_parts=n_parts).materialize()
+    if orphans.count():
+        bad = orphans.limit(5).to_pandas()["node"].tolist()
+        raise ValueError(
+            f"tree_rollup_pj: parent keys missing from ds "
+            f"(first few: {bad}) — add weight-0 structural rows")
+
+    for _round in range(max_rounds):
+        live = state.map_batches(live_only, batch_format="pyarrow") \
+            .materialize()
+        if live.count() == 0:
+            break
+
+        # carrier mass grouped by pointer target (pre-update D_i, p_i)
+        def carry_partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pc.cast(t["ptr"], pa.int64()),
+                "gsum": t["dsum"], "gcnt": t["dcnt"]})
+
+        g = salted_partition_apply(
+            live.map_batches(carry_partial, batch_format="pyarrow"),
+            lambda df: df.groupby("node", as_index=False)[
+                ["gsum", "gcnt"]].sum(),
+            node_key, n_parts=n_parts)
+
+        # pointer doubling: p'(u) = p_i(p_i(u)) via a self-join
+        jmp = hash_join(
+            live.map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "jkey": pc.cast(t["ptr"], pa.int64())}),
+                batch_format="pyarrow"),
+            state.map_batches(
+                lambda t: pa.table({"jkey": t["node"],
+                                    "ptr2": t["ptr"]}),
+                batch_format="pyarrow"),
+            on="jkey", how="left", n_parts=n_parts) \
+            .map_batches(lambda t: t.select(["node", "ptr2"]),
+                         batch_format="pyarrow")
+
+        merged = hash_join(state, g, on="node", how="left",
+                           n_parts=n_parts)
+        merged = hash_join(
+            merged,
+            jmp.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "new_ptr": t["ptr2"]}),
+                batch_format="pyarrow"),
+            on="node", how="left", n_parts=n_parts)
+
+        def apply_all(t: pa.Table) -> pa.Table:
+            # nodes absent from jmp (already-done pointers) keep null;
+            # live nodes take the doubled pointer (itself may be null)
+            new_ptr = t["new_ptr"]
+            return pa.table({
+                "node": t["node"],
+                "ptr": new_ptr,
+                "dsum": pc.add(t["dsum"], pc.fill_null(t["gsum"], 0)),
+                "dcnt": pc.add(t["dcnt"], pc.fill_null(t["gcnt"], 0))})
+
+        state = merged.map_batches(apply_all, batch_format="pyarrow") \
+            .repartition(n_parts).materialize()
+    else:
+        raise RuntimeError(
+            f"tree_rollup_pj: pointers still live after {max_rounds} "
+            "rounds — cycle, or depth beyond 2^max_rounds")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t["node"],
+                         "subtree_sum": t["dsum"],
+                         "n_desc": t["dcnt"]})
+
+    return state.map_batches(finish, batch_format="pyarrow")

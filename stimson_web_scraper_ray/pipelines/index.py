@@ -293,6 +293,35 @@ def build_positional_index(ds, id_col: str = "doc_id",
                                   n_parts=n_parts)
 
 
+def _plain_positions(col) -> pa.Array:
+    """``positions`` column → one plain (Large)ListArray. The pandas
+    exchange re-types ragged int cells as Ray's variable-shaped tensor
+    extension (storage = struct<data: large_list, shape: list>) — its
+    data field comes back zero-copy; chunked plain lists concatenate;
+    anything else rebuilds through pylist. One copy of the snippet the
+    positional query paths previously each carried."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:      # all-filtered batch
+            return pa.array([], type=pa.list_(pa.int64()))
+        if col.num_chunks == 1:
+            return _plain_positions(col.chunk(0))
+        # unwrap each chunk FIRST (extension arrays don't concat),
+        # then concat on a common plain type
+        parts = [_plain_positions(c).cast(pa.large_list(pa.int64()))
+                 for c in col.chunks]
+        return pa.concat_arrays(parts)
+    if isinstance(col, pa.ExtensionArray):
+        st = col.storage
+        if isinstance(st, pa.StructArray):
+            return st.field("data")
+        col = st
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        return col
+    return pa.array([np.asarray(x, dtype=np.int64)
+                     for x in col.to_pylist()],
+                    type=pa.list_(pa.int64()))
+
+
 def phrase_search_positional(pos_index_ds, phrase: list[str],
                              n_parts: int = 64):
     """Exact phrase counts per doc resolved ENTIRELY from the
@@ -324,17 +353,7 @@ def phrase_search_positional(pos_index_ds, phrase: list[str],
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "aligned": pa.array([], pa.int64())})
-        pos_col = t["positions"].combine_chunks()
-        if isinstance(pos_col, pa.ChunkedArray):
-            pos_col = (pos_col.chunk(0) if pos_col.num_chunks == 1
-                       else pa.concat_arrays(pos_col.chunks))
-        if not isinstance(pos_col, (pa.ListArray, pa.LargeListArray)):
-            # the pandas exchange re-types ragged cells as Ray's
-            # variable-shaped tensor extension; rebuild the plain list
-            # array (cheap: runs AFTER the phrase-term filter)
-            pos_col = pa.array([np.asarray(x, dtype=np.int64)
-                                for x in pos_col.to_pylist()],
-                               type=pa.list_(pa.int64()))
+        pos_col = _plain_positions(t["positions"])
         flat = pos_col.values.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         parent = pc.list_parent_indices(pos_col) \
@@ -408,14 +427,7 @@ def search_any_phrase(pos_index_ds, phrases: list[list[str]],
                           "aligned": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        pos_col = t["positions"].combine_chunks()
-        if isinstance(pos_col, pa.ChunkedArray):
-            pos_col = (pos_col.chunk(0) if pos_col.num_chunks == 1
-                       else pa.concat_arrays(pos_col.chunks))
-        if not isinstance(pos_col, (pa.ListArray, pa.LargeListArray)):
-            pos_col = pa.array([np.asarray(x, dtype=np.int64)
-                                for x in pos_col.to_pylist()],
-                               type=pa.list_(pa.int64()))
+        pos_col = _plain_positions(t["positions"])
         flat = pos_col.values.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         parent = pc.list_parent_indices(pos_col) \
@@ -474,6 +486,145 @@ def search_any_phrase(pos_index_ds, phrases: list[list[str]],
 
     return counts.map_batches(attach_label, batch_format="pyarrow") \
         .sort(["doc_id", "phrase"])
+
+
+def bm25_proximity_topk(pos_index_ds, terms: list[str], k: int = 20,
+                        k1: float = 1.2, b: float = 0.75,
+                        window: int = 5, prox_weight: float = 1.0,
+                        n_parts: int = 64):
+    """Proximity-boosted BM25 ranked retrieval resolved ENTIRELY from
+    the positional index — one postings-only pass composes the BM25
+    bag-of-terms score with a term-pair proximity bonus (the
+    Rasolofo–Savoy shape): for each ADJACENT query-term pair (a, b)
+    both present in a doc, if the minimum token distance dmin between
+    any occurrence pair is ≤ ``window``, the doc earns
+    ``prox_weight · min(idf_a, idf_b) / (1 + dmin)``. Corpus text is
+    never read at query time.
+
+    Scale shape: df for the query terms is a filter on the posting
+    rows (k-entry broadcast); per-doc lengths come from ONE salted
+    doc-keyed exchange over (doc, Σ len(positions)) partials — the
+    only corpus-scaled exchange, and the piece a production deployment
+    would precompute into a doc-length sidecar at build time; scoring
+    joins the filtered query-term rows to their dl and runs per-doc in
+    one more candidate-scaled exchange (positions per candidate doc
+    are bounded; the min-distance scan is a vectorized searchsorted
+    against the sorted posting arrays). n_docs = docs present in the
+    index (≥1 surviving token of the digit-dropped stream), matching
+    the SQL oracle's dl universe. Ranking = 4-dp-rounded score desc,
+    doc_id asc, limit k — the ``index_search_bm25`` determinism
+    contract. Returns (doc_id, score)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+
+    want = sorted(set(terms))
+    adj_pairs = [(a, b_) for a, b_ in zip(terms, terms[1:]) if a != b_]
+
+    # --- global stats: (doc, dl) via one salted exchange ---
+    def dl_partial(t: pa.Table) -> pa.Table:
+        pos = _plain_positions(t["positions"])
+        n = pc.list_value_length(pos).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_ = pd.DataFrame({"doc_id": d, "dl": n})
+        g = df_.groupby("doc_id", as_index=False)["dl"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dl_ds = salted_partition_apply(
+        pos_index_ds.map_batches(dl_partial, batch_format="pyarrow"),
+        lambda df: df.groupby("doc_id", as_index=False)["dl"].sum(),
+        combine_key=lambda t: t["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=n_parts).materialize()
+    n_docs = dl_ds.count()
+    if n_docs == 0:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}))
+    avgdl = float(dl_ds.sum("dl")) / n_docs
+
+    # --- df / idf for the query terms (filter where postings live) ---
+    def df_rows(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t["term"], value_set=pa.array(want)))
+        return pa.table({"term": hit["term"]})
+
+    df_tbl = pos_index_ds.map_batches(df_rows, batch_format="pyarrow") \
+        .to_pandas()
+    dfs = df_tbl["term"].value_counts().to_dict()
+    idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5)
+                           / (dfs[t] + 0.5)))
+           for t in want if t in dfs}
+    cfg = ray.put((idf, avgdl, adj_pairs))
+
+    # --- candidate rows: query-term postings + their doc lengths ---
+    def cand_rows(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t["term"], value_set=pa.array(want)))
+        # plain list<int64> BEFORE the join: the tensor-extension
+        # re-typing won't survive hash_join's pandas round-trip
+        pos = _plain_positions(hit["positions"])
+        if pos.type != pa.list_(pa.int64()):
+            pos = pc.cast(pos, pa.list_(pa.int64()))
+        return pa.table({"term": hit["term"], "doc_id": hit["doc_id"],
+                         "positions": pos})
+
+    cand = hash_join(
+        pos_index_ds.map_batches(cand_rows, batch_format="pyarrow"),
+        dl_ds, on="doc_id", how="inner", n_parts=n_parts)
+
+    def score_part(df: pd.DataFrame) -> pd.DataFrame:
+        idf_map, avg, pairs = ray.get(cfg)
+        ids, scores = [], []
+        for did, grp in df.groupby("doc_id", sort=False):
+            dl = float(grp["dl"].iloc[0])
+            pos_of = {t_: np.asarray(p, dtype=np.int64)
+                      for t_, p in zip(grp["term"], grp["positions"])}
+            s = 0.0
+            for t_, p in pos_of.items():
+                w_idf = idf_map.get(t_)
+                if w_idf is None:
+                    continue
+                tf = float(p.size)
+                s += w_idf * tf * (k1 + 1) \
+                    / (tf + k1 * (1 - b + b * dl / avg))
+            for a, b_ in pairs:
+                pa_, pb_ = pos_of.get(a), pos_of.get(b_)
+                if pa_ is None or pb_ is None:
+                    continue
+                # min |x - y| of two sorted arrays: nearest-neighbor
+                # probe of each a-position into b's positions
+                i = np.searchsorted(pb_, pa_)
+                best = np.full(pa_.size, np.iinfo(np.int64).max)
+                left_ok = i > 0
+                np.minimum(best, np.abs(
+                    pa_ - pb_[np.clip(i - 1, 0, pb_.size - 1)]),
+                    where=left_ok, out=best)
+                right_ok = i < pb_.size
+                np.minimum(best, np.abs(
+                    pa_ - pb_[np.clip(i, 0, pb_.size - 1)]),
+                    where=right_ok, out=best)
+                dmin = int(best.min())
+                if dmin <= window:
+                    s += prox_weight * min(idf_map.get(a, 0.0),
+                                           idf_map.get(b_, 0.0)) \
+                        / (1.0 + dmin)
+            if s > 0:
+                ids.append(int(did))
+                scores.append(round(s, 4))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "score": pd.Series(scores,
+                                                dtype="float64")})
+
+    scored = salted_partition_apply(
+        cand, score_part,
+        combine_key=lambda t: t["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        n_parts=n_parts)
+    return scored.sort(["score", "doc_id"],
+                       descending=[True, False]).limit(k)
 
 
 def top_terms_positional(pos_index_ds, k: int) -> list[str]:

@@ -3591,6 +3591,57 @@ def test_tree_rollup_chain_and_cycle_guard(ray_session):
         bad.to_pandas()
 
 
+def test_tree_rollup_pointer_jump_deep_chain(ray_session):
+    """tree_rollup_pj (log-depth doubling): bit-equal to the closure
+    path on a shallow fanout tree; exact on a 200-deep CHAIN the
+    closure's default max_depth=64 refuses (the unbounded-depth
+    criterion); layout-invariant; raises on a missing interior parent
+    key (the structural-rows contract)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from stimson_web_scraper_ray.pipelines.analytics import (
+        tree_rollup,
+        tree_rollup_pj,
+    )
+
+    n = 300
+    df = pd.DataFrame({"k": np.arange(1, n + 1, dtype=np.int64),
+                       "w": np.arange(1, n + 1, dtype=np.int64) % 7 + 1})
+    a = tree_rollup(rd.from_pandas(df), "k", "w",
+                    parent_of=lambda k: k // 4).to_pandas() \
+        .sort_values("k").reset_index(drop=True).astype("int64")
+    b = tree_rollup_pj(rd.from_pandas(df), "k", "w",
+                       parent_of=lambda k: k // 4,
+                       n_parts=2).to_pandas() \
+        .sort_values("k").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(a, b)
+
+    m = 200
+    chain = pd.DataFrame({"k": np.arange(1, m + 1, dtype=np.int64),
+                          "w": np.ones(m, dtype=np.int64)})
+    with pytest.raises(Exception, match="max_depth"):
+        tree_rollup(rd.from_pandas(chain), "k", "w",
+                    parent_of=lambda k: k - 1).to_pandas()
+    out = tree_rollup_pj(
+        rd.from_pandas(chain).repartition(3), "k", "w",
+        parent_of=lambda k: k - 1, n_parts=2).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    got = dict(zip(out["k"].astype(int),
+                   out["subtree_sum"].astype(int)))
+    want = {k: m - k + 1 for k in range(1, m + 1)}
+    want[0] = m                           # synthesized root
+    assert got == want
+
+    missing = pd.DataFrame({"k": np.array([5, 6], dtype=np.int64),
+                            "w": np.ones(2, dtype=np.int64)})
+    with pytest.raises(ValueError, match="missing"):
+        tree_rollup_pj(rd.from_pandas(missing), "k", "w",
+                       parent_of=lambda k: k - 1)
+
+
 def test_copurchase_join_path_parity(ray_session, tmp_path):
     """Forcing freq_broadcast_rows=0 routes the frequency lookups
     through the hash_join exchanges — output must match the broadcast
