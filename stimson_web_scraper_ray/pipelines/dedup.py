@@ -917,18 +917,11 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
                                  "b": pd.Series(dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    def pair_key(t: pa.Table) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            k = (t["a"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + t["b"].to_numpy().astype(np.uint64))
-        return k.view(np.int64)
-
     cand = _salted_partition_apply(bucketed, part_candidate_pairs,
                                    bucket_key)
     # cross-table (a, b) dedup: one salted exchange on the pair hash
     cand = _salted_partition_apply(
-        cand, lambda df: df.drop_duplicates(["a", "b"]), pair_key)
+        cand, lambda df: df.drop_duplicates(["a", "b"]), _pair_ab_key)
 
     def vecs_as(key_name: str, out_col: str):
         # vectors ride the pair join as float64 LE blobs: Ray's tensor
@@ -1024,6 +1017,66 @@ def _gram_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(h)
 
 
+def _gram_doc_table(batch: pa.Table, id_col: str, text_col: str,
+                    n: int) -> pa.Table:
+    """(gram:uint64, doc_id, n_grams) rows for one batch — each doc's
+    distinct-gram count RIDES its rows through the shuffle (one extra
+    int64 per row), so no O(corpus) doc→size map ever lives on the
+    driver. Gram hashes are rolling combines of memoized word hashes +
+    fmix64 (same construction as shingle_hashes); gram STRINGS are
+    never built. One copy of the emission the jaccard / containment /
+    prefix candidate scaffolds each carried privately (review
+    residual)."""
+    gh_parts, dids, nsz = [], [], []
+    for did, text in zip(batch[id_col].to_pylist(),
+                         batch[text_col].to_pylist()):
+        grams = _gram_hashes(text, n)
+        gh_parts.append(grams)
+        dids.extend([did] * len(grams))
+        nsz.extend([len(grams)] * len(grams))
+    gh = (np.concatenate(gh_parts) if gh_parts
+          else np.empty(0, np.uint64))
+    return pa.table({"gram": pa.array(gh, pa.uint64()),
+                     "doc_id": pa.array(dids, pa.int64()),
+                     "n_grams": pa.array(nsz, pa.int64())})
+
+
+def _gram_key(t: pa.Table) -> np.ndarray:
+    """int64 bit-reinterpretation of the uint64 gram hash (equality-
+    and distribution-preserving; only used for salting/keying)."""
+    return t["gram"].to_numpy().view(np.int64)
+
+
+def _pair_ab_key(t: pa.Table) -> np.ndarray:
+    """(a, b) doc-pair fold for the second (pair-keyed) exchange."""
+    with np.errstate(over="ignore"):
+        k = (t["a"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + t["b"].to_numpy().astype(np.uint64))
+    return k.view(np.int64)
+
+
+def _gram_pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """One part's (gram, doc_id, n_grams) rows → undirected candidate
+    rows (a, b, na, nb) with a < b, one row per shared gram."""
+    m = _self_merge_pairs(df[["gram", "doc_id", "n_grams"]], ["gram"],
+                          cap=None)
+    return pd.DataFrame(
+        {"a": pd.Series(m["doc_id_x"].to_numpy(), dtype="int64"),
+         "b": pd.Series(m["doc_id_y"].to_numpy(), dtype="int64"),
+         "na": pd.Series(m["n_grams_x"].to_numpy(), dtype="int64"),
+         "nb": pd.Series(m["n_grams_y"].to_numpy(), dtype="int64")})
+
+
+def _pair_intersections(df: pd.DataFrame) -> pd.DataFrame:
+    """One part's (a, b, na, nb) rows → (a, b, i, na, nb) with i = the
+    shared-gram (intersection) count — the common first half of every
+    scorer's pair-keyed reduce."""
+    return df.groupby(["a", "b"], sort=False).agg(
+        i=("na", "size"), na=("na", "first"),
+        nb=("nb", "first")).reset_index()
+
+
 def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text"):
     """Exact n-gram Jaccard near-dup pairs via a distributed inverted
@@ -1034,61 +1087,19 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
     (collision odds ~G²/2⁶⁴, immaterial against the oracle corpus)."""
     import ray.data as rd
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        """(gram_hash, doc_id, n_grams) rows — each doc's distinct-gram
-        count RIDES its rows through the shuffle (one extra int64 per
-        row), so no O(corpus) doc→size map ever lives on the driver.
-        Gram hashes are rolling combines of memoized word hashes + fmix64
-        (same construction as shingle_hashes) — gram STRINGS are never
-        built or hashed; only hash equality feeds the intersection count,
-        so any well-mixed injective-enough hash gives the oracle answer."""
-        gh_parts, dids, nsz = [], [], []
-        for did, text in zip(batch[id_col].to_pylist(),
-                             batch[text_col].to_pylist()):
-            grams = _gram_hashes(text, n)
-            gh_parts.append(grams)
-            dids.extend([did] * len(grams))
-            nsz.extend([len(grams)] * len(grams))
-        gh = (np.concatenate(gh_parts) if gh_parts
-              else np.empty(0, np.uint64))
-        return pa.table({"gram": pa.array(gh, pa.uint64()),
-                         "doc_id": pa.array(dids, pa.int64()),
-                         "n_grams": pa.array(nsz, pa.int64())})
-
-    def gram_part_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = _self_merge_pairs(df[["gram", "doc_id", "n_grams"]], ["gram"],
-                              cap=None)
-        return pd.DataFrame(
-            {"a": pd.Series(m["doc_id_x"].to_numpy(), dtype="int64"),
-             "b": pd.Series(m["doc_id_y"].to_numpy(), dtype="int64"),
-             "na": pd.Series(m["n_grams_x"].to_numpy(), dtype="int64"),
-             "nb": pd.Series(m["n_grams_y"].to_numpy(), dtype="int64")})
-
-    def gram_key(t: pa.Table) -> np.ndarray:
-        # int64 bit-reinterpretation of the uint64 gram hash (equality- and
-        # distribution-preserving; only used for salting/keying)
-        return t["gram"].to_numpy().view(np.int64)
-
     pairs = _salted_partition_apply(
-        ds.map_batches(gram_rows, batch_format="pyarrow"),
-        gram_part_pairs, gram_key)
+        ds.map_batches(
+            lambda t: _gram_doc_table(t, id_col, text_col, n),
+            batch_format="pyarrow"),
+        _gram_pair_rows, _gram_key)
 
     # Intersection counting + Jaccard filter as a SECOND salted partition
     # pass (partition on hash(a,b), vectorized pandas sum inside each
     # part). Ray's native groupby(a, b).aggregate pays per-distinct-group
     # overhead in the reduce — measured 247 s on 1.1M distinct pairs at
     # sf0.1 vs ~4 s for this form; same exchange volume.
-    def pair_key(t: pa.Table) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            k = (t["a"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + t["b"].to_numpy().astype(np.uint64))
-        return k.view(np.int64)
-
     def count_filter(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], sort=False).agg(
-            i=("na", "size"), na=("na", "first"),
-            nb=("nb", "first")).reset_index()
+        g = _pair_intersections(df)
         jac = (g["i"] / (g["na"] + g["nb"] - g["i"])).round(4)
         g = g.assign(jaccard=jac)
         out = g[g["jaccard"] >= threshold]
@@ -1098,7 +1109,7 @@ def ngram_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
              "jaccard": pd.Series(out["jaccard"].to_numpy(),
                                   dtype="float64")})
 
-    df = _salted_partition_apply(pairs, count_filter, pair_key).to_pandas()
+    df = _salted_partition_apply(pairs, count_filter, _pair_ab_key).to_pandas()
     if df.empty:
         return rd.from_pandas(pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
@@ -1997,20 +2008,6 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
                           "b": pd.Series(dtype="int64"),
                           "jaccard": pd.Series(dtype="float64")})
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        gh_parts, dids, nsz = [], [], []
-        for did, text in zip(batch[id_col].to_pylist(),
-                             batch[text_col].to_pylist()):
-            grams = _gram_hashes(text, n)
-            gh_parts.append(grams)
-            dids.extend([did] * len(grams))
-            nsz.extend([len(grams)] * len(grams))
-        gh = (np.concatenate(gh_parts) if gh_parts
-              else np.empty(0, np.uint64))
-        return pa.table({"gram": pa.array(gh, pa.uint64()),
-                         "doc_id": pa.array(dids, pa.int64()),
-                         "n_grams": pa.array(nsz, pa.int64())})
-
     # --- A: document-frequency fit, df>=2 broadcast ---
     def df_partial(batch: pa.Table) -> pa.Table:
         g, c = np.unique(batch["gram"].to_numpy(), return_counts=True)
@@ -2021,13 +2018,12 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
         out = df.groupby("gram", sort=False)["c"].sum().reset_index()
         return out[out["c"] >= 2]
 
-    def gram_key(t: pa.Table) -> np.ndarray:
-        return t["gram"].to_numpy().view(np.int64)
-
     hot = _salted_partition_apply(
-        ds.map_batches(gram_rows, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: _gram_doc_table(t, id_col, text_col, n),
+            batch_format="pyarrow")
           .map_batches(df_partial, batch_format="pyarrow"),
-        df_sum, gram_key).to_pandas()
+        df_sum, _gram_key).to_pandas()
     order = np.argsort(hot["gram"].to_numpy().astype(np.uint64))
     hot_grams = hot["gram"].to_numpy().astype(np.uint64)[order]
     hot_df = hot["c"].to_numpy().astype(np.int64)[order]
@@ -2062,21 +2058,13 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
                          "n_grams": pa.array(nsz, pa.int64())})
 
     def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = _self_merge_pairs(df[["gram", "doc_id", "n_grams"]], ["gram"],
-                              cap=None)
-        na = m["n_grams_x"].to_numpy(dtype=np.float64)
-        nb = m["n_grams_y"].to_numpy(dtype=np.float64)
+        m = _gram_pair_rows(df)
+        na = m["na"].to_numpy(dtype=np.float64)
+        nb = m["nb"].to_numpy(dtype=np.float64)
         keep = (na >= thr * nb) & (nb >= thr * na)
         return pd.DataFrame(
-            {"a": pd.Series(m["doc_id_x"].to_numpy()[keep], dtype="int64"),
-             "b": pd.Series(m["doc_id_y"].to_numpy()[keep], dtype="int64")})
-
-    def pair_key(t: pa.Table) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            k = (t["a"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + t["b"].to_numpy().astype(np.uint64))
-        return k.view(np.int64)
+            {"a": pd.Series(m["a"].to_numpy()[keep], dtype="int64"),
+             "b": pd.Series(m["b"].to_numpy()[keep], dtype="int64")})
 
     pref_ds = ds.map_batches(prefix_rows, batch_format="pyarrow")
     if stats is not None:
@@ -2084,9 +2072,9 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
         # share one execution (review finding: the bare count re-ran
         # the prefix stage incl. the broadcast df lookup)
         pref_ds = pref_ds.materialize()
-    raw_cands = _salted_partition_apply(pref_ds, cand_pairs, gram_key)
+    raw_cands = _salted_partition_apply(pref_ds, cand_pairs, _gram_key)
     cands = _salted_partition_apply(
-        raw_cands, lambda df: df.drop_duplicates(), pair_key).to_pandas()
+        raw_cands, lambda df: df.drop_duplicates(), _pair_ab_key).to_pandas()
     if stats is not None:
         stats["n_candidates"] = len(cands)
         stats["n_prefix_rows"] = pref_ds.count()
@@ -2100,23 +2088,12 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
 
     def cand_doc_rows(batch: pa.Table) -> pa.Table:
         docs = ray.get(dref)
-        t = gram_rows(batch)
+        t = _gram_doc_table(batch, id_col, text_col, n)
         mask = np.isin(t["doc_id"].to_numpy(), docs)
         return t.filter(pa.array(mask))
 
-    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
-        m = _self_merge_pairs(df[["gram", "doc_id", "n_grams"]], ["gram"],
-                              cap=None)
-        return pd.DataFrame(
-            {"a": pd.Series(m["doc_id_x"].to_numpy(), dtype="int64"),
-             "b": pd.Series(m["doc_id_y"].to_numpy(), dtype="int64"),
-             "na": pd.Series(m["n_grams_x"].to_numpy(), dtype="int64"),
-             "nb": pd.Series(m["n_grams_y"].to_numpy(), dtype="int64")})
-
     def count_filter(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], sort=False).agg(
-            i=("na", "size"), na=("na", "first"),
-            nb=("nb", "first")).reset_index()
+        g = _pair_intersections(df)
         jac = g["i"] / (g["na"] + g["nb"] - g["i"])
         out = g[jac >= thr].assign(jaccard=jac[jac >= thr].round(4))
         return pd.DataFrame(
@@ -2127,8 +2104,8 @@ def prefix_jaccard_pairs(ds, n: int = 3, threshold: float = 0.5,
 
     shared = _salted_partition_apply(
         ds.map_batches(cand_doc_rows, batch_format="pyarrow"),
-        pair_rows, gram_key)
-    df = _salted_partition_apply(shared, count_filter, pair_key).to_pandas()
+        _gram_pair_rows, _gram_key)
+    df = _salted_partition_apply(shared, count_filter, _pair_ab_key).to_pandas()
     if df.empty:
         return rd.from_pandas(empty)
     return rd.from_pandas(df.sort_values(["a", "b"]).reset_index(drop=True))
@@ -2283,47 +2260,14 @@ def ngram_containment_pairs(ds, n: int = 3, threshold: float = 0.6,
     'b quotes a' surface independently."""
     import ray.data as rd
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        gh_parts, dids, nsz = [], [], []
-        for did, text in zip(batch[id_col].to_pylist(),
-                             batch[text_col].to_pylist()):
-            grams = _gram_hashes(text, n)
-            gh_parts.append(grams)
-            dids.extend([did] * len(grams))
-            nsz.extend([len(grams)] * len(grams))
-        gh = (np.concatenate(gh_parts) if gh_parts
-              else np.empty(0, np.uint64))
-        return pa.table({"gram": pa.array(gh, pa.uint64()),
-                         "doc_id": pa.array(dids, pa.int64()),
-                         "n_grams": pa.array(nsz, pa.int64())})
-
-    def gram_part_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = _self_merge_pairs(df[["gram", "doc_id", "n_grams"]], ["gram"],
-                              cap=None)
-        return pd.DataFrame(
-            {"a": pd.Series(m["doc_id_x"].to_numpy(), dtype="int64"),
-             "b": pd.Series(m["doc_id_y"].to_numpy(), dtype="int64"),
-             "na": pd.Series(m["n_grams_x"].to_numpy(), dtype="int64"),
-             "nb": pd.Series(m["n_grams_y"].to_numpy(), dtype="int64")})
-
-    def gram_key(t: pa.Table) -> np.ndarray:
-        return t["gram"].to_numpy().view(np.int64)
-
     pairs = _salted_partition_apply(
-        ds.map_batches(gram_rows, batch_format="pyarrow"),
-        gram_part_pairs, gram_key)
-
-    def pair_key(t: pa.Table) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            k = (t["a"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + t["b"].to_numpy().astype(np.uint64))
-        return k.view(np.int64)
+        ds.map_batches(
+            lambda t: _gram_doc_table(t, id_col, text_col, n),
+            batch_format="pyarrow"),
+        _gram_pair_rows, _gram_key)
 
     def count_filter(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], sort=False).agg(
-            i=("na", "size"), na=("na", "first"),
-            nb=("nb", "first")).reset_index()
+        g = _pair_intersections(df)
         ca = (g["i"] / g["na"]).round(4)       # a contained in b
         cb = (g["i"] / g["nb"]).round(4)       # b contained in a
         fwd = g[ca >= threshold].assign(containment=ca[ca >= threshold])
@@ -2339,7 +2283,7 @@ def ngram_containment_pairs(ds, n: int = 3, threshold: float = 0.6,
         out["containment"] = out["containment"].astype("float64")
         return out
 
-    df = _salted_partition_apply(pairs, count_filter, pair_key).to_pandas()
+    df = _salted_partition_apply(pairs, count_filter, _pair_ab_key).to_pandas()
     if df.empty:
         return rd.from_pandas(pd.DataFrame(
             {"src": pd.Series(dtype="int64"),
