@@ -109,10 +109,20 @@ def build_tiled_dir() -> str:
         pq.write_table(pa.concat_tables(parts),
                        os.path.join(OUT_DIR, f"{name}.parquet"))
 
+    # FK consistency requires ONE shared offset base for both sides of
+    # the order key; per-table maxima can silently diverge (e.g. a tail
+    # order with no lineitems) and would mis-join every copy with no
+    # error (review finding) — check, don't assume
+    omax = pq.read_table(os.path.join(SF_DIR, "orders.parquet"),
+                         columns=["o_orderkey"])["o_orderkey"]
+    lmax = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                         columns=["l_orderkey"])["l_orderkey"]
+    mo = max(omax.to_pylist())
+    ml = max(lmax.to_pylist())
+    assert mo == ml, f"orderkey maxima diverge (o={mo}, l={ml}): " \
+        "tile with an explicit shared base instead"
     tile("orders", {"o_orderkey": True})
-    tile("lineitem", {"l_orderkey": True})       # same offset base:
-    # l_orderkey's max == o_orderkey's max in TPC-H-ish data, so the
-    # consistent per-copy offset keeps every FK join intact
+    tile("lineitem", {"l_orderkey": True})
     tile("events", {"event_id": True})
     tile("documents", {"doc_id": True}, text_col="text")
     open(os.path.join(OUT_DIR, "_DONE"), "w").write("ok")

@@ -688,15 +688,9 @@ def hamming_near_dup_pairs(hashed, hash_col: str, *,
     # contract anyway); above it, ONE salted pair-key exchange dedupes
     # first so the driver pull is result-scaled, not multiplicity-scaled
     if pairs.count() > dedup_driver_rows:
-        def pair_key(t: pa.Table) -> np.ndarray:
-            with np.errstate(over="ignore"):
-                return (t["a"].to_numpy(zero_copy_only=False)
-                        .astype(np.int64) * np.int64(0x100000001B3)
-                        + t["b"].to_numpy(zero_copy_only=False)
-                        .astype(np.int64))
         pairs = _salted_partition_apply(
             pairs, lambda df: df.drop_duplicates(["a", "b"]),
-            pair_key).materialize()
+            _pair_ab_key).materialize()
     out = pairs.to_pandas()
     if out.empty:
         return rd.from_pandas(pd.DataFrame(

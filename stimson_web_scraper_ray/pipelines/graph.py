@@ -61,44 +61,20 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     import ray
     from ray.data.aggregate import Count
 
-    from .shuffle import salted_partition_apply
-
     # materialize once (iterated `iters` times) and right-size blocks:
     # the salted exchange that built the edges leaves ~64 sub-MB blocks,
     # and every extra block is one more task per iteration
     edges_ds = edges_ds.repartition(16).materialize()
 
-    def uniq(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
-            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
-        return pa.table({"node": pa.array(u, pa.int64())})
-
-    # node discovery + the |V| switch, scale-safely: |V| <= 2|E|, and the
-    # edge count is free off the materialized Dataset — when even that
-    # bound fits the broadcast limit, per-batch uniques concatenate on
-    # the driver directly (bounded by the same limit; skips one salted
-    # exchange, ~1.4 s at sf0.1). Only when the BOUND overflows does the
-    # distinct run as a distributed exchange and the driver see nothing
-    # node-scaled before choosing the path.
-    n_edges = edges_ds.count()
-    if n_edges == 0:
+    # node discovery + the |V| switch, scale-safely — the shared
+    # _node_universe_switch helper (one copy with the k-core/SCC
+    # paths; review finding: this function carried its own inline
+    # twin, and the two had already drifted in shape)
+    if edges_ds.count() == 0:
         return pd.DataFrame({"node_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
-    nodes_ds = None
-    if 2 * n_edges <= node_broadcast_limit:
-        node_parts = edges_ds.map_batches(uniq, batch_format="pyarrow") \
-            .to_pandas()
-        nodes = np.unique(node_parts["node"].to_numpy().astype(np.int64))
-        n = len(nodes)
-    else:
-        nodes_ds = salted_partition_apply(
-            edges_ds.map_batches(uniq, batch_format="pyarrow"),
-            lambda df: df.drop_duplicates("node"),
-            combine_key=lambda t: t["node"].to_numpy(
-                zero_copy_only=False).astype(np.int64),
-            n_parts=16).materialize()
-        n = nodes_ds.count()
+    nodes, nodes_ds, n = _node_universe_switch(edges_ds,
+                                               node_broadcast_limit)
 
     if n > node_broadcast_limit:
         # rename via an Arrow map (Dataset.rename_columns chokes on the
@@ -113,10 +89,6 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
         return _pagerank_distributed(edges_ds, n, nodes_ds, deg_ds,
                                      damping, iters,
                                      personalize=personalize)
-    if nodes_ds is not None:             # discovered distributed, but |V|
-        nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy()
-                        .astype(np.int64))   # fits: pull for broadcast
-
     # out-degrees via the same broadcast-partials shape as contrib: one
     # streamed pass, per-batch bincount into the node order, driver sum
     nref = ray.put(nodes)

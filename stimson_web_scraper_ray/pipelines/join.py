@@ -36,11 +36,60 @@ def _normalize_to(out_fields):
     schema. pandas upcasts int columns that saw any null (pad rows, or
     unmatched keys under how='left') to float64/NaN, so without this the
     output dtypes depend on the match rate and on which join path
-    (broadcast vs exchange) ran. The pandas round-trip maps NaN -> null
-    before the integer cast (safe: values are exact, only nulls move)."""
+    (broadcast vs exchange) ran.
+
+    Columns already at (or integer-castable to) the target type go
+    through arrow ``cast`` — EXACT for 64-bit values. The pandas
+    NaN→null hop survives only for float→int columns (legacy
+    broadcast-path upcasts; exact only below 2^53 — the exchange paths
+    now keep ints nullable-exact upstream so they never land here;
+    review finding: the unconditional pandas round-trip re-corrupted
+    the very values the Int64 merge had preserved)."""
     def fn(t: pa.Table) -> pa.Table:
-        return pa.table({n: pa.Array.from_pandas(
-            t[n].to_pandas(), type=typ) for n, typ in out_fields})
+        cols = {}
+        for n, typ in out_fields:
+            col = t[n]
+            if (pa.types.is_floating(col.type)
+                    and pa.types.is_integer(typ)):
+                cols[n] = pa.Array.from_pandas(col.to_pandas(),
+                                               type=typ)
+            else:
+                try:
+                    cols[n] = pc.cast(col, typ)
+                except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                    # e.g. ragged list cells re-typed as Ray's tensor
+                    # extension by the pandas exchange — the pandas
+                    # rebuild handles what cast can't
+                    cols[n] = pa.Array.from_pandas(col.to_pandas(),
+                                                   type=typ)
+        return pa.table(cols)
+    return fn
+
+
+def _schema_pad(out_fields, side_flag: int):
+    """Align one side of a tagged-union exchange to the full output
+    schema. Integer columns absent on this side ZERO-fill rather than
+    null-fill: the per-part merge slices rows by ``_SIDE`` before
+    reading any column, so pad values are never consumed — but a null
+    would make the whole unioned column int-with-nulls, and the
+    map_groups arrow→pandas conversion turns that into float64,
+    silently corrupting REAL values above 2^53 on BOTH sides (review
+    finding; 64-bit hash ids are the norm for the graph and dedup
+    callers). Non-integer columns keep nulls (no precision hazard)."""
+    def fn(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for name, typ in out_fields:
+            names.append(name)
+            if name in t.column_names:
+                arrays.append(pc.cast(t[name], typ))
+            elif pa.types.is_integer(typ):
+                arrays.append(pa.array(
+                    np.zeros(len(t), dtype=np.int64), typ))
+            else:
+                arrays.append(pa.nulls(len(t), typ))
+        names.append(_SIDE)
+        arrays.append(pa.array(np.full(len(t), side_flag, np.int8)))
+        return pa.table(dict(zip(names, arrays)))
     return fn
 
 
@@ -91,24 +140,25 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
     out_fields = ([(n, ltypes[n]) for n in lcols]
                   + [(n, rtypes[n]) for n in rcols if n != on])
 
-    def pad(side_flag: int):
-        def fn(t: pa.Table) -> pa.Table:
-            arrays, names = [], []
-            for name, typ in out_fields:
-                names.append(name)
-                if name in t.column_names:
-                    arrays.append(pc.cast(t[name], typ))
-                else:
-                    arrays.append(pa.nulls(len(t), typ))
-            names.append(_SIDE)
-            arrays.append(pa.array(np.full(len(t), side_flag, np.int8)))
-            return pa.table(dict(zip(names, arrays)))
-        return fn
-
-    both = left.map_batches(pad(0), batch_format="pyarrow") \
-        .union(right.map_batches(pad(1), batch_format="pyarrow"))
+    both = left.map_batches(_schema_pad(out_fields, 0),
+                            batch_format="pyarrow") \
+        .union(right.map_batches(_schema_pad(out_fields, 1),
+                                 batch_format="pyarrow"))
 
     rkeep = [n for n in rcols if n != on]
+    # columns that a null-introducing join would silently upcast to
+    # float64: pandas NaN-pads unmatched rows, and int64 values above
+    # 2^53 (64-bit hash ids — the norm for the web-scale graph/dedup
+    # callers) lose low bits in that hop with NO error (review
+    # finding). Nullable Int64 keeps them exact through the merge;
+    # _normalize_to casts back to plain arrow int64-with-nulls.
+    r_int = [n for n in rkeep if pa.types.is_integer(rtypes[n])] \
+        if how in ("left", "full") else []
+    l_int = [n for n in lcols if n != on
+             and pa.types.is_integer(ltypes[n])] \
+        if how == "full" else []          # key stays plain int64: the
+    # outer merge coalesces it from whichever side, never nulls it,
+    # and mixed Int64/int64 merge keys are a pandas edge to avoid
 
     def merge_part(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df[_SIDE] == 0][lcols]
@@ -116,6 +166,10 @@ def hash_join(left, right, on: str, *, right_on: str | None = None,
             hit = l[on].isin(df.loc[df[_SIDE] == 1, on].unique())
             return l[hit if how == "semi" else ~hit]
         r = df[df[_SIDE] == 1][[on] + rkeep]
+        if r_int:
+            r = r.astype({c: "Int64" for c in r_int})
+        if l_int:
+            l = l.astype({c: "Int64" for c in l_int})
         return l.merge(r, on=on, how="outer" if how == "full" else how)
 
     joined = salted_partition_apply(
@@ -216,22 +270,15 @@ def asof_join(left, right, *, on: str, by: str,
     out_fields = ([(n, ltypes[n]) for n in lcols]
                   + [(n, rtypes[n]) for n in rkeep])
 
-    def pad(side_flag: int):
-        def fn(t: pa.Table) -> pa.Table:
-            arrays, names = [], []
-            for name, typ in out_fields:
-                names.append(name)
-                if name in t.column_names:
-                    arrays.append(pc.cast(t[name], typ))
-                else:
-                    arrays.append(pa.nulls(len(t), typ))
-            names.append(_SIDE)
-            arrays.append(pa.array(np.full(len(t), side_flag, np.int8)))
-            return pa.table(dict(zip(names, arrays)))
-        return fn
+    both = left.map_batches(_schema_pad(out_fields, 0),
+                            batch_format="pyarrow") \
+        .union(right.map_batches(_schema_pad(out_fields, 1),
+                                 batch_format="pyarrow"))
 
-    both = left.map_batches(pad(0), batch_format="pyarrow") \
-        .union(right.map_batches(pad(1), batch_format="pyarrow"))
+    # asof-unmatched left rows NaN-pad the right columns — Int64 keeps
+    # big int64 payloads exact through that hop (same hazard as
+    # hash_join's left join; review finding)
+    r_int = [n for n in rkeep if pa.types.is_integer(rtypes[n])]
 
     def merge_part(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df[_SIDE] == 0][lcols].sort_values(on, kind="mergesort")
@@ -240,6 +287,8 @@ def asof_join(left, right, *, on: str, by: str,
         if l.empty:
             # right-only part: emit the full output shape, zero rows
             return l.reindex(columns=[n for n, _ in out_fields])
+        if r_int:
+            r = r.astype({c: "Int64" for c in r_int})
         return pd.merge_asof(l, r, on=on, by=by, direction=direction,
                              allow_exact_matches=allow_exact_matches)
 

@@ -431,7 +431,10 @@ def test_hamming_hot_bucket_salting_exact(ray_session):
     for s in range(0, n, 1000):
         ham = _popcount64(hashes[s:s + 1000, None] ^ hashes[None, :])
         ii, jj = np.nonzero(ham <= 3)
-        truth |= {(int(i), int(j)) for i, j in zip(ii + s, jj) if i + s < j}
+        # i is already the GLOBAL row (ii + s) — the earlier `i + s < j`
+        # double-added the offset and silently dropped every true pair
+        # with id distance <= block size (review finding)
+        truth |= {(int(i), int(j)) for i, j in zip(ii + s, jj) if i < j}
     assert len(truth) >= 25
     assert got_pairs == truth
 
@@ -828,6 +831,50 @@ def test_shipping_priority_fallback_path(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_hash_join_int64_exact_above_2_53(ray_session):
+    """64-bit payloads survive every join type bit-exactly at the
+    DATASET level (review finding: null-padding plus the pandas hops
+    collapsed distinct values above 2^53 — 64-bit hash ids, the norm
+    for the graph/dedup callers — with no error). Checked via arrow
+    refs because a final .to_pandas() on a nullable int column is
+    pandas' own float64 upcast, outside the join's contract."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from stimson_web_scraper_ray.pipelines.join import asof_join, hash_join
+
+    big = (1 << 62) + 12345
+    l = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3],
+        "lv": np.array([big, big + 1, big + 2], dtype=np.int64)}))
+    r = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2],
+        "rv": np.array([big + 10, big + 11], dtype=np.int64)}))
+    for how in ("inner", "left", "full"):
+        t = pa.concat_tables([ray.get(rf) for rf in hash_join(
+            l, r, on="k", how=how, n_parts=2).to_arrow_refs()])
+        got = dict(zip(t["k"].to_pylist(), t["rv"].to_pylist()))
+        assert got[1] == big + 10 and got[2] == big + 11, how
+        lvs = dict(zip(t["k"].to_pylist(), t["lv"].to_pylist()))
+        assert lvs[1] == big and lvs[2] == big + 1, how
+        if how in ("left", "full"):
+            assert got[3] is None and lvs[3] == big + 2, how
+    # asof: unmatched-left NaN padding must not round the payloads
+    le = rd.from_pandas(pd.DataFrame({
+        "u": [1, 1], "ts": [10, 20],
+        "lv": np.array([big, big + 1], dtype=np.int64)}))
+    ri = rd.from_pandas(pd.DataFrame({
+        "u": [1], "ts": [5],
+        "rv": np.array([big + 7], dtype=np.int64)}))
+    blocks = [ray.get(rf) for rf in asof_join(
+        le, ri, on="ts", by="u", n_parts=2).to_arrow_refs()]
+    t = pa.concat_tables([b for b in blocks if b.num_columns])
+    assert set(t["rv"].to_pylist()) == {big + 7}
+    assert set(t["lv"].to_pylist()) == {big, big + 1}
 
 
 def test_hash_join_semi_anti(ray_session):
@@ -2711,6 +2758,12 @@ def test_scc_distributed_path_matches_broadcast(ray_session):
     b = strongly_connected_components(edges, node_broadcast_limit=0,
                                       n_parts=2)
     assert a.equals(b)
+    # broadcast_limit_bytes=0 forces the anti-join edge-shrink layer
+    # (the k-core twin pins it too — review finding: it had no coverage)
+    c = strongly_connected_components(edges, node_broadcast_limit=0,
+                                      broadcast_limit_bytes=0,
+                                      n_parts=2)
+    assert a.equals(c)
 
 
 def test_label_propagation_heals_bridges(ray_session):
