@@ -3346,6 +3346,21 @@ def _q_part_tree_rollup_pj(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def _q_trade_link_prediction(sf_dir: str):
+    """Top-50 Adamic–Adar link predictions (graph.link_prediction_scores)
+    over the bidirectional trade graph: non-adjacent pairs ranked by
+    Σ 1/ln(deg(common neighbor)), 4-dp-rounded, with common-neighbor
+    counts. Degrees ride the edges via hash_join, wedges explode where
+    the center lives, existing-edge markers ride the pair exchange for
+    EXACT adjacency exclusion. Oracle = wedge self-join + degree CTE +
+    NOT EXISTS over the same edge derivation."""
+    from stimson_web_scraper_ray.pipelines.graph import (
+        trade_link_prediction,
+    )
+
+    return trade_link_prediction(sf_dir, k=50)
+
+
 def _q_trade_walk_corpus(sf_dir: str):
     """Deterministic random-walk corpus (graph.walk_corpus): 3-step
     walks from every 10th customer node, each step a hash-rank choice
@@ -3697,6 +3712,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "vq_residuals": _q_vq_residuals,
         "trade_ppr": _q_trade_ppr,
         "trade_scc": _q_trade_scc,
+        "trade_link_prediction": _q_trade_link_prediction,
         "vocab_coverage": _q_vocab_coverage,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
@@ -6459,6 +6475,38 @@ def oracle_sql_all() -> dict[str, str]:
     # connected components: recursive reachability closure over the
     # trade edge set (same node encoding as trade_pagerank's oracle);
     # component label = min node id reachable (incl. self)
+    # Adamic–Adar link prediction: wedge self-join + degree CTE, the
+    # adjacency exclusion via NOT EXISTS over both key orders of the
+    # bipartite pair table; scores rank on the 4-dp rounding both sides
+    sql["trade_link_prediction"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS c,
+                            l.l_suppkey * 2 + 1 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ), deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+        ), wedges AS (
+            SELECT e1.dst AS a, e2.dst AS b, e1.src AS center
+            FROM edges e1 JOIN edges e2
+              ON e1.src = e2.src AND e1.dst < e2.dst
+        ), cand AS (
+            SELECT w.a, w.b, COUNT(*) AS common_neighbors,
+                   ROUND(SUM(1.0 / ln(d.deg)), 4) AS adamic_adar
+            FROM wedges w JOIN deg d ON d.node = w.center
+            WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                              WHERE (p.c = w.a AND p.s = w.b)
+                                 OR (p.c = w.b AND p.s = w.a))
+            GROUP BY w.a, w.b
+        )
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(common_neighbors AS BIGINT) AS common_neighbors,
+               adamic_adar
+        FROM cand ORDER BY adamic_adar DESC, a, b LIMIT 50
+    """
     sql["trade_components"] = """
         WITH RECURSIVE pairs AS (
             SELECT DISTINCT o.o_custkey * 2 AS c,

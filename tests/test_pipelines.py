@@ -2766,6 +2766,35 @@ def test_scc_distributed_path_matches_broadcast(ray_session):
     assert a.equals(c)
 
 
+def test_link_prediction_square_with_diagonal(ray_session):
+    """Adamic–Adar on the square 0-1-2-3 with diagonal 0-2: the ONLY
+    prediction is (1,3) — common neighbors {0,2}, aa = 2/ln 3 — and
+    the adjacent pair (0,2) is excluded even though it also shares two
+    neighbors (the exact marker-row adjacency exclusion).
+    Layout-invariant."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.graph import (
+        link_prediction_scores,
+    )
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, b in und] + [b for a, b in und],
+                        pa.int64()),
+        "dst": pa.array([b for a, b in und] + [a for a, b in und],
+                        pa.int64())}))
+    for n_blocks in (1, 4):
+        out = link_prediction_scores(e.repartition(n_blocks), k=10,
+                                     n_parts=2)
+        assert len(out) == 1
+        assert (int(out["a"][0]), int(out["b"][0])) == (1, 3)
+        assert int(out["common_neighbors"][0]) == 2
+        assert abs(out["adamic_adar"][0]
+                   - round(2 / np.log(3), 4)) < 1e-9
+
+
 def test_label_propagation_heals_bridges(ray_session):
     """LPA on two 5-cliques joined by one bridge edge 4–9: connected
     components would flood everything into one cluster; deterministic
