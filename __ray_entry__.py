@@ -3755,6 +3755,14 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
 # incremental index merge, skew-aware join, cohort retention,
 # personalized PageRank, strongly connected components. All six
 # demoted entries remain registry+pytest-verified.
+#
+# Round-5 curation: lang_counts (trivial groupby — langid_accuracy
+# carries the per-language family) and ann_recall (a gate on the same
+# ANN family as the in-window ann_topk) made room for the round's new
+# families: proximity-boosted BM25 over the positional index
+# (index_bm25_prox) and Adamic–Adar link prediction
+# (trade_link_prediction). Both demoted entries stay
+# registry+pytest-verified.
 _WINDOW: list[str] = [
     # crawl flagship family (crawl_parity = engine≡simulator hard gate)
     "crawl_parity",
@@ -3766,7 +3774,6 @@ _WINDOW: list[str] = [
     "doc_fingerprints",
     "doc_gopher_quality",
     "dedup_exact",
-    "lang_counts",
     "keywords_top10",
     "heavy_hitter_words",
     "langid_accuracy",
@@ -3791,12 +3798,14 @@ _WINDOW: list[str] = [
     "embedding_neardup_quality",
     "dedup_spans_global",
     "ann_topk",
-    "ann_recall",
     "hll_error_bounds",
     "profile_events",
     "top_image",
-    # retrieval (round-4: incremental index maintenance)
+    # retrieval (round-4: incremental index maintenance; round-5:
+    # proximity-boosted BM25 resolved entirely from the positional
+    # index)
     "index_incremental_merge",
+    "index_bm25_prox",
     # relational / TPC-H-ish
     "pricing_summary",
     # (top_revenue_orders demoted — shipping_priority carries the
@@ -3821,6 +3830,7 @@ _WINDOW: list[str] = [
     "trade_pagerank",
     "trade_ppr",
     "trade_scc",
+    "trade_link_prediction",
 ]
 
 
@@ -6483,6 +6493,7 @@ def oracle_sql_all() -> dict[str, str]:
             SELECT DISTINCT o.o_custkey * 2 AS c,
                             l.l_suppkey * 2 + 1 AS s
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity <= 2
         ), edges AS (
             SELECT c AS src, s AS dst FROM pairs
             UNION ALL

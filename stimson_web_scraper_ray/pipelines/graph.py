@@ -1645,6 +1645,9 @@ def link_prediction_scores(edges_ds, k: int = 50, n_parts: int = 64):
     from .join import hash_join
     from .shuffle import salted_partition_apply
 
+    # consumed three times (degrees, wedge join, edge markers) — an
+    # unmaterialized input pipeline would re-execute per consumer
+    edges_ds = edges_ds.materialize()
     deg_ds = _src_degrees_ds(edges_ds, n_parts=n_parts)
     # arrow-map rename: right_on would go through rename_columns,
     # which rejects the pandas blocks the degree exchange emits
@@ -1724,13 +1727,71 @@ def link_prediction_scores(edges_ds, k: int = 50, n_parts: int = 64):
     return out.reset_index(drop=True)
 
 
+def trade_edges_sparse(sf_dir: str):
+    """Bidirectional SPARSE trade graph: distinct (cust, supp) pairs
+    that ever traded at quantity ≤ 2 — the tail-extreme filter the
+    cyclic SCC graph uses, here symmetric. The full trade graph's hub
+    suppliers make Σ deg² (the exact wedge bound of local link
+    prediction) run to ~5·10^8 at sf0.1; link prediction on the RARE
+    trades is both tractable at any sf and the more meaningful signal
+    (shared rare suppliers, not shared commodity ones)."""
+    from .analytics import read
+    from .join import adaptive_join
+    from .shuffle import salted_partition_apply
+
+    import pyarrow.compute as pc
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_quantity"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_quantity"], 2))
+        .select(["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow")
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = adaptive_join(li, orders, on="l_orderkey",
+                           right_on="o_orderkey")
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"c": pa.array(c * 2, pa.int64()),
+                         "s": pa.array(s * 2 + 1, pa.int64())})
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (t["c"].to_numpy() * np.int64(0x100000001B3)
+                    + t["s"].to_numpy())
+
+    pairs = salted_partition_apply(
+        joined.map_batches(pair_rows, batch_format="pyarrow"),
+        distinct_pairs, pair_key, n_parts=16)
+
+    def bidir(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s]), pa.int64()),
+            "dst": pa.array(np.concatenate([s, c]), pa.int64())})
+
+    return pairs.map_batches(bidir, batch_format="pyarrow")
+
+
 def trade_link_prediction(sf_dir: str, k: int = 50) -> pd.DataFrame:
-    """Top-k Adamic–Adar link predictions over the bidirectional trade
-    graph: which customer pairs (or supplier pairs — the graph is
-    bipartite, so every wedge candidate is same-family) share the most
-    rare suppliers/customers. The oracle re-derives the same scores
-    with a wedge self-join + degree CTE."""
-    return link_prediction_scores(trade_edges(sf_dir), k=k)
+    """Top-k Adamic–Adar link predictions over the sparse (quantity ≤ 2)
+    bidirectional trade graph: which customer pairs (or supplier pairs
+    — the graph is bipartite, so every wedge candidate is same-family)
+    share the most rare-trade partners. The oracle re-derives the same
+    scores with a wedge self-join + degree CTE over the same filtered
+    pair set. n_parts=16: the sparse graph's exchanges are fixed-cost
+    bound, not volume-bound (64 parts measured ~2 s slower at sf0.1
+    for identical output)."""
+    return link_prediction_scores(trade_edges_sparse(sf_dir), k=k,
+                                  n_parts=16)
 
 
 def trade_edges_cyclic(sf_dir: str):

@@ -633,14 +633,35 @@ def top_terms_positional(pos_index_ds, k: int) -> list[str]:
     per-term row count IS df). The deterministic pick ``near_search``'s
     driver query and its SQL oracle share — kept separate from
     ``top_terms`` because the boolean index counts digits as terms and
-    the positional stream drops them."""
-    from ray.data.aggregate import Count
+    the positional stream drops them.
 
-    df = pos_index_ds.select_columns(["term"]) \
-        .groupby("term").aggregate(Count(alias_name="df"))
-    top = df.sort(["df", "term"], descending=[True, False]) \
-            .limit(k).to_pandas()
-    return top["term"].tolist()
+    Salted partial-count form: the native groupby('term').Count paid
+    per-distinct-group reduce overhead (9.4 s on the sf0.1 vocabulary
+    — the map_groups-per-key anti-pattern the shuffle module
+    documents; now ~1 s). Per-batch uniques → one term-functional
+    exchange → per-part top-k → driver top-k over ≤ parts·k rows
+    (exact: each term's global count lives wholly in one part)."""
+    from .join import _key_to_int64
+    from .shuffle import salted_partition_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(t["term"].to_pylist(),
+                                    dtype=object), return_counts=True)
+        return pa.table({"term": pa.array(u.astype(str), pa.string()),
+                         "df": pa.array(c.astype(np.int64))})
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["df"].sum()
+        return g.sort_values(["df", "term"],
+                             ascending=[False, True]).head(k)
+
+    tops = salted_partition_apply(
+        pos_index_ds.map_batches(partial, batch_format="pyarrow"),
+        part_top, lambda t: _key_to_int64(t, "term"),
+        n_parts=16).to_pandas()
+    tops = tops.sort_values(["df", "term"],
+                            ascending=[False, True]).head(k)
+    return tops["term"].tolist()
 
 
 def near_search(pos_index_ds, term_a: str, term_b: str, window: int,
