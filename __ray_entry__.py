@@ -6482,12 +6482,10 @@ def oracle_sql_all() -> dict[str, str]:
                ROUND(key, 6) AS key
         FROM topk ORDER BY doc_id
     """
-    # connected components: recursive reachability closure over the
-    # trade edge set (same node encoding as trade_pagerank's oracle);
-    # component label = min node id reachable (incl. self)
-    # Adamic–Adar link prediction: wedge self-join + degree CTE, the
-    # adjacency exclusion via NOT EXISTS over both key orders of the
-    # bipartite pair table; scores rank on the 4-dp rounding both sides
+    # Adamic–Adar link prediction: wedge self-join + degree CTE over
+    # the SPARSE (quantity <= 2) pair set, the adjacency exclusion via
+    # NOT EXISTS over both key orders of the bipartite pair table;
+    # scores rank on the 4-dp rounding both sides
     sql["trade_link_prediction"] = """
         WITH pairs AS (
             SELECT DISTINCT o.o_custkey * 2 AS c,
@@ -6518,6 +6516,9 @@ def oracle_sql_all() -> dict[str, str]:
                adamic_adar
         FROM cand ORDER BY adamic_adar DESC, a, b LIMIT 50
     """
+    # connected components: recursive reachability closure over the
+    # trade edge set (same node encoding as trade_pagerank's oracle);
+    # component label = min node id reachable (incl. self)
     sql["trade_components"] = """
         WITH RECURSIVE pairs AS (
             SELECT DISTINCT o.o_custkey * 2 AS c,

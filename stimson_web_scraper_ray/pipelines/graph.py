@@ -278,50 +278,64 @@ def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
                          "score": out["rank"].astype(np.float64)})
 
 
-def trade_edges(sf_dir: str):
-    """Bidirectional customer↔supplier trade graph from lineitem ⋈
-    orders: one edge pair per DISTINCT (custkey, suppkey) that ever
-    traded. Node ids disambiguate the two families (cust·2, supp·2+1).
-    The orders side ships through the runtime broadcast-vs-exchange
-    switch (`adaptive_join`); distinct-pair reduction is one salted
-    exchange on the pair hash."""
+def _trade_pair_edges(sf_dir: str, edge_rows, *,
+                      with_quantity: bool = False, n_parts: int = 64):
+    """Shared base of every trade-graph derivation (plain / cyclic /
+    sparse — previously three private copies of the same scaffold,
+    review finding): lineitem ⋈ orders through the runtime
+    broadcast-vs-exchange switch, ``edge_rows(batch) -> (src, dst)``
+    chooses the emission (predicates, direction, node encoding), then
+    ONE pair-keyed salted exchange reduces to distinct edges.
+    ``with_quantity`` prunes the read to the columns the emission
+    actually needs."""
     from .analytics import read
     from .join import adaptive_join
     from .shuffle import salted_partition_apply
 
-    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    cols = ["l_orderkey", "l_suppkey"] + (
+        ["l_quantity"] if with_quantity else [])
+    li = read(sf_dir, "lineitem", cols)
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = adaptive_join(li, orders, on="l_orderkey",
                            right_on="o_orderkey")
 
-    def pair_rows(t: pa.Table) -> pa.Table:
-        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"c": pa.array(c * 2, pa.int64()),
-                         "s": pa.array(s * 2 + 1, pa.int64())})
-
     def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["c", "s"])
+        return df.drop_duplicates(["src", "dst"])
 
     def pair_key(t: pa.Table) -> np.ndarray:
         with np.errstate(over="ignore"):
-            k = (t["c"].to_numpy().astype(np.uint64)
+            k = (t["src"].to_numpy().astype(np.uint64)
                  * np.uint64(0x9E3779B97F4A7C15)
-                 + t["s"].to_numpy().astype(np.uint64))
+                 + t["dst"].to_numpy().astype(np.uint64))
         return k.view(np.int64)
 
-    pairs = salted_partition_apply(
-        joined.map_batches(pair_rows, batch_format="pyarrow"),
-        distinct_pairs, pair_key)
+    return salted_partition_apply(
+        joined.map_batches(edge_rows, batch_format="pyarrow"),
+        distinct_pairs, pair_key, n_parts=n_parts)
 
-    def bidir(t: pa.Table) -> pa.Table:
-        c = t["c"].to_numpy(zero_copy_only=False)
-        s = t["s"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "src": pa.array(np.concatenate([c, s]), pa.int64()),
-            "dst": pa.array(np.concatenate([s, c]), pa.int64())})
 
-    return pairs.map_batches(bidir, batch_format="pyarrow")
+def _bidir(t: pa.Table) -> pa.Table:
+    """Symmetrize distinct (src, dst) rows — both directions out."""
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "src": pa.array(np.concatenate([s, d]), pa.int64()),
+        "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+
+def trade_edges(sf_dir: str):
+    """Bidirectional customer↔supplier trade graph from lineitem ⋈
+    orders: one edge pair per DISTINCT (custkey, suppkey) that ever
+    traded. Node ids disambiguate the two families (cust·2, supp·2+1)."""
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(c * 2, pa.int64()),
+                         "dst": pa.array(s * 2 + 1, pa.int64())})
+
+    return _trade_pair_edges(sf_dir, pair_rows) \
+        .map_batches(_bidir, batch_format="pyarrow")
 
 
 def trade_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 3):
@@ -1640,8 +1654,6 @@ def link_prediction_scores(edges_ds, k: int = 50, n_parts: int = 64):
     adjacency exclusion is EXACT in-part (a, b) equality — never a
     collision-prone fold comparison. The final rank is a Dataset sort
     + limit; only k rows reach the driver."""
-    import pyarrow.compute as pc
-
     from .join import hash_join
     from .shuffle import salted_partition_apply
 
@@ -1735,50 +1747,20 @@ def trade_edges_sparse(sf_dir: str):
     prediction) run to ~5·10^8 at sf0.1; link prediction on the RARE
     trades is both tractable at any sf and the more meaningful signal
     (shared rare suppliers, not shared commodity ones)."""
-    from .analytics import read
-    from .join import adaptive_join
-    from .shuffle import salted_partition_apply
-
     import pyarrow.compute as pc
 
-    li = read(sf_dir, "lineitem",
-              ["l_orderkey", "l_suppkey", "l_quantity"])
-    li = li.map_batches(
-        lambda t: t.filter(pc.less_equal(t["l_quantity"], 2))
-        .select(["l_orderkey", "l_suppkey"]),
-        batch_format="pyarrow")
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = adaptive_join(li, orders, on="l_orderkey",
-                           right_on="o_orderkey")
-
-    def pair_rows(t: pa.Table) -> pa.Table:
+    def edge_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_quantity"], 2))
         c = t["o_custkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         s = t["l_suppkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        return pa.table({"c": pa.array(c * 2, pa.int64()),
-                         "s": pa.array(s * 2 + 1, pa.int64())})
+        return pa.table({"src": pa.array(c * 2, pa.int64()),
+                         "dst": pa.array(s * 2 + 1, pa.int64())})
 
-    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    def pair_key(t: pa.Table) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            return (t["c"].to_numpy() * np.int64(0x100000001B3)
-                    + t["s"].to_numpy())
-
-    pairs = salted_partition_apply(
-        joined.map_batches(pair_rows, batch_format="pyarrow"),
-        distinct_pairs, pair_key, n_parts=16)
-
-    def bidir(t: pa.Table) -> pa.Table:
-        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "src": pa.array(np.concatenate([c, s]), pa.int64()),
-            "dst": pa.array(np.concatenate([s, c]), pa.int64())})
-
-    return pairs.map_batches(bidir, batch_format="pyarrow")
+    return _trade_pair_edges(sf_dir, edge_rows, with_quantity=True,
+                             n_parts=16) \
+        .map_batches(_bidir, batch_format="pyarrow")
 
 
 def trade_link_prediction(sf_dir: str, k: int = 50) -> pd.DataFrame:
@@ -1800,15 +1782,6 @@ def trade_edges_cyclic(sf_dir: str):
     quantity ≥ 49 (the tail extremes, so the graph is sparse enough
     for non-trivial SCC structure — one big component + a DAG fringe
     at the test scales, re-derived verbatim by the SQL oracle)."""
-    from .analytics import read
-    from .join import adaptive_join
-    from .shuffle import salted_partition_apply
-
-    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
-                                   "l_quantity"])
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = adaptive_join(li, orders, on="l_orderkey",
-                           right_on="o_orderkey")
 
     def edge_rows(t: pa.Table) -> pa.Table:
         c = t["o_custkey"].to_numpy(zero_copy_only=False) \
@@ -1822,19 +1795,7 @@ def trade_edges_cyclic(sf_dir: str):
             "src": pa.array(np.concatenate([c[lo], s[hi]]), pa.int64()),
             "dst": pa.array(np.concatenate([s[lo], c[hi]]), pa.int64())})
 
-    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["src", "dst"])
-
-    def pair_key(t: pa.Table) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            k = (t["src"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + t["dst"].to_numpy().astype(np.uint64))
-        return k.view(np.int64)
-
-    return salted_partition_apply(
-        joined.map_batches(edge_rows, batch_format="pyarrow"),
-        distinct_pairs, pair_key)
+    return _trade_pair_edges(sf_dir, edge_rows, with_quantity=True)
 
 
 def trade_scc(sf_dir: str) -> pd.DataFrame:

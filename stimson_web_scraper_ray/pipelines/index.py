@@ -645,10 +645,15 @@ def top_terms_positional(pos_index_ds, k: int) -> list[str]:
     from .shuffle import salted_partition_apply
 
     def partial(t: pa.Table) -> pa.Table:
-        u, c = np.unique(np.asarray(t["term"].to_pylist(),
-                                    dtype=object), return_counts=True)
-        return pa.table({"term": pa.array(u.astype(str), pa.string()),
-                         "df": pa.array(c.astype(np.int64))})
+        # arrow value_counts: no per-row Python objects (review
+        # finding); null terms (possible from external pos-index
+        # producers) drop — never a valid pick
+        vc = t["term"].combine_chunks().value_counts()
+        terms = vc.field("values")
+        counts = pa.compute.cast(vc.field("counts"), pa.int64())
+        keep = pa.compute.is_valid(terms)
+        return pa.table({"term": terms.filter(keep),
+                         "df": counts.filter(keep)})
 
     def part_top(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("term", as_index=False)["df"].sum()
