@@ -3346,6 +3346,38 @@ def _q_part_tree_rollup_pj(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def _q_trade_neighborhood(sf_dir: str):
+    """HyperBall neighborhood function (graph.hyperball — Boldi-Vigna
+    2013): N(t) = Σ_v |ball(v, t)| over the sparse bidirectional trade
+    graph for t = 1..3, every node's t-ball tracked by a per-node HLL
+    counter iterated against the edge Dataset (one counter join + one
+    register-max exchange per step; the effective-diameter statistic
+    of a web host graph at any scale). The gate: the engine emits the
+    EXACT pair counts (driver packed-bitmap closure over the collected
+    sparse graph — truth-set recount, test scales) plus hll_ok =
+    estimate within ±5% (p=12, 4σ ≈ 6.5% for one counter; sums
+    average down); the oracle re-derives the exact counts with a
+    bounded recursive reachability closure and constant TRUE."""
+    from stimson_web_scraper_ray.pipelines.graph import (
+        _exact_neighborhood_pairs,
+        hyperball,
+        trade_edges_sparse,
+    )
+
+    edges = trade_edges_sparse(sf_dir).materialize()
+    est = hyperball(edges, max_t=3, p=12)
+    # converged-early pad: N(t) is constant past convergence
+    ests = list(est["pairs_est"])
+    while len(ests) < 3:
+        ests.append(ests[-1])
+    exact = _exact_neighborhood_pairs(edges.to_pandas(), 3)
+    ok = [bool(abs(e - x) / x <= 0.05) for e, x in zip(ests, exact)]
+    return pd.DataFrame({
+        "t": pd.Series([1, 2, 3], dtype="int64"),
+        "n_pairs": pd.Series(exact, dtype="int64"),
+        "hll_ok": pd.Series(ok, dtype="bool")})
+
+
 def _q_trade_link_prediction(sf_dir: str):
     """Top-50 Adamic–Adar link predictions (graph.link_prediction_scores)
     over the bidirectional trade graph: non-adjacent pairs ranked by
@@ -3713,6 +3745,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "trade_ppr": _q_trade_ppr,
         "trade_scc": _q_trade_scc,
         "trade_link_prediction": _q_trade_link_prediction,
+        "trade_neighborhood_function": _q_trade_neighborhood,
         "vocab_coverage": _q_vocab_coverage,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
@@ -6515,6 +6548,36 @@ def oracle_sql_all() -> dict[str, str]:
                CAST(common_neighbors AS BIGINT) AS common_neighbors,
                adamic_adar
         FROM cand ORDER BY adamic_adar DESC, a, b LIMIT 50
+    """
+    # HyperBall gate: exact N(t) via a bounded recursive reachability
+    # closure over the SAME sparse pair set (self-pairs counted once
+    # via the node count; v→u→v cycle rows filtered), TRUE for the
+    # engine's in-tolerance flag
+    sql["trade_neighborhood_function"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS c,
+                            l.l_suppkey * 2 + 1 AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity <= 2
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ), nodes AS (SELECT DISTINCT src FROM edges),
+        reach(v, u, t) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION
+            SELECT r.v, e.dst, r.t + 1
+            FROM reach r JOIN edges e ON r.u = e.src WHERE r.t < 3
+        ), mind AS (
+            SELECT v, u, MIN(t) AS d FROM reach GROUP BY v, u
+        )
+        SELECT CAST(g.t AS BIGINT) AS t,
+               CAST((SELECT COUNT(*) FROM nodes)
+                    + (SELECT COUNT(*) FROM mind
+                       WHERE d <= g.t AND v <> u) AS BIGINT) AS n_pairs,
+               TRUE AS hll_ok
+        FROM (VALUES (1), (2), (3)) g(t) ORDER BY t
     """
     # connected components: recursive reachability closure over the
     # trade edge set (same node encoding as trade_pagerank's oracle);

@@ -1776,6 +1776,155 @@ def trade_link_prediction(sf_dir: str, k: int = 50) -> pd.DataFrame:
                                   n_parts=16)
 
 
+def hyperball(edges_ds, max_t: int = 3, p: int = 12,
+              n_parts: int = 16) -> pd.DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function
+    N(t) = Σ_v |ball(v, t)| — the count of (source, reachable-within-t)
+    pairs, self included — estimated for ALL nodes simultaneously by
+    iterating per-node HLL counters against the edge Dataset. N(t)'s
+    90% crossing is the standard effective-diameter statistic of a web
+    host graph. Returns pandas (t, pairs_est:float64) for t = 1..max_t
+    (early-stops when every ball has converged).
+
+    Scale shape: counters live as a (node, regs:binary) Dataset (2^p
+    bytes each); per iteration ONE hash_join ships each dst-counter to
+    its in-edges' sources, a per-batch register-max partial collapses
+    per src, and one salted node-keyed exchange max-merges partials
+    WITH the previous counters riding along (self-inclusion and union
+    in the same exchange — register-wise max IS HLL union). The driver
+    sees per-iteration scalars (the N(t) sums). Per-iteration exchange
+    volume is edge-scaled × 2^p bytes — the HyperBall cost model; at
+    web scale run p = 6-8 (64-256 B counters, ~4-7% σ), p = 12 here
+    so the registry gate can pin a ±5% tolerance."""
+    from .join import hash_join
+    from .shuffle import salted_partition_apply
+    from .sketch import _bucket_ranks, hll_estimate
+
+    m = 1 << p
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() == 0:
+        return pd.DataFrame({"t": pd.Series(dtype="int64"),
+                             "pairs_est": pd.Series(dtype="float64")})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    def node_key(t: pa.Table) -> np.ndarray:
+        return t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def init_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b, r = _bucket_ranks(node, p)
+        regs = np.zeros((node.size, m), np.uint8)
+        regs[np.arange(node.size), b] = r
+        return pa.table({
+            "node": pa.array(node),
+            "regs": pa.array([row.tobytes() for row in regs],
+                             pa.binary())})
+
+    counters = salted_partition_apply(
+        edges_ds.map_batches(uniq, batch_format="pyarrow"),
+        lambda df: df.drop_duplicates("node"),
+        node_key, n_parts=n_parts) \
+        .map_batches(init_rows, batch_format="pyarrow") \
+        .repartition(n_parts).materialize()
+
+    def est_sum(ds) -> float:
+        def partial(t: pa.Table) -> pa.Table:
+            s = sum(hll_estimate(np.frombuffer(b, np.uint8))
+                    for b in t["regs"].to_pylist())
+            return pa.table({"s": pa.array([float(s)], pa.float64())})
+        return float(ds.map_batches(partial, batch_format="pyarrow")
+                     .sum("s") or 0.0)
+
+    def max_by_node(nodes_arr: np.ndarray, regs_list) -> tuple:
+        """Vectorized register-wise max per node: stack, sort by node,
+        maximum.reduceat at group starts."""
+        stack = np.stack([np.frombuffer(b, np.uint8)
+                          for b in regs_list])
+        order = np.argsort(nodes_arr, kind="stable")
+        ns, st = nodes_arr[order], stack[order]
+        starts = np.nonzero(np.concatenate(
+            [[True], ns[1:] != ns[:-1]]))[0]
+        return ns[starts], np.maximum.reduceat(st, starts, axis=0)
+
+    out_t, out_est = [], []
+    prev = est_sum(counters)
+    for t_ in range(1, max_t + 1):
+        shipped = hash_join(
+            edges_ds,
+            _arrow_rename(counters, {"node": "dst"}),
+            on="dst", how="inner", n_parts=n_parts)
+
+        def src_partial(tb: pa.Table) -> pa.Table:
+            src = tb["src"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if src.size == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "regs": pa.array([], pa.binary())})
+            ns, mx = max_by_node(src, tb["regs"].to_pylist())
+            return pa.table({
+                "node": pa.array(ns, pa.int64()),
+                "regs": pa.array([row.tobytes() for row in mx],
+                                 pa.binary())})
+
+        def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+            ns, mx = max_by_node(
+                df["node"].to_numpy().astype(np.int64),
+                list(df["regs"]))
+            return pd.DataFrame({
+                "node": pd.Series(ns, dtype="int64"),
+                "regs": [row.tobytes() for row in mx]})
+
+        counters = salted_partition_apply(
+            shipped.map_batches(src_partial, batch_format="pyarrow")
+            .union(counters),
+            merge_part, node_key, n_parts=n_parts) \
+            .repartition(n_parts).materialize()
+        cur = est_sum(counters)
+        out_t.append(t_)
+        out_est.append(cur)
+        if abs(cur - prev) < 1e-9:        # every ball converged
+            break
+        prev = cur
+    return pd.DataFrame({"t": pd.Series(out_t, dtype="int64"),
+                         "pairs_est": pd.Series(out_est,
+                                                dtype="float64")})
+
+
+def _exact_neighborhood_pairs(edges: pd.DataFrame,
+                              max_t: int) -> list[int]:
+    """Exact N(t) for t = 1..max_t on a DRIVER-COLLECTED edge frame —
+    the truth-set recount behind the hyperball registry gate (clearly
+    labeled: graph-scaled driver memory, test/gate scales only).
+    Packed-bitmap closure: ball(t+1)[v] = ball(t)[v] | OR over
+    out-neighbors u of ball(t)[u], via one unbuffered bitwise_or.at
+    per round."""
+    nodes = np.unique(np.concatenate([
+        edges["src"].to_numpy(), edges["dst"].to_numpy()])
+        .astype(np.int64))
+    n = nodes.size
+    si = np.searchsorted(nodes, edges["src"].to_numpy().astype(np.int64))
+    di = np.searchsorted(nodes, edges["dst"].to_numpy().astype(np.int64))
+    nb = (n + 7) // 8
+    ball = np.zeros((n, nb), np.uint8)
+    idx = np.arange(n)
+    ball[idx, idx >> 3] |= (1 << (idx & 7)).astype(np.uint8)
+    popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1)
+    out = []
+    for _ in range(max_t):
+        nxt = ball.copy()
+        np.bitwise_or.at(nxt, si, ball[di])
+        ball = nxt
+        out.append(int(popcnt[ball].sum()))
+    return out
+
+
 def trade_edges_cyclic(sf_dir: str):
     """Sparse DIRECTED trade graph with real cycles: cust→supp for
     distinct pairs that ever traded at quantity ≤ 2, supp→cust for

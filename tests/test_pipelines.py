@@ -2766,6 +2766,32 @@ def test_scc_distributed_path_matches_broadcast(ray_session):
     assert a.equals(c)
 
 
+def test_hyperball_path_graph(ray_session):
+    """HyperBall N(t) on the directed path 0→1→2→3: exact values are
+    7, 9, 10 (balls of radius 1..3, self included); at these
+    cardinalities the HLL linear-counting regime makes p=12 estimates
+    near-exact (within 2%). The packed-bitmap exact recount must be
+    spot-on; layout-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from stimson_web_scraper_ray.pipelines.graph import (
+        _exact_neighborhood_pairs,
+        hyperball,
+    )
+
+    e = rd.from_arrow(pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                                "dst": pa.array([1, 2, 3], pa.int64())}))
+    want = [7, 9, 10]
+    assert _exact_neighborhood_pairs(
+        pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]}), 3) == want
+    for n_blocks in (1, 3):
+        out = hyperball(e.repartition(n_blocks), max_t=3, p=12)
+        assert out["t"].tolist() == [1, 2, 3]
+        for est, w in zip(out["pairs_est"], want):
+            assert abs(est - w) / w < 0.02, (est, w)
+
+
 def test_link_prediction_square_with_diagonal(ray_session):
     """Adamic–Adar on the square 0-1-2-3 with diagonal 0-2: the ONLY
     prediction is (1,3) — common neighbors {0,2}, aa = 2/ln 3 — and
