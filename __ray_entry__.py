@@ -3346,6 +3346,23 @@ def _q_part_tree_rollup_pj(sf_dir: str):
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def _q_trade_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank (graph.trade_pagerank_weighted): rank mass
+    flows proportionally to per-edge trade intensity w/Σ_out w — the
+    anchor-count-weighted host-rank algebra over the bidirectional
+    trade graph (edge weight = lineitem rows between the pair). Same
+    two-path engine as unweighted (bincount weights on the broadcast
+    side, Sum-aggregate out-strength on the Dataset side); chained
+    weighted-CTE oracle, 6-dp rounding."""
+    from stimson_web_scraper_ray.pipelines.graph import (
+        trade_pagerank_weighted,
+    )
+
+    out = trade_pagerank_weighted(sf_dir)
+    out["score"] = out["score"].round(6)
+    return out.astype({"node_id": "int64"}).reset_index(drop=True)
+
+
 def _q_trade_neighborhood(sf_dir: str):
     """HyperBall neighborhood function (graph.hyperball — Boldi-Vigna
     2013): N(t) = Σ_v |ball(v, t)| over the sparse bidirectional trade
@@ -3746,6 +3763,7 @@ def queries_all() -> dict[str, Callable[[str], Any]]:
         "trade_scc": _q_trade_scc,
         "trade_link_prediction": _q_trade_link_prediction,
         "trade_neighborhood_function": _q_trade_neighborhood,
+        "trade_pagerank_weighted": _q_trade_pagerank_weighted,
         "vocab_coverage": _q_vocab_coverage,
         "late_item_orders": _q_late_item_orders,
         "trade_pagerank": _q_trade_pagerank_merged,
@@ -6548,6 +6566,47 @@ def oracle_sql_all() -> dict[str, str]:
                CAST(common_neighbors AS BIGINT) AS common_neighbors,
                adamic_adar
         FROM cand ORDER BY adamic_adar DESC, a, b LIMIT 50
+    """
+    # weighted PageRank: same chained-CTE shape as trade_pagerank with
+    # deg = out-STRENGTH (SUM of weights) and per-edge flow
+    # score * wt / strength; bidirectional graph, so no dangling term
+    sql["trade_pagerank_weighted"] = """
+        WITH pairs AS (
+            SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+                   CAST(COUNT(*) AS BIGINT) AS wt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2),
+        edges AS (SELECT c AS src, s AS dst, wt FROM pairs
+                  UNION ALL
+                  SELECT s AS src, c AS dst, wt FROM pairs),
+        deg AS (SELECT src, CAST(SUM(wt) AS DOUBLE) AS d
+                FROM edges GROUP BY src),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS score
+               FROM deg),
+        r1 AS (SELECT e.dst AS node,
+                      0.15 / (SELECT n FROM nn)
+                      + 0.85 * sum(r.score * e.wt / deg.d) AS score
+               FROM edges e
+               JOIN r0 r ON e.src = r.node
+               JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS node,
+                      0.15 / (SELECT n FROM nn)
+                      + 0.85 * sum(r.score * e.wt / deg.d) AS score
+               FROM edges e
+               JOIN r1 r ON e.src = r.node
+               JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS node,
+                      0.15 / (SELECT n FROM nn)
+                      + 0.85 * sum(r.score * e.wt / deg.d) AS score
+               FROM edges e
+               JOIN r2 r ON e.src = r.node
+               JOIN deg ON e.src = deg.src
+               GROUP BY e.dst)
+        SELECT node AS node_id, round(score, 6) AS score
+        FROM r3 ORDER BY node
     """
     # HyperBall gate: exact N(t) via a bounded recursive reachability
     # closure over the SAME sparse pair set (self-pairs counted once

@@ -33,7 +33,8 @@ import pyarrow as pa
 
 def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
              node_broadcast_limit: int = 50_000_000,
-             personalize: "list[int] | None" = None):
+             personalize: "list[int] | None" = None,
+             weight_col: str | None = None):
     """Fixed-iteration PageRank over a directed edge Dataset
     (src:int64, dst:int64), with full dangling-node (sink) handling:
     the node universe is src ∪ dst, sinks carry out-degree 0, and their
@@ -57,9 +58,20 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     seeds present in the graph, 1/|S| each, instead of uniform 1/n;
     initial ranks likewise. The seed set is small by definition (it is
     user input), so it broadcasts into both paths' closures; seeds
-    absent from the edge set are ignored, an all-absent set raises."""
+    absent from the edge set are ignored, an all-absent set raises.
+
+    ``weight_col``: optional per-edge positive weight — rank mass
+    leaves a node proportionally to w(e)/Σ_out w (out-STRENGTH, the
+    anchor-count-weighted host-rank form); None reproduces the
+    uniform 1/deg algebra bit-for-bit (bincount of ones). A node
+    whose out-weights sum to 0 is a sink, same as no out-edges."""
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
+
+    if weight_col in ("src", "dst", "node", "rank", "deg", "w",
+                      "sink_rank", "c"):
+        raise ValueError(f"weight_col collides with an internal "
+                         f"column: {weight_col!r}")
 
     # materialize once (iterated `iters` times) and right-size blocks:
     # the salted exchange that built the edges leaves ~64 sub-MB blocks,
@@ -82,13 +94,16 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
         # form exists ONLY on this path — the broadcast path below gets
         # degrees from a streamed bincount pass instead (one sort
         # exchange + materialize cheaper; measured ~1 s at sf0.1)
+        agg = (Sum(weight_col, alias_name="deg") if weight_col
+               else Count(alias_name="deg"))
         deg_ds = edges_ds.groupby("src") \
-            .aggregate(Count(alias_name="deg")) \
+            .aggregate(agg) \
             .map_batches(lambda t: t.rename_columns(["node", "deg"]),
                          batch_format="pyarrow").materialize()
         return _pagerank_distributed(edges_ds, n, nodes_ds, deg_ds,
                                      damping, iters,
-                                     personalize=personalize)
+                                     personalize=personalize,
+                                     weight_col=weight_col)
     # out-degrees via the same broadcast-partials shape as contrib: one
     # streamed pass, per-batch bincount into the node order, driver sum
     nref = ray.put(nodes)
@@ -96,7 +111,10 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
     def deg_partial(t: pa.Table) -> pa.Table:
         nd = ray.get(nref)
         src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sums = np.bincount(np.searchsorted(nd, src), minlength=len(nd))
+        wv = (t[weight_col].to_numpy(zero_copy_only=False)
+              .astype(np.float64) if weight_col else None)
+        sums = np.bincount(np.searchsorted(nd, src), weights=wv,
+                           minlength=len(nd))
         hit = np.nonzero(sums)[0]
         return pa.table({"idx": pa.array(hit.astype(np.int64)),
                          "partial": pa.array(sums[hit].astype(np.float64),
@@ -133,6 +151,9 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             w = od[np.searchsorted(nd, src)]
+            if weight_col:
+                w = w * t[weight_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
             di = np.searchsorted(nd, dst)
             sums = np.bincount(di, weights=w, minlength=len(nd))
             hit = np.nonzero(sums)[0]
@@ -163,7 +184,8 @@ def pagerank(edges_ds, damping: float = 0.85, iters: int = 3,
 
 def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
                           damping: float, iters: int,
-                          personalize: "list[int] | None" = None
+                          personalize: "list[int] | None" = None,
+                          weight_col: str | None = None
                           ) -> pd.DataFrame:
     """Web-scale PageRank path: ranks/degrees stay as Datasets; per
     iteration the driver sees only two scalars (dangling mass via
@@ -238,11 +260,15 @@ def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
                              on="src", how="inner", n_parts=16)
 
         def partial_dst(t: pa.Table) -> pa.Table:
+            c = t["w"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            if weight_col:
+                c = c * t[weight_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
             df = pd.DataFrame({
                 "node": t["dst"].to_numpy(zero_copy_only=False)
                 .astype(np.int64),
-                "c": t["w"].to_numpy(zero_copy_only=False)
-                .astype(np.float64)})
+                "c": c})
             g = df.groupby("node", sort=True, as_index=False)["c"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -279,7 +305,8 @@ def _pagerank_distributed(edges_ds, n: int, nodes_ds, deg_ds,
 
 
 def _trade_pair_edges(sf_dir: str, edge_rows, *,
-                      with_quantity: bool = False, n_parts: int = 64):
+                      with_quantity: bool = False, n_parts: int = 64,
+                      reduce_fn=None):
     """Shared base of every trade-graph derivation (plain / cyclic /
     sparse — previously three private copies of the same scaffold,
     review finding): lineitem ⋈ orders through the runtime
@@ -311,7 +338,7 @@ def _trade_pair_edges(sf_dir: str, edge_rows, *,
 
     return salted_partition_apply(
         joined.map_batches(edge_rows, batch_format="pyarrow"),
-        distinct_pairs, pair_key, n_parts=n_parts)
+        reduce_fn or distinct_pairs, pair_key, n_parts=n_parts)
 
 
 def _bidir(t: pa.Table) -> pa.Table:
@@ -336,6 +363,45 @@ def trade_edges(sf_dir: str):
 
     return _trade_pair_edges(sf_dir, pair_rows) \
         .map_batches(_bidir, batch_format="pyarrow")
+
+
+def trade_edges_weighted(sf_dir: str):
+    """Bidirectional trade graph with per-edge WEIGHT = the number of
+    lineitem rows between the pair (trade intensity); same node
+    encoding, one pair-keyed count exchange instead of the distinct."""
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(c * 2, pa.int64()),
+                         "dst": pa.array(s * 2 + 1, pa.int64())})
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src", "dst"], as_index=False).size()
+        return g.rename(columns={"size": "wt"})
+
+    def bidir_w(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["wt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+            "wt": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    return _trade_pair_edges(sf_dir, pair_rows,
+                             reduce_fn=count_pairs) \
+        .map_batches(bidir_w, batch_format="pyarrow")
+
+
+def trade_pagerank_weighted(sf_dir: str, damping: float = 0.85,
+                            iters: int = 3) -> pd.DataFrame:
+    """PageRank over the WEIGHTED bidirectional trade graph — rank
+    mass flows proportionally to trade intensity (w/Σ_out w), the
+    anchor-count-weighted host-rank algebra; chained weighted-CTE
+    oracle."""
+    return pagerank(trade_edges_weighted(sf_dir), damping=damping,
+                    iters=iters, weight_col="wt")
 
 
 def trade_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 3):

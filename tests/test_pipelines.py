@@ -2766,6 +2766,43 @@ def test_scc_distributed_path_matches_broadcast(ray_session):
     assert a.equals(c)
 
 
+def test_pagerank_weighted_parity_and_paths(ray_session):
+    """weight_col semantics: all-ones weights reproduce the unweighted
+    algebra to 1e-12 on BOTH execution paths (the bincount-of-ones
+    contract), the forced-distributed path matches broadcast, and a
+    2x-weighted edge shifts rank toward its target on a hand graph."""
+    import numpy as np
+    import pandas as pd
+
+    from stimson_web_scraper_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 30, 120)
+    d = rng.integers(0, 40, 120)
+    mm = s != d
+    e0 = pd.DataFrame({"src": s[mm].astype(np.int64),
+                       "dst": d[mm].astype(np.int64)})
+    e1 = e0.assign(wt=np.ones(len(e0), np.int64))
+    a = pagerank(rd.from_pandas(e0), iters=3)
+    b = pagerank(rd.from_pandas(e1), iters=3, weight_col="wt")
+    c = pagerank(rd.from_pandas(e1), iters=3, weight_col="wt",
+                 node_broadcast_limit=0)
+    assert np.allclose(a["score"], b["score"], atol=1e-12)
+    assert np.allclose(b["score"], c["score"], atol=1e-9)
+
+    # star 0 -> {1, 2}, edge to 2 twice the weight: node 2 out-ranks 1
+    hand = pd.DataFrame({"src": [0, 0], "dst": [1, 2],
+                         "wt": np.array([1, 2], np.int64)})
+    h = pagerank(rd.from_pandas(hand), iters=3, weight_col="wt") \
+        .set_index("node_id")["score"]
+    assert h[2] > h[1]
+
+    import pytest
+    with pytest.raises(ValueError, match="collides"):
+        pagerank(rd.from_pandas(e1.rename(columns={"wt": "w"})),
+                 weight_col="w")
+
+
 def test_hyperball_path_graph(ray_session):
     """HyperBall N(t) on the directed path 0→1→2→3: exact values are
     7, 9, 10 (balls of radius 1..3, self included); at these
